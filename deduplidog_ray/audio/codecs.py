@@ -1,0 +1,205 @@
+"""Pure-numpy audio codecs for the ``bytes`` column.
+
+The reference's analog is PIL image decode + ``average_hash`` held by a
+preloader pool (reference deduplidog/deduplidog.py:327-346,
+deduplidog/helpers.py:43-53). Our decode stage is an actor-pool
+``map_batches`` (stages/decode.py); this module is the codec state those
+actors hold.
+
+The container has no audio libraries (no soundfile/librosa/ffmpeg), so:
+
+- ``pcm_s16le`` — REAL: RIFF/WAVE PCM 16-bit little-endian, written and
+  parsed with numpy (lossless; SNR = inf).
+- ``ulaw`` — REAL: ITU-T G.711 µ-law companding (8-bit, lossy, SNR ≈ 35-40 dB
+  for full-scale signals) in a minimal WAVE container. This makes the
+  "re-encoded copy keeps SNR >= 30 dB" invariant (BASELINE.json input_hint)
+  a genuine lossy-codec check, not a tautology.
+- ``flac`` / ``mp3`` — STUBBED: gated behind import-try; raise
+  :class:`CodecUnavailable` in this container. The Ray-side plumbing
+  (actor signature, poison-row quarantine, schema) is identical and tested
+  via the real codecs.
+
+All functions operate on float32 PCM in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class CodecError(Exception):
+    """Undecodable bytes (poison row). ≙ the reference's per-file exception
+    path (deduplidog.py:443-456): quarantine the row, never fail the block."""
+
+
+class CodecUnavailable(CodecError):
+    """Codec requires a library not present in this environment."""
+
+
+# ---------------------------------------------------------------- RIFF/WAVE
+
+def _wav_header(n_samples: int, sr_hz: int, bits: int, audio_format: int) -> bytes:
+    block_align = bits // 8
+    byte_rate = sr_hz * block_align
+    data_size = n_samples * block_align
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, audio_format, 1, sr_hz,
+                                byte_rate, block_align, bits)
+        + b"data" + struct.pack("<I", data_size)
+    )
+
+
+def _parse_wav(buf: bytes) -> tuple[int, int, bytes]:
+    """Return (audio_format, sr_hz, data_bytes). Minimal RIFF chunk walk."""
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise CodecError("not a RIFF/WAVE stream")
+    pos, audio_format, sr_hz, data = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise CodecError("truncated fmt chunk")
+            audio_format, _ch, sr_hz = struct.unpack_from("<HHI", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if audio_format is None or data is None:
+        raise CodecError("missing fmt/data chunk")
+    return audio_format, sr_hz, data
+
+
+def encode_pcm_s16le(pcm: np.ndarray, sr_hz: int) -> bytes:
+    x = np.clip(np.asarray(pcm, dtype=np.float32), -1.0, 1.0)
+    i16 = np.round(x * 32767.0).astype("<i2")
+    return _wav_header(len(i16), sr_hz, 16, 1) + i16.tobytes()
+
+
+def decode_pcm_s16le(buf: bytes) -> tuple[np.ndarray, int]:
+    fmt, sr, data = _parse_wav(buf)
+    if fmt != 1:
+        raise CodecError(f"expected PCM format 1, got {fmt}")
+    if len(data) % 2:
+        raise CodecError("odd PCM payload length")
+    i16 = np.frombuffer(data, dtype="<i2")
+    return i16.astype(np.float32) / 32767.0, sr
+
+
+# ------------------------------------------------------------- G.711 µ-law
+
+_MU = 255.0
+
+
+def _ulaw_compress(x: np.ndarray) -> np.ndarray:
+    return np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+
+
+def _ulaw_expand(y: np.ndarray) -> np.ndarray:
+    return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(_MU))) / _MU
+
+
+def encode_ulaw(pcm: np.ndarray, sr_hz: int) -> bytes:
+    x = np.clip(np.asarray(pcm, dtype=np.float32), -1.0, 1.0)
+    q = np.round((_ulaw_compress(x) * 0.5 + 0.5) * 255.0).astype(np.uint8)
+    # WAVE format 7 = µ-law, 8-bit
+    return _wav_header(len(q), sr_hz, 8, 7) + q.tobytes()
+
+
+def decode_ulaw(buf: bytes) -> tuple[np.ndarray, int]:
+    fmt, sr, data = _parse_wav(buf)
+    if fmt != 7:
+        raise CodecError(f"expected mu-law format 7, got {fmt}")
+    q = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+    y = (q / 255.0 - 0.5) * 2.0
+    return _ulaw_expand(y).astype(np.float32), sr
+
+
+# ----------------------------------------------------------- gated codecs
+
+def _make_unavailable(name: str, module: str):
+    def _enc(pcm: np.ndarray, sr_hz: int) -> bytes:
+        raise CodecUnavailable(f"{name}: python module '{module}' not installed")
+
+    def _dec(buf: bytes) -> tuple[np.ndarray, int]:
+        raise CodecUnavailable(f"{name}: python module '{module}' not installed")
+
+    return _enc, _dec
+
+
+try:  # pragma: no cover - not present in this container
+    import soundfile  # noqa: F401
+
+    def encode_flac(pcm, sr_hz):
+        import io
+        bio = io.BytesIO()
+        soundfile.write(bio, pcm, sr_hz, format="FLAC")
+        return bio.getvalue()
+
+    def decode_flac(buf):
+        import io
+        data, sr = soundfile.read(io.BytesIO(buf), dtype="float32")
+        return np.asarray(data, dtype=np.float32), sr
+except ImportError:
+    encode_flac, decode_flac = _make_unavailable("flac", "soundfile")
+
+encode_mp3, decode_mp3 = _make_unavailable("mp3", "soundfile/lame")
+
+
+CODECS: dict[str, tuple] = {
+    # codec name -> (encode(pcm, sr) -> bytes, decode(bytes) -> (pcm, sr), lossless)
+    "pcm_s16le": (encode_pcm_s16le, decode_pcm_s16le, True),
+    "ulaw": (encode_ulaw, decode_ulaw, False),
+    "flac": (encode_flac, decode_flac, True),
+    "mp3": (encode_mp3, decode_mp3, False),
+}
+
+#: modality partition, ≙ reference media-type partition (deduplidog.py:27-29,
+#: :498-501): clips only ever compared within the same codec *class*.
+CODEC_CLASS: dict[str, str] = {
+    "pcm_s16le": "audio",
+    "ulaw": "audio",
+    "flac": "audio",
+    "mp3": "audio",
+}
+
+
+def encode(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    try:
+        enc, _, _ = CODECS[codec]
+    except KeyError:
+        raise CodecError(f"unknown codec {codec!r}") from None
+    return enc(pcm, sr_hz)
+
+
+def decode(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
+    """Decode to (float32 PCM in [-1,1], sample rate). Raises CodecError."""
+    try:
+        _, dec, _ = CODECS[codec]
+    except KeyError:
+        raise CodecError(f"unknown codec {codec!r}") from None
+    if not isinstance(buf, (bytes, bytearray, memoryview)):
+        raise CodecError("bytes column is not binary")
+    return dec(bytes(buf))
+
+
+def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
+    """SNR of ``test`` against ``reference`` in dB (inf for exact match).
+
+    The per-row invariant from BASELINE.json input_hint: decoded-PCM
+    allclose ⇔ SNR >= 30 dB.
+    """
+    n = min(len(reference), len(test))
+    if n == 0:
+        return float("-inf")
+    r, t = reference[:n].astype(np.float64), test[:n].astype(np.float64)
+    noise = np.mean((r - t) ** 2)
+    if noise == 0:
+        return float("inf")
+    sig = np.mean(r ** 2)
+    if sig == 0:
+        return float("-inf")
+    return float(10.0 * np.log10(sig / noise))

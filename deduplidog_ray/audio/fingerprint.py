@@ -1,0 +1,69 @@
+"""Perceptual audio fingerprint over decoded PCM.
+
+≙ reference ``imagehash.average_hash`` + Hamming compare
+(reference deduplidog/helpers.py:43-53, deduplidog/deduplidog.py:758-760):
+a compact bit signature whose Hamming distance is small for perceptually
+identical content (exact copies, lossy re-encodes, small end-trims) and
+large otherwise.
+
+Design (Chromaprint-style, pure numpy), *absolute-time* framing:
+  1. non-overlapping 50 ms frames anchored at the clip start, up to 64
+     frames (first 3.2 s; longer clips are distinguished by the separate
+     ``dur_ms`` predicate ≙ accepted_frame_delta),
+  2. per frame: FFT magnitude → energy in 17 log-spaced bands,
+  3. binarize the (frame, band) energy-delta signs → 16 bits/frame,
+     packed to a fixed 128-byte signature; frames beyond the clip end are
+     all-zero.
+
+Absolute framing means an end-trim only perturbs the final frame(s): the
+signature is robust to the ±duration jitter the dur-gate admits. Because
+the near-dup dur gate bounds |Δdur| <= dur_delta_ms, two gated clips have
+frame counts within 1, and the zero tail contributes ~nothing — so the
+distance is effectively over the common active frames; the threshold is a
+*fraction* of those active bits (MatchConfig.fp_hamming_frac).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HOP_MS = 50
+MAX_FRAMES = 64
+N_BANDS = 17                                  # 16 bits per frame
+BITS_PER_FRAME = N_BANDS - 1
+FP_BITS = MAX_FRAMES * BITS_PER_FRAME         # 1024
+FP_BYTES = FP_BITS // 8                       # 128
+
+
+def fingerprint(pcm: np.ndarray, sr_hz: int) -> tuple[bytes, int]:
+    """(128-byte signature, n_active_frames) for a mono float32 clip."""
+    x = np.asarray(pcm, dtype=np.float32)
+    hop = max(2, int(sr_hz * HOP_MS / 1000))
+    n_frames = min(MAX_FRAMES, max(1, -(-len(x) // hop)))
+    need = n_frames * hop
+    if len(x) < need:
+        x = np.pad(x, (0, need - len(x)))
+    frames = x[:need].reshape(n_frames, hop)
+    frames = frames * np.hanning(hop).astype(np.float32)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2        # (F, hop//2+1)
+    nbins = spec.shape[1]
+    edges = np.round(np.geomspace(1, max(2, nbins - 1), N_BANDS + 1)).astype(int)
+    edges = np.maximum.accumulate(np.minimum(edges, nbins - 1))
+    band = np.log1p(np.add.reduceat(spec, edges[:-1], axis=1)[:, :N_BANDS])  # (F, B)
+    d = np.diff(band, axis=1)                              # (F, B-1)
+    dd = d - np.vstack([d[:1], d[:-1]])                    # frame-to-frame delta
+    bits = np.zeros((MAX_FRAMES, BITS_PER_FRAME), dtype=np.uint8)
+    bits[:n_frames] = (dd > 0).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes(), n_frames
+
+
+def active_bits(n_frames_a: int, n_frames_b: int) -> int:
+    return BITS_PER_FRAME * min(n_frames_a, n_frames_b)
+
+
+def hamming(a: bytes, b: bytes) -> int:
+    """Hamming distance between two packed fingerprints (full width)."""
+    aa = np.frombuffer(a, dtype=np.uint8)
+    bb = np.frombuffer(b, dtype=np.uint8)
+    n = min(len(aa), len(bb))
+    return int(np.unpackbits(aa[:n] ^ bb[:n]).sum()) + abs(len(aa) - len(bb)) * 8

@@ -1,0 +1,288 @@
+"""The flagship near-duplicate detection + clustering pipeline.
+
+End-to-end DAG (SURVEY.md §3 "target lifecycle"):
+
+    read clips → decode/fingerprint (ACTOR POOL map_batches)
+               → normalize transcript (stateless, pyarrow.compute)
+               → signatures: shingle → MinHash/SimHash/winnow (stateless)
+               → [checkpoint per partition, lineage manifest]
+               → pass 1: hot-key counts (partial-agg + tiny groupby)
+               → pass 2: explode candidate keys (salted for hot keys)
+               → groupby(band_key) SHUFFLE → per-group verify (vectorized)
+               → rep round: groupby(orig_key) over hot-key representatives
+               → union-find connected components (driver DSU over the
+                 small pair stream)
+               → canonicalize per cluster (map_groups over ONLY the
+                 clustered rows — singletons never shuffle)
+               → results table (+ write)
+
+≙ reference ``Deduplidog().start()`` (deduplidog/deduplidog.py:263-325),
+re-expressed order-independently (SURVEY.md §7). Scale notes inline.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from deduplidog_ray.config import DedupConfig
+from deduplidog_ray.sources.clips_io import list_fragments, read_fragments
+from deduplidog_ray.stages.candidates import find_hot_keys, make_explode_stage
+from deduplidog_ray.stages.canonical import make_canonicalizer
+from deduplidog_ray.stages.decode import DecodeFingerprint
+from deduplidog_ray.stages.normalize import make_normalizer
+from deduplidog_ray.stages.sigstage import make_signature_stage
+from deduplidog_ray.stages.verify import make_group_verifier, make_rep_verifier
+from deduplidog_ray.state.checkpoint import CheckpointManager
+from deduplidog_ray.state.unionfind import UnionFind
+
+#: columns persisted in the signature checkpoint — everything downstream
+#: needs, and NOT the audio ``bytes`` (decoded once, never re-shipped).
+SIG_COLUMNS = [
+    "clip_id", "sr_hz", "dur_ms", "codec", "codec_class", "role",
+    "n_bytes", "content_hash", "pcm_hash", "fp", "n_frames", "dur_ms_actual",
+    "decode_error", "norm_transcript", "minhash", "simhash",
+    "n_shingles", "winnow",
+]
+
+
+class NearDupPipeline:
+    def __init__(self, cfg: DedupConfig | None = None, workdir: str | None = None):
+        self.cfg = cfg or DedupConfig()
+        self.workdir = workdir
+        self.ckpt = (
+            CheckpointManager(workdir, self.cfg.semantic_hash()) if workdir else None
+        )
+        self.metrics: dict = {}
+
+    # ------------------------------------------------------------ stage 1
+    def signatures(self, clips: ray.data.Dataset) -> ray.data.Dataset:
+        """decode → normalize → signature columns; drops ``bytes``."""
+        ex = self.cfg.execution
+        ds = clips.map_batches(
+            DecodeFingerprint,
+            batch_format="pyarrow",
+            batch_size=ex.decode_batch_size,
+            # autoscaling pool (min 1): a fixed pool larger than the
+            # cluster's CPUs would wait forever for actors
+            concurrency=(1, ex.decode_concurrency),
+            num_cpus=1,
+            zero_copy_batch=True,
+        )
+        ds = ds.map_batches(
+            make_normalizer(self.cfg.normalize),
+            batch_format="pyarrow",
+            batch_size=ex.batch_size,
+            zero_copy_batch=True,
+        )
+        ds = ds.map_batches(
+            make_signature_stage(self.cfg.signature),
+            batch_format="pyarrow",
+            batch_size=ex.batch_size,
+            zero_copy_batch=True,
+        )
+
+        def _project(t: pa.Table) -> pa.Table:
+            keep = [c for c in SIG_COLUMNS if c in t.column_names]
+            return t.select(keep)
+
+        return ds.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def signatures_checkpointed(
+        self, input_path: str, partitions: int | None = None
+    ) -> ray.data.Dataset:
+        """Compute signatures per input partition with resume-on-restart.
+
+        Fragments are grouped into partitions; completed partitions (same
+        semantic config) are skipped — the kill-and-resume path (north rule).
+        Each partition run uses the whole cluster; partitions are a
+        *checkpoint granularity*, not a parallelism limit.
+        """
+        assert self.ckpt is not None, "workdir required for checkpointing"
+        frags = list_fragments(input_path)
+        nparts = partitions or max(1, min(len(frags), 8))
+        groups: list[list[str]] = [list(frags[i::nparts]) for i in range(nparts)]
+        done = self.ckpt.done_partitions("signatures")
+        for pid, group in enumerate(groups):
+            if pid in done or not group:
+                continue
+            t0 = time.monotonic()
+            ds = self.signatures(read_fragments(group))
+            self.ckpt.write_partition("signatures", pid, ds, group, t0)
+        import ray.data as rd
+
+        return rd.read_parquet(self.ckpt.stage_files("signatures"))
+
+    # ------------------------------------------------------------ stage 2
+    def pairs(self, sig_ds: ray.data.Dataset) -> ray.data.Dataset:
+        """Candidate shuffle → verified duplicate pairs.
+
+        ``sig_ds`` should be backed by the checkpoint (or materialized) so
+        the two passes don't recompute decode+signatures twice.
+        """
+        cfg, ex = self.cfg, self.cfg.execution
+        hot = find_hot_keys(sig_ds, cfg)                      # pass 1
+        self.metrics["hot_keys"] = len(hot)
+        if self.ckpt:
+            self.ckpt.write_skew_metrics(hot, ex.hot_band_cap)
+        hot_ref = ray.put(hot) if hot else None
+
+        exploded = sig_ds.map_batches(                        # pass 2
+            make_explode_stage(cfg, hot_ref),
+            batch_format="pyarrow",
+            batch_size=ex.batch_size,
+            zero_copy_batch=True,
+        )
+        mixed = exploded.groupby("band_key").map_groups(
+            make_group_verifier(cfg), batch_format="pyarrow"
+        )
+        pair_cols = ["a", "b", "reason", "score"]
+
+        def _only_pairs(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["row_type"], "pair")).select(pair_cols)
+
+        pairs1 = mixed.map_batches(_only_pairs, batch_format="pyarrow")
+        if not hot:
+            # no hot keys → no salted subgroups → no representative round
+            return pairs1
+
+        def _only_reps(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["row_type"], "rep")).drop_columns(
+                ["row_type", "a", "b", "reason", "score"]
+            )
+
+        reps = mixed.map_batches(_only_reps, batch_format="pyarrow")
+        # second round restores connectivity across salted subgroups; the
+        # rep table is tiny (one row per subgroup of a hot key)
+        pairs2 = reps.groupby("orig_key").map_groups(
+            make_rep_verifier(cfg), batch_format="pyarrow"
+        )
+        return pairs1.union(pairs2)
+
+    # ------------------------------------------------------------ stage 3
+    def cluster(
+        self, pairs_ds: ray.data.Dataset
+    ) -> tuple[dict[str, str], dict[str, list[str]]]:
+        """Stream the pair table into a DSU → (clip→cluster, clip→reasons).
+
+        Pairs, not rows, concentrate on the driver (SURVEY.md §7); the
+        upgrade path for a pair set beyond driver RAM is partitioned DSU
+        forests (state/unionfind.py docstring).
+        """
+        uf = UnionFind()
+        reasons: dict[str, set[str]] = {}
+        n_pairs = 0
+        for b in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            aa = b["a"].to_pylist()
+            bb = b["b"].to_pylist()
+            rr = b["reason"].to_pylist()
+            n_pairs += len(aa)
+            for a, bb_, r in zip(aa, bb, rr):
+                uf.union(a, bb_)
+                reasons.setdefault(a, set()).add(r)
+                reasons.setdefault(bb_, set()).add(r)
+        self.metrics["verified_pairs"] = n_pairs
+        return uf.components(), {k: sorted(v) for k, v in reasons.items()}
+
+    # ------------------------------------------------------------ stage 4
+    def results(
+        self,
+        sig_ds: ray.data.Dataset,
+        clusters: dict[str, str],
+        reasons: dict[str, list[str]],
+    ) -> ray.data.Dataset:
+        """Attach cluster ids; canonicalize clustered rows; pass singletons.
+
+        Only clustered rows enter the groupby(cluster_id) shuffle — and only
+        their 5 small policy columns. Singletons and poison rows map straight
+        through (no shuffle at all).
+        """
+        cfg = self.cfg
+        clusters_ref = ray.put(clusters)
+
+        def _split(t: pa.Table, want_clustered: bool) -> pa.Table:
+            cl = ray.get(clusters_ref)
+            ids = t["clip_id"].to_pylist()
+            mask = np.array([i in cl for i in ids], dtype=bool)
+            sel = np.nonzero(mask if want_clustered else ~mask)[0]
+            out = t.take(pa.array(sel))
+            if want_clustered:
+                cid = [cl[i] for i in out["clip_id"].to_pylist()]
+                out = out.append_column("cluster_id", pa.array(cid, type=pa.string()))
+            return out
+
+        policy_cols = ["clip_id", "cluster_id", "n_bytes", "dur_ms"]
+        has_role = "role" in sig_ds.schema().names
+        if has_role:
+            policy_cols.append("role")
+
+        clustered = sig_ds.map_batches(
+            lambda t: _split(t, True).select(policy_cols),
+            batch_format="pyarrow",
+        )
+        canon = clustered.groupby("cluster_id").map_groups(
+            make_canonicalizer(cfg.canonical, reasons), batch_format="pandas"
+        )
+
+        def _singleton_results(t: pa.Table) -> pa.Table:
+            t = _split(t, False)
+            ids = t["clip_id"].to_pylist()
+            errs = t["decode_error"].to_pylist()
+            import pandas as pd
+
+            return pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "clip_id": ids,
+                        "cluster_id": ids,
+                        "is_canonical": [True] * len(ids),
+                        "action": [
+                            "quarantine" if e is not None else "keep" for e in errs
+                        ],
+                        "reasons": [
+                            [f"decode_error: {e}"] if e is not None else []
+                            for e in errs
+                        ],
+                    }
+                ),
+                preserve_index=False,
+            )
+
+        singles = sig_ds.map_batches(_singleton_results, batch_format="pyarrow")
+        out = canon.union(singles)
+        if cfg.canonical.invert_selection:
+            # ≙ invert_selection (deduplidog.py:513-516): only the rows that
+            # matched NOTHING
+            import pyarrow.compute as pc
+
+            out = out.map_batches(
+                lambda t: t.filter(pc.equal(t["action"], "keep")),
+                batch_format="pyarrow",
+            )
+        return out
+
+    # ----------------------------------------------------------- end2end
+    def run(
+        self, clips: ray.data.Dataset | str, partitions: int | None = None
+    ) -> ray.data.Dataset:
+        if isinstance(clips, str) and self.ckpt is not None:
+            sig_ds = self.signatures_checkpointed(clips, partitions)
+        else:
+            if isinstance(clips, str):
+                clips = read_fragments(list_fragments(clips))
+            # no checkpoint → pin the (bytes-free) signature table so the
+            # two candidate passes don't recompute decode twice
+            sig_ds = self.signatures(clips).materialize()
+        pairs_ds = self.pairs(sig_ds)
+        clusters, reasons = self.cluster(pairs_ds)
+        return self.results(sig_ds, clusters, reasons)

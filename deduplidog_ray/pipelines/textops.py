@@ -1,0 +1,124 @@
+"""Text-analysis operators over a documents table.
+
+The training-data-pipeline operator family the task sheet requires beyond
+the reference's own inventory: language ID, quality scoring, token
+counting, document fingerprinting — each a vectorized ``map_batches``
+stage over the ``documents`` table (doc_id, text, lang, source, n_chars).
+
+Everything is pandas/pyarrow-vectorized or precompiled-regex based; the
+stopword tables live in module constants (no model downloads).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from deduplidog_ray.stages.hashing import hash_strings_u64
+
+# tiny per-language stopword profiles (public common-word lists)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que"},
+    "cs": {"a", "se", "na", "je", "to", "v", "že", "s", "z", "do"},
+}
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+#: BPE-ish token split: words, numbers, or single non-space symbols
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+class TextScore:
+    """Actor-pool stage: language-ID + quality scores + token counts.
+
+    State (compiled regexes, stopword sets) built once per actor — the
+    actor-pool pattern for stateful per-batch transforms.
+    """
+
+    def __init__(self) -> None:
+        self.word = _WORD_RE
+        self.token = _TOKEN_RE
+        self.punct = _PUNCT_RE
+        self.stop = _STOPWORDS
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        lower = texts.str.lower()
+        words = lower.str.findall(self.word)
+        n_words = words.str.len().astype("int64")
+        n_chars = texts.str.len().astype("int64")
+        n_punct = texts.str.count(self.punct).astype("int64")
+
+        def _lang(ws: list[str]) -> str:
+            if not ws:
+                return "und"
+            best, best_hits = "und", 0
+            s = set(ws)
+            for lang, sw in self.stop.items():
+                hits = len(s & sw)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best
+
+        def _stop_ratio(ws: list[str]) -> float:
+            if not ws:
+                return 0.0
+            allstop = set().union(*self.stop.values())
+            return sum(1 for w in ws if w in allstop) / len(ws)
+
+        df = df.copy()
+        df["pred_lang"] = words.map(_lang)
+        df["n_words"] = n_words
+        df["n_tokens"] = lower.str.findall(self.token).str.len().astype("int64")
+        df["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).astype("float64")
+        df["stopword_ratio"] = words.map(_stop_ratio).astype("float64")
+        df["mean_word_len"] = (
+            words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        ).astype("float64")
+        return df
+
+
+def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """doc_id → n_tokens (whitespace+symbol tokenization), vectorized."""
+
+    def _count(t: pa.Table) -> pa.Table:
+        # count word-or-symbol tokens with Arrow kernels: split on \s+ after
+        # trimming; symbols counted via regex extraction length in pandas is
+        # slower — use count_substring_regex which is fully vectorized C++
+        n = pc.count_substring_regex(t["text"], r"\w+|[^\w\s]")
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_fingerprint(ds: ray.data.Dataset, seed: int = 0xF1D0) -> ray.data.Dataset:
+    """64-bit content fingerprint per document (whole-text hash).
+
+    ≙ CRC content identity (reference utils.py:21-32); the rolling-hash
+    shingle variant for near-dup lives in stages/signatures.py.
+    """
+
+    def _fp(t: pa.Table) -> pa.Table:
+        h = hash_strings_u64(t["text"].to_pylist(), seed=seed)
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": pa.array(h.view(np.int64))}
+        )
+
+    return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
+    """Full text-quality scoring via the TextScore actor pool."""
+    return ds.map_batches(
+        TextScore, batch_format="pandas", batch_size=2048,
+        concurrency=(1, concurrency),
+    )

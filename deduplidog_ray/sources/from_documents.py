@@ -1,0 +1,123 @@
+"""Deterministic clips table derived from a driver `documents` table.
+
+The sandbox's test tables (`/root/testdata/sf*/documents.parquet`) carry
+text; the flagship pipeline needs the BASELINE.json `input_hint` clip
+schema. This module synthesizes, deterministically from (doc_id, text),
+an audio+transcript clips table at the same scale — transcript = the doc
+text, audio = seeded synthetic PCM — and plants duplicates (exact copies,
+lossy re-encodes, fuzzy-transcript variants) at a fixed rate so the dedup
+pipeline has realistic work at every sf.
+
+Generation runs distributed (map_batches over the documents table) and is
+cached as sharded parquet under /tmp keyed by (source path, generator
+version) so bench reruns skip synthesis.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from deduplidog_ray.audio.codecs import encode
+from deduplidog_ray.audio.synth import make_pcm
+
+_GEN_VERSION = "v1"
+_SRS = [8000, 16000, 22050]
+
+
+class _SynthClips:
+    """map_batches callable: documents batch → clips rows (with dups)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                               "transcript", "role")}
+
+        def emit(cid, buf, sr, dur, codec, transcript, role):
+            out["clip_id"].append(cid)
+            out["bytes"].append(buf)
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(dur)
+            out["codec"].append(codec)
+            out["transcript"].append(transcript)
+            out["role"].append(role)
+
+        for did, text in zip(doc_ids, texts):
+            text = text or ""
+            toks = text.split()[:48]
+            transcript = " ".join(toks)
+            sr = _SRS[did % len(_SRS)]
+            dur = 600 + (did * 37) % 1800
+            pcm = make_pcm(did, dur, sr)
+            emit(f"clip_{did:09d}_o", encode(pcm, sr, "pcm_s16le"), sr, dur,
+                 "pcm_s16le", transcript, "original")
+            m = did % 10
+            if m == 0:      # exact duplicate
+                emit(f"clip_{did:09d}_d", encode(pcm, sr, "pcm_s16le"), sr, dur,
+                     "pcm_s16le", transcript, "work")
+            elif m == 1:    # lossy re-encode
+                emit(f"clip_{did:09d}_d", encode(pcm, sr, "ulaw"), sr, dur,
+                     "ulaw", transcript, "work")
+            elif m == 2 and len(toks) > 8:   # fuzzy transcript + noised audio
+                t2 = list(toks)
+                t2[len(t2) // 2] = "variant"
+                rng = np.random.default_rng(did)
+                noisy = np.clip(
+                    pcm + rng.normal(0, 2e-3, len(pcm)).astype(np.float32), -1, 1
+                )
+                emit(f"clip_{did:09d}_d", encode(noisy, sr, "pcm_s16le"), sr, dur,
+                     "pcm_s16le", " ".join(t2), "work")
+
+        return pa.table(
+            {
+                "clip_id": pa.array(out["clip_id"], type=pa.string()),
+                "bytes": pa.array(out["bytes"], type=pa.binary()),
+                "sr_hz": pa.array(out["sr_hz"], type=pa.int32()),
+                "dur_ms": pa.array(out["dur_ms"], type=pa.int32()),
+                "codec": pa.array(out["codec"], type=pa.string()),
+                "transcript": pa.array(out["transcript"], type=pa.string()),
+                "role": pa.array(out["role"], type=pa.string()),
+            }
+        )
+
+
+def clips_path_for(sf_dir: str, cache_root: str = "/tmp/deduplidog_ray_clips") -> str:
+    key = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}:{_GEN_VERSION}".encode(), digest_size=8
+    ).hexdigest()
+    return os.path.join(cache_root, key)
+
+
+def clips_from_documents(sf_dir: str, force: bool = False) -> str:
+    """Ensure the synthesized clips parquet dir for ``sf_dir`` exists;
+    returns its path. Distributed generation, cached."""
+    path = clips_path_for(sf_dir)
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return path
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    docs.map_batches(
+        _SynthClips, batch_format="pyarrow", batch_size=512, zero_copy_batch=True
+    ).write_parquet(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(_GEN_VERSION)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path

@@ -1,0 +1,193 @@
+"""Candidate-key explosion + hot-key salting — the shuffle-key construction.
+
+≙ the reference's candidate lookup structures, re-expressed as shuffle keys
+(SURVEY.md §2.4 J1/J2): instead of a driver-resident
+``stem -> set[Path]`` index (deduplidog/deduplidog.py:285-288) or the
+O(N·M) ``ignore_name`` scan (:492-504), every clip *emits* its candidate
+keys and a ``groupby(band_key)`` shuffle co-locates potential duplicates.
+
+Key types emitted per clip (all mixed with the codec-class hash so
+modalities never share a group — ≙ media-type partition F5,
+deduplidog.py:27-29, :498-501):
+
+  1. MinHash LSH band keys  (lsh_bands keys)      — Jaccard candidates
+  2. SimHash bit-block keys (hamming_k+1 keys)    — pigeonhole Hamming <= k
+  3. winnowing fingerprints (~n_shingles/w keys)  — substring/containment
+  4. pcm_hash + content_hash (2 keys)             — exact-content candidates
+     (covers the ``ignore_name`` pure-content mode without a cross join)
+
+Hot-key skew (north rule): a two-pass scheme. Pass 1 counts keys (partial
+aggregation, tiny shuffle of (key, count)); keys with count > hot_band_cap
+are broadcast via ``ray.put`` as ``{key: n_salts}``. Pass 2 splits a hot
+key's members into ``n_salts`` deterministic subgroups
+(``mix64(clip_hash) % n_salts``); each subgroup is verified all-pairs and
+elects one representative row for a second, tiny groupby on the original
+key that restores cross-subgroup connectivity (stages/verify.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from deduplidog_ray.config import DedupConfig
+from deduplidog_ray.stages.hashing import combine64, hash_strings_u64, mix64
+from deduplidog_ray.stages.signatures import band_hashes, simhash_block_keys
+
+_TAG_BAND = np.uint64(0xB1)
+_TAG_BLOCK = np.uint64(0xB2)
+_TAG_WINNOW = np.uint64(0xB3)
+_TAG_PCM = np.uint64(0xB4)
+_TAG_CONTENT = np.uint64(0xB5)
+
+#: payload columns carried through the shuffle (everything verify needs, so
+#: no join back to the signature table is required — one shuffle, not two).
+PAYLOAD_COLUMNS = [
+    "clip_id",
+    "codec_class",
+    "dur_ms",
+    "n_bytes",
+    "content_hash",
+    "pcm_hash",
+    "simhash",
+    "fp",
+    "n_frames",
+    "minhash",
+    "n_shingles",
+]
+
+
+def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig):
+    """Per-clip candidate keys → (flat_keys uint64, clip_row_idx int64)."""
+    n = len(batch)
+    class_h = hash_strings_u64(batch["codec_class"].to_pylist(), seed=0xC1A5)
+    sig = np.frombuffer(
+        b"".join(batch["minhash"].to_pylist()), dtype="<u4"
+    ).reshape(n, cfg.signature.num_perm)
+    simhash = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+
+    bands = band_hashes(sig, cfg.signature)                       # (n, b)
+    blocks = simhash_block_keys(simhash, cfg.signature.simhash_hamming)
+
+    parts_keys: list[np.ndarray] = []
+    parts_idx: list[np.ndarray] = []
+
+    def _mix_tag(vals: np.ndarray, tag: np.uint64, ch: np.ndarray) -> np.ndarray:
+        return combine64(combine64(np.broadcast_to(tag, vals.shape).copy(), ch), vals)
+
+    for mat, tag in [(bands, _TAG_BAND), (blocks, _TAG_BLOCK)]:
+        k = mat.shape[1]
+        keys = _mix_tag(mat, tag, class_h[:, None])
+        parts_keys.append(keys.reshape(-1))
+        parts_idx.append(np.repeat(np.arange(n, dtype=np.int64), k))
+
+    # winnowing keys (variable count per clip) — only docs with enough
+    # shingles to make containment meaningful
+    wlist = batch["winnow"]
+    if isinstance(wlist, pa.ChunkedArray):
+        wlist = wlist.combine_chunks()
+    woff = wlist.offsets.to_numpy().astype(np.int64)
+    wvals = wlist.values.to_numpy(zero_copy_only=False).view(np.uint64)
+    wdoc = np.repeat(np.arange(n, dtype=np.int64), woff[1:] - woff[:-1])
+    if len(wvals):
+        parts_keys.append(_mix_tag(wvals, _TAG_WINNOW, class_h[wdoc]))
+        parts_idx.append(wdoc)
+
+    # exact-content keys
+    for col, tag in [("pcm_hash", _TAG_PCM), ("content_hash", _TAG_CONTENT)]:
+        vals = batch[col].to_numpy(zero_copy_only=False).view(np.uint64)
+        parts_keys.append(_mix_tag(vals, tag, class_h))
+        parts_idx.append(np.arange(n, dtype=np.int64))
+
+    return np.concatenate(parts_keys), np.concatenate(parts_idx)
+
+
+def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None):
+    """map_batches fn: signature rows → exploded (band_key, payload) rows.
+
+    ``hot_keys_ref``: optional ``ray.put`` ObjectRef of ``{orig_key: n_salts}``
+    (pass 2). When set, hot keys are salted and ``orig_key``/``salted``
+    columns record the pre-salt key for the representative round.
+    """
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        keys, idx = _clip_key_matrix(batch, cfg)
+        # quarantine poison rows: no candidate keys (≙ skip on decode failure,
+        # reference deduplidog.py:447-448)
+        if "decode_error" in batch.column_names:
+            err = batch["decode_error"].to_numpy(zero_copy_only=False)
+            bad = np.array([e is not None for e in err], dtype=bool)
+            keep = ~bad[idx]
+            keys, idx = keys[keep], idx[keep]
+
+        orig_keys = keys
+        salted = np.zeros(len(keys), dtype=bool)
+        if hot_keys_ref is not None:
+            hot: dict[int, int] = ray.get(hot_keys_ref)
+            if hot:
+                clip_h = hash_strings_u64(batch["clip_id"].to_pylist(), seed=0x5A17)
+                nsalt = np.array(
+                    [hot.get(int(k), 0) for k in keys.view(np.int64)], dtype=np.uint64
+                )
+                is_hot = nsalt > 0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    salt = np.where(is_hot, mix64(clip_h[idx]) % np.maximum(nsalt, 1), 0)
+                keys = np.where(is_hot, combine64(keys, salt + np.uint64(1)), keys)
+                salted = is_hot
+
+        payload = batch.select([c for c in PAYLOAD_COLUMNS if c in batch.column_names])
+        out = payload.take(pa.array(idx))
+        out = out.append_column("band_key", pa.array(keys.view(np.int64)))
+        out = out.append_column("orig_key", pa.array(orig_keys.view(np.int64)))
+        out = out.append_column("salted", pa.array(salted))
+        return out
+
+    return _explode
+
+
+def make_key_count_stage(cfg: DedupConfig):
+    """Pass-1 map_batches fn: signature rows → per-batch (band_key, cnt) partials.
+
+    Emits pre-aggregated counts per batch so the pass-1 groupby shuffles
+    ~unique-keys-per-batch rows, not every exploded row (partial/combiner
+    pattern — "pre-aggregate inside map_batches" per the task sheet).
+    """
+
+    def _count(batch: pa.Table) -> pa.Table:
+        keys, idx = _clip_key_matrix(batch, cfg)
+        if "decode_error" in batch.column_names:
+            err = batch["decode_error"].to_numpy(zero_copy_only=False)
+            bad = np.array([e is not None for e in err], dtype=bool)
+            keys = keys[~bad[idx]]
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {"band_key": pa.array(uniq.view(np.int64)),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    return _count
+
+
+def find_hot_keys(sig_ds, cfg: DedupConfig) -> dict[int, int]:
+    """Pass 1: return {key: n_salts} for keys whose member count exceeds
+    ``hot_band_cap``. Small result (hot keys only) → driver dict."""
+    cap = cfg.execution.hot_band_cap
+    counts = (
+        sig_ds.map_batches(
+            make_key_count_stage(cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.execution.batch_size,
+        )
+        .groupby("band_key")
+        .sum("cnt")
+    )
+    hot: dict[int, int] = {}
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        k = b["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["sum(cnt)"].to_numpy(zero_copy_only=False)
+        mask = c > cap
+        for key, cnt in zip(k[mask], c[mask]):
+            hot[int(key)] = int(np.ceil(cnt / cap))
+    return hot

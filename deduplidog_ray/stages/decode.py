@@ -1,0 +1,106 @@
+"""Decode + fingerprint stage — the actor-pool analog of the reference's
+image-hash preloader.
+
+≙ reference ``preload_metadata``: PIL decode + ``average_hash`` computed in a
+``ProcessPoolExecutor(max_workers=4)`` with results cached driver-side
+(deduplidog/deduplidog.py:327-346, helpers.py:43-77). Here the pool is a Ray
+actor pool (``map_batches(DecodeFingerprint, concurrency=N)``) and the
+"cache" is materialized columns — computed once, streamed, never held on the
+driver.
+
+Memory discipline (SURVEY.md §7 "hard parts"): decoded PCM is up to ~100×
+the encoded ``bytes``; it lives only inside ``__call__`` for the duration of
+one row's fingerprinting and is never emitted as a column. Keep
+``decode_batch_size`` small (ExecutionConfig) so batch × concurrency fits the
+worker heap — the analog of the reference's ``img_max_size`` skip +
+``FileMetadata.clean()`` (deduplidog.py:152-153, helpers.py:74-77).
+
+Poison rows: undecodable bytes set ``decode_error`` and null signature
+columns instead of failing the block — ≙ the reference's per-file retry /
+DecompressionBomb skip (deduplidog.py:443-456).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from deduplidog_ray.audio.codecs import CODEC_CLASS, CodecError, decode
+from deduplidog_ray.audio.fingerprint import FP_BYTES, fingerprint
+from deduplidog_ray.stages.hashing import hash_binary_u64, hash_pcm_u64
+
+
+class DecodeFingerprint:
+    """Actor-pool map_batches callable: bytes → (pcm_hash, fp, dur, errors).
+
+    State constructed once per actor in ``__init__`` (codec dispatch table),
+    work per batch in ``__call__`` — the pattern the task sheet prescribes
+    for stateful stages. Real codec libraries (flac/mp3 decoders) would be
+    loaded here; in this container only the numpy codecs exist.
+    """
+
+    def __init__(self) -> None:
+        self.codec_class = CODEC_CLASS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        byts = batch["bytes"]
+        codecs = batch["codec"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        n = len(batch)
+
+        n_bytes = np.empty(n, dtype=np.int64)
+        pcm_hash = np.zeros(n, dtype=np.uint64)
+        dur_actual = np.zeros(n, dtype=np.int32)
+        n_frames = np.zeros(n, dtype=np.int32)
+        fps: list[bytes | None] = [None] * n
+        errors: list[str | None] = [None] * n
+
+        buf_view = byts.combine_chunks() if isinstance(byts, pa.ChunkedArray) else byts
+        for i in range(n):
+            v = buf_view[i].as_py()
+            n_bytes[i] = 0 if v is None else len(v)
+            try:
+                if v is None or len(v) == 0:
+                    raise CodecError("empty bytes")
+                pcm, sr = decode(v, codecs[i])
+                sr = sr or srs[i]
+                pcm_hash[i] = hash_pcm_u64(pcm)
+                dur_actual[i] = int(round(len(pcm) * 1000 / max(1, sr)))
+                fps[i], n_frames[i] = fingerprint(pcm, sr)
+                del pcm  # decoded PCM never outlives the row
+            except CodecError as e:
+                errors[i] = str(e)
+                fps[i] = b"\x00" * FP_BYTES
+
+        content_hash = hash_binary_u64(
+            [buf_view[i].as_py() for i in range(n)]
+        )
+        cls = [self.codec_class.get(c, "unknown") for c in codecs]
+
+        # trust the decoded duration over the metadata column (≙ the frame
+        # probe recomputing frame counts, reference utils.py:96-102)
+        ok = np.array([e is None for e in errors], dtype=bool)
+        given = batch["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int32)
+        eff_dur = np.where(ok, dur_actual, given)
+        batch = batch.drop_columns(["dur_ms"]).append_column(
+            "dur_ms", pa.array(eff_dur, type=pa.int32())
+        )
+
+        out = batch
+        for name, arr in [
+            ("n_bytes", pa.array(n_bytes)),
+            # hash columns are bit-cast to int64: Ray Data's sort/groupby
+            # exchange round-trips values through Python and overflows on
+            # uint64 > 2^63 (falls back to pickled object columns)
+            ("pcm_hash", pa.array(pcm_hash.view(np.int64))),
+            ("content_hash", pa.array(content_hash.view(np.int64))),
+            ("fp", pa.array(fps, type=pa.binary())),
+            ("n_frames", pa.array(n_frames, type=pa.int32())),
+            ("dur_ms_actual", pa.array(dur_actual, type=pa.int32())),
+            ("decode_error", pa.array(errors, type=pa.string())),
+            ("codec_class", pa.array(cls, type=pa.string())),
+        ]:
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, arr)
+        return out

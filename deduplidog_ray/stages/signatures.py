@@ -1,0 +1,244 @@
+"""Vectorized text signatures: shingling, MinHash, SimHash, winnowing.
+
+These generalize the reference's candidate index and perceptual-hash match
+to web scale (SURVEY.md §2.8):
+
+- shingle + MinHash + LSH banding ≙ the stem hash index / O(N·M) scan
+  (reference deduplidog/deduplidog.py:285-288, :492-504) — candidate
+  generation without a cross join.
+- SimHash 64-bit, Hamming <= k ≙ ``accepted_img_hash_diff`` 64-bit
+  average-hash compare (deduplidog.py:147-148, :758-760).
+- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+  algorithm) ≙ the contained/shrunk-copy use case (docs/index.md:20-22,38):
+  two texts sharing a >= (w+k-1)-token region are guaranteed to share a
+  selected fingerprint.
+
+Everything is batch-vectorized: per-batch work is numpy ``reduceat`` /
+``sliding_window_view`` over the *concatenation* of all docs' shingle
+arrays with doc-boundary offsets — no per-row Python in the hot path.
+The only Python-level loop is over the rare docs shorter than one shingle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deduplidog_ray.config import SignatureConfig
+from deduplidog_ray.stages.hashing import combine64, hash_strings_u64, mix64
+
+_EMPTY_DOC_SENTINEL = 0xE417F  # hashed with the seed → shared shingle for empty docs
+
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def tokenize_offsets(texts: list[str | None]) -> tuple[list[str], np.ndarray]:
+    """Whitespace-tokenize a batch → (flat token list, offsets[D+1])."""
+    flat: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts):
+        if t:
+            flat.extend(t.split())
+        offsets[i + 1] = len(flat)
+    return flat, offsets
+
+
+def shingle_hashes(
+    texts: list[str | None], k: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Token k-gram hashes per doc → (flat uint64 shingles, offsets[D+1]).
+
+    Every doc gets >= 1 shingle: docs with fewer than ``k`` tokens emit one
+    combined hash of all their tokens (empty docs a shared sentinel), so the
+    downstream ``reduceat`` segments are never empty.
+    """
+    ndocs = len(texts)
+    flat_tokens, tok_off = tokenize_offsets(texts)
+    tok_h = (
+        hash_strings_u64(flat_tokens, seed=seed)
+        if flat_tokens
+        else np.empty(0, dtype=np.uint64)
+    )
+    ntok = tok_off[1:] - tok_off[:-1]                     # tokens per doc
+
+    counts = np.where(ntok >= k, ntok - k + 1, 1).astype(np.int64)
+    out_off = np.empty(ndocs + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(counts, out=out_off[1:])
+    out = np.empty(out_off[-1], dtype=np.uint64)
+
+    # --- long docs: rolling k-gram combine over the concatenated tokens ---
+    long_mask = ntok >= k
+    if long_mask.any() and len(tok_h) >= k:
+        win = np.lib.stride_tricks.sliding_window_view(tok_h, k)  # (N-k+1, k)
+        acc = mix64(win[:, 0], seed=seed)
+        for j in range(1, k):
+            acc = combine64(acc, win[:, j])
+        # valid start positions per long doc: tok_off[d] .. tok_off[d+1]-k
+        starts = tok_off[:-1][long_mask]
+        c = counts[long_mask]
+        total = int(c.sum())
+        # vectorized concatenation of aranges
+        rep_starts = np.repeat(starts, c)
+        base = np.repeat(np.cumsum(np.concatenate([[0], c[:-1]])), c)
+        src_idx = rep_starts + (np.arange(total) - base)
+        dst_starts = out_off[:-1][long_mask]
+        rep_dst = np.repeat(dst_starts, c)
+        dst_idx = rep_dst + (np.arange(total) - base)
+        out[dst_idx] = acc[src_idx]
+
+    # --- short docs: one combined hash of all tokens (Python loop, rare) ---
+    short_idx = np.nonzero(~long_mask)[0]
+    if len(short_idx):
+        empty_h = mix64(np.array([_EMPTY_DOC_SENTINEL], dtype=np.uint64), seed=seed)[0]
+        for d in short_idx:
+            s, e = tok_off[d], tok_off[d + 1]
+            if s == e:
+                out[out_off[d]] = empty_h
+            else:
+                acc = mix64(tok_h[s : s + 1], seed=seed)
+                for j in range(s + 1, e):
+                    acc = combine64(acc, tok_h[j : j + 1])
+                out[out_off[d]] = acc[0]
+    return out, out_off
+
+
+def minhash_params(cfg: SignatureConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) multiply-shift permutation params."""
+    rng = np.random.default_rng(cfg.seed)
+    a = rng.integers(1, 1 << 63, size=cfg.num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=cfg.num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    flat: np.ndarray, offsets: np.ndarray, cfg: SignatureConfig
+) -> np.ndarray:
+    """(D, num_perm) uint32 MinHash signatures via multiply-shift + reduceat."""
+    a, b = minhash_params(cfg)
+    ndocs = len(offsets) - 1
+    sig = np.empty((ndocs, cfg.num_perm), dtype=np.uint32)
+    if ndocs == 0:
+        return sig
+    starts = offsets[:-1]
+    chunk = 16                                  # bound temp memory to N*16*8 bytes
+    with np.errstate(over="ignore"):
+        for c0 in range(0, cfg.num_perm, chunk):
+            c1 = min(c0 + chunk, cfg.num_perm)
+            y = (flat[:, None] * a[None, c0:c1] + b[None, c0:c1]) >> np.uint64(32)
+            sig[:, c0:c1] = np.minimum.reduceat(y, starts, axis=0).astype(np.uint32)
+    return sig
+
+
+def simhash_signatures(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(D,) uint64 SimHash over the shingle features (majority bit vote)."""
+    ndocs = len(offsets) - 1
+    if ndocs == 0:
+        return np.empty(0, dtype=np.uint64)
+    bits = np.unpackbits(
+        flat.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
+    ).astype(np.int32)                                        # (N, 64), MSB-first
+    counts = np.add.reduceat(bits, offsets[:-1], axis=0)      # (D, 64)
+    n = (offsets[1:] - offsets[:-1])[:, None]
+    maj = (counts * 2 > n).astype(np.uint8)                   # (D, 64)
+    packed = np.packbits(maj, axis=1)                         # (D, 8) MSB-first
+    return packed[:, ::-1].copy().view(np.uint64).reshape(-1)
+
+
+def winnow_keys(
+    flat: np.ndarray, offsets: np.ndarray, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Winnowing: per-doc window minima of the shingle-hash sequence.
+
+    Returns (doc_index, selected_hash, n_selected_per_doc) with per-doc
+    duplicates removed. Guarantee: any shared shingle run of length >= w
+    yields a shared selected hash in both docs.
+    """
+    ndocs = len(offsets) - 1
+    nsh = offsets[1:] - offsets[:-1]
+    doc_ids_parts: list[np.ndarray] = []
+    val_parts: list[np.ndarray] = []
+
+    long_mask = nsh >= w
+    if long_mask.any() and len(flat) >= w:
+        win_min = np.lib.stride_tricks.sliding_window_view(flat, w).min(axis=1)
+        starts = offsets[:-1][long_mask]
+        c = (nsh - w + 1)[long_mask]
+        total = int(c.sum())
+        rep_starts = np.repeat(starts, c)
+        base = np.repeat(np.cumsum(np.concatenate([[0], c[:-1]])), c)
+        idx = rep_starts + (np.arange(total) - base)
+        doc_ids_parts.append(np.repeat(np.nonzero(long_mask)[0], c))
+        val_parts.append(win_min[idx])
+
+    short = np.nonzero(~long_mask)[0]
+    if len(short):
+        c = nsh[short]
+        doc_ids_parts.append(np.repeat(short, c))
+        idx = np.concatenate(
+            [np.arange(offsets[d], offsets[d + 1]) for d in short]
+        ) if len(short) else np.empty(0, dtype=np.int64)
+        val_parts.append(flat[idx])
+
+    if not doc_ids_parts:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            np.zeros(ndocs, dtype=np.int64),
+        )
+    doc_ids = np.concatenate(doc_ids_parts)
+    vals = np.concatenate(val_parts)
+    # dedupe (doc, val) pairs — sort by (doc, val), keep firsts
+    order = np.lexsort((vals, doc_ids))
+    doc_ids, vals = doc_ids[order], vals[order]
+    keep = np.ones(len(vals), dtype=bool)
+    keep[1:] = (doc_ids[1:] != doc_ids[:-1]) | (vals[1:] != vals[:-1])
+    doc_ids, vals = doc_ids[keep], vals[keep]
+    per_doc = np.bincount(doc_ids, minlength=ndocs).astype(np.int64)
+    return doc_ids, vals, per_doc
+
+
+def band_hashes(sig: np.ndarray, cfg: SignatureConfig) -> np.ndarray:
+    """(D, bands) uint64 LSH band hashes from (D, num_perm) uint32 signatures."""
+    d = sig.shape[0]
+    if d == 0:
+        return np.empty((0, cfg.lsh_bands), dtype=np.uint64)
+    grouped = sig.reshape(d, cfg.lsh_bands, cfg.lsh_rows).astype(np.uint64)
+    acc = mix64(grouped[:, :, 0], seed=cfg.seed ^ 0xBA9D)
+    for j in range(1, cfg.lsh_rows):
+        acc = combine64(acc, grouped[:, :, j])
+    return acc
+
+
+def simhash_block_keys(simhash: np.ndarray, hamming_k: int) -> np.ndarray:
+    """(D, hamming_k+1) uint64 bit-block keys for Hamming <= k search.
+
+    Pigeonhole (HmSearch / Manku-Jain-Sarma, WWW'07 — public technique):
+    split 64 bits into k+1 blocks; two words at Hamming distance <= k agree
+    exactly on at least one block. Key = mix(block_id, block_value).
+    """
+    nblocks = hamming_k + 1
+    d = len(simhash)
+    out = np.empty((d, nblocks), dtype=np.uint64)
+    edges = np.linspace(0, 64, nblocks + 1).astype(int)
+    for i in range(nblocks):
+        lo, hi = edges[i], edges[i + 1]
+        width = hi - lo
+        block = (simhash >> np.uint64(lo)) & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
+        out[:, i] = mix64(block, seed=0xB10C + i)
+    return out
+
+
+def jaccard_matrix_u32(sigs: np.ndarray) -> np.ndarray:
+    """(n, n) estimated Jaccard from (n, P) uint32 MinHash signatures."""
+    eq = sigs[:, None, :] == sigs[None, :, :]
+    return eq.mean(axis=2)
+
+
+def simhash_hamming_matrix(sh: np.ndarray) -> np.ndarray:
+    """(n, n) Hamming distance matrix for uint64 SimHash values."""
+    x = sh[:, None] ^ sh[None, :]
+    bits = np.unpackbits(
+        x.view(np.uint8).reshape(len(sh), len(sh), 8), axis=2
+    )
+    return bits.sum(axis=2).astype(np.int32)

@@ -1,0 +1,32 @@
+"""Session-scoped Ray fixture — Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    """Small deterministic corpus with planted clusters + golden labels."""
+    from deduplidog_ray.fixtures import make_corpus
+
+    return make_corpus(n_clusters=6, n_singletons=5, seed=7)

@@ -1,0 +1,64 @@
+"""Kill-and-resume over the per-partition lineage manifest (north rule).
+
+≙ the reference's ordinal-skip resume (deduplidog.py:196-197, :433-441):
+a restarted run must not recompute completed partitions and must produce
+identical results.
+"""
+
+import json
+import os
+import shutil
+
+from deduplidog_ray.config import DedupConfig
+from deduplidog_ray.fixtures import write_corpus
+from deduplidog_ray.pipelines.dedup import NearDupPipeline
+
+
+def test_resume_skips_completed_partitions(ray_session, tmp_path):
+    data_dir = str(tmp_path / "clips")
+    write_corpus(data_dir, n_clusters=4, n_singletons=3, seed=21)
+
+    work1 = str(tmp_path / "work1")
+    cfg = DedupConfig()
+    pipe1 = NearDupPipeline(cfg, workdir=work1)
+    res1 = pipe1.run(data_dir, partitions=4).to_pandas()
+
+    manifest = os.path.join(work1, "manifest.jsonl")
+    recs = [json.loads(x) for x in open(manifest) if x.strip()]
+    assert len(recs) == 4
+    assert all(r["rows_per_sec"] > 0 for r in recs)        # metrics emitted
+
+    # simulate a kill after 2 of 4 partitions: drop partitions 2,3
+    kept = [r for r in recs if r["partition"] < 2]
+    with open(manifest, "w") as f:
+        for r in kept:
+            f.write(json.dumps(r) + "\n")
+    for pid in (2, 3):
+        shutil.rmtree(os.path.join(work1, "signatures", f"part-{pid:05d}"))
+
+    # resumed run: must recompute ONLY 2,3 and match the full result
+    pipe2 = NearDupPipeline(cfg, workdir=work1)
+    res2 = pipe2.run(data_dir, partitions=4).to_pandas()
+    recs2 = [json.loads(x) for x in open(manifest) if x.strip()]
+    assert len(recs2) == 4
+    recomputed = {r["partition"] for r in recs2} - {r["partition"] for r in kept}
+    assert recomputed == {2, 3}
+
+    m1 = dict(zip(res1["clip_id"], res1["cluster_id"]))
+    m2 = dict(zip(res2["clip_id"], res2["cluster_id"]))
+    assert m1 == m2
+
+
+def test_config_change_invalidates_checkpoint(ray_session, tmp_path):
+    from dataclasses import replace
+
+    data_dir = str(tmp_path / "clips")
+    write_corpus(data_dir, n_clusters=2, n_singletons=2, seed=22)
+    work = str(tmp_path / "work")
+
+    cfg1 = DedupConfig()
+    NearDupPipeline(cfg1, workdir=work).signatures_checkpointed(data_dir, 2)
+
+    cfg2 = replace(cfg1, signature=replace(cfg1.signature, shingle_k=4))
+    pipe = NearDupPipeline(cfg2, workdir=work)
+    assert pipe.ckpt.done_partitions("signatures") == set()   # stale → ignored
