@@ -4,41 +4,422 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in deduplidog_ray) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column names match between each Ray query and its oracle SQL exactly.
+Queries without an ``oracle_sql`` entry are genuinely non-SQL-expressible
+(LSH candidate generation, perceptual audio match, model-style scoring)
+and fall under the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-verifiable operators (SURVEY.md §2 inventory → Ray Data re-expression)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup on the 50-char-truncated text key (normalizer N5,
+    ≙ work_file_stem_shortened deduplidog.py:125-126, :288), keep-first
+    (min doc_id) ≙ first-match-wins (:492-494)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.exact import dedupe_exact
+
+    ds = _docs(sf_dir)
+
+    def _add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pc.utf8_slice_codeunits(t["text"], 0, 50))
+
+    ds = ds.map_batches(_add_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = dedupe_exact(ds, ["_k"], "doc_id").drop_columns(["_k"])
+    return out.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def q_duplicate_groups(sf_dir: str):
+    """Ambiguity report ≙ having_multiple_candidates (deduplidog.py:517-519)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.exact import duplicate_groups
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pc.utf8_slice_codeunits(t["text"], 0, 50))
+
+    ds = ds.map_batches(_add_key, batch_format="pyarrow", zero_copy_batch=True)
+    return duplicate_groups(ds, ["_k"], "doc_id").select_columns(["doc_id", "n_dups"])
+
+
+def q_unique_docs(sf_dir: str):
+    """invert_selection ≙ deduplidog.py:128-129, :513-516 — rows whose key
+    matches no other row (anti-join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.exact import anti_unique
+
+    ds = _docs(sf_dir)
+
+    def _add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pc.utf8_slice_codeunits(t["text"], 0, 50))
+
+    ds = ds.map_batches(_add_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = anti_unique(ds, ["_k"], "doc_id").drop_columns(["_k"])
+    return out.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def q_normalize(sf_dir: str):
+    """Normalizers N1+N4 (space2char + casefold + whitespace collapse,
+    deduplidog.py:468-476) vectorized over the text column."""
+    import pyarrow as pa
+
+    from deduplidog_ray.config import NormalizeConfig
+    from deduplidog_ray.stages.normalize import normalize_array
+
+    cfg = NormalizeConfig(space2char="_", casefold=True)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "norm_text": normalize_array(t["text"], cfg)}
+        )
+
+    return ds.map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_token_count(sf_dir: str):
+    """Token counting (BPE-ish word|symbol regex), vectorized RE2 kernel."""
+    from deduplidog_ray.pipelines.textops import token_count
+
+    return token_count(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Content fingerprint ≙ CRC32 identity (reference utils.py:21-32),
+    SQL-reproducible md5 variant."""
+    from deduplidog_ray.pipelines.textops import doc_fingerprint_md5
+
+    return doc_fingerprint_md5(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    """Grouped counters ≙ run summary stats G1 (deduplidog.py:317-325)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def q_lang_filter(sf_dir: str):
+    """Suffix-whitelist filter ≙ F2/F5 media-type partition
+    (deduplidog.py:27-29, :478-480) as a pushed-down predicate + count."""
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang"],
+        filter=pc.field("lang").isin(["en", "de"]),
+    )
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the events stream table (the
+    streaming-shaped workload pattern: partition by key, bucket by time)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        hour = pc.cast(pc.floor(pc.divide(epoch, 3600)), pa.int64())
+        return pa.table(
+            {"user_id": t["user_id"], "hour_bucket": hour, "value": t["value"]}
+        )
+
+    ds = ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(["user_id", "hour_bucket"]).aggregate(
+        Count(alias_name="n_events"), Max("value", alias_name="max_value")
+    )
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join ≙ J3 ``are_contained`` timestamp probe (utils.py:128-166):
+    for each event, the latest STRICTLY-preceding event of the same user.
+    Broadcast small side + searchsorted, no shuffle."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.joins import asof_join_last_before
+
+    events_small = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    ).to_pandas()
+    probes = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return asof_join_last_before(
+        probes,
+        events_small,
+        probe_key="user_id",
+        probe_ts="ts",
+        small_key="user_id",
+        small_ts="ts",
+        out_cols={"event_id": "event_id"},
+        strict=True,
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """Classic grouped aggregation (counters family G1) over lineitem."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"],
+    )
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        ).drop_columns(["l_shipdate"])
+
+    ds = ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="count_order")
+    )
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 for the first 3 embedding rows (float64
+    so ranking matches the SQL oracle bit-for-bit)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.similarity import knn_cosine_bruteforce
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = emb.slice(0, 3).to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = knn_cosine_bruteforce(ds, queries, k=10)
+    qids = qdf["vec_id"].to_numpy()
+    out["query_vec_id"] = qids[out["query_idx"].to_numpy()]
+    return out[["query_vec_id", "vec_id"]]
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: LSH, perceptual audio, scoring)
+# --------------------------------------------------------------------------
+
+def q_text_near_dup(sf_dir: str):
+    """MinHash-LSH + SimHash near-dup clusters over documents."""
+    from deduplidog_ray.pipelines.textdedup import text_near_dedup
+
+    return text_near_dedup(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_text_quality(sf_dir: str):
+    """Language-ID + quality scoring actor pool."""
+    from deduplidog_ray.pipelines.textops import quality_score
+
+    ds = quality_score(_docs(sf_dir))
+    return ds.select_columns(
+        ["doc_id", "pred_lang", "n_words", "n_tokens", "punct_ratio",
+         "stopword_ratio", "mean_word_len"]
+    )
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    # the synthetic embeddings' max off-diagonal cosine is ~0.48; use a
+    # threshold that exercises the bucket-verify path on this corpus
+    return embedding_near_dup_pairs(ds, threshold=0.35, n_bits=4)
+
+
+def q_knn_cosine_lsh(sf_dir: str):
+    """Approximate top-10 (multi-probe hyperplane LSH) — the scale path."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.similarity import knn_cosine_lsh
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = emb.slice(0, 3).to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return knn_cosine_lsh(ds, queries, k=10)
+
+
+def q_clips_near_dedup(sf_dir: str):
+    """FLAGSHIP: full audio+transcript near-dup clustering (BASELINE.json
+    north rule) over the clips table synthesized deterministically from
+    this sf's documents."""
+    from deduplidog_ray.config import DedupConfig
+    from deduplidog_ray.pipelines.dedup import NearDupPipeline
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    clips_path = clips_from_documents(sf_dir)
+    pipe = NearDupPipeline(DedupConfig())
+    res = pipe.run(clips_path)
+    return res.select_columns(
+        ["clip_id", "cluster_id", "is_canonical", "action"]
+    )
+
+
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return q_clips_near_dedup("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dedup": q_exact_dedup,
+        "duplicate_groups": q_duplicate_groups,
+        "unique_docs": q_unique_docs,
+        "normalize": q_normalize,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "lang_filter": q_lang_filter,
+        "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
+        "pricing_summary": q_pricing_summary,
+        "knn_cosine": q_knn_cosine,
+        "text_near_dup": q_text_near_dup,
+        "text_quality": q_text_quality,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_cosine_lsh": q_knn_cosine_lsh,
+        "clips_near_dedup": q_clips_near_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY substr(text, 1, 50) ORDER BY doc_id
+            ) = 1
+        """,
+        "duplicate_groups": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY substr(text, 1, 50)
+            HAVING count(*) > 1
+        """,
+        "unique_docs": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            QUALIFY count(*) OVER (PARTITION BY substr(text, 1, 50)) = 1
+        """,
+        "normalize": r"""
+            SELECT doc_id,
+                   replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                           ' ', '_') AS norm_text
+            FROM documents
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "lang_filter": """
+            SELECT lang, count(*) AS n FROM documents
+            WHERE lang IN ('en', 'de') GROUP BY lang
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*) AS n_events,
+                   max(value) AS max_value
+            FROM events GROUP BY user_id, hour_bucket
+        """,
+        "events_asof": """
+            SELECT e1.event_id, max(e2.ts) AS last_ts
+            FROM events e1
+            JOIN events e2
+              ON e2.user_id = e1.user_id AND e2.ts < e1.ts
+            GROUP BY e1.event_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "knn_cosine": """
+            SELECT q.vec_id AS query_vec_id, e.vec_id
+            FROM embeddings e
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                         e.vec_id
+            ) <= 10
+        """,
+    }

@@ -1,0 +1,155 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Headline metric: wall seconds of the flagship near-dup pipeline
+(decode → signatures → band shuffle → verify → cluster → canonicalize)
+over the clips table synthesized from $GRAFT_SF_DIR's documents
+(synthesis is cached and NOT timed). Also times the operator suite.
+
+    python bench.py                  # one run at $RAY_GRAFT_CPUS (def. 32)
+    python bench.py --scaling        # fresh processes at 8 and 32 CPUs →
+                                     # throughputs + scaling efficiency
+
+This script OWNS its Ray session (the only scripts allowed to, per the
+driver contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(__file__), "__ray_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    # untimed: synthesis (cached) + one warm read for the OS page cache.
+    # amplify: clips per document (sf0.1's 5000 docs × 8 → ~52k clips),
+    # so the headline measures streaming throughput, not fixed overhead
+    amplify = int(os.environ.get("GRAFT_CLIPS_AMPLIFY", "8"))
+    clips_path = clips_from_documents(sf_dir, amplify=amplify)
+    import pyarrow.dataset as pads
+
+    n_clips = pads.dataset(clips_path, format="parquet").count_rows()
+    _ = pads.dataset(clips_path, format="parquet").head(1)
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        res = fn(sf_dir)
+        # consume: Datasets execute lazily — count() drives them
+        import pandas as pd
+
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        dt = time.monotonic() - t0
+        queries[name] = round(dt, 3)
+        return dt
+
+    def _flagship(_sf):
+        from deduplidog_ray.config import DedupConfig
+        from deduplidog_ray.pipelines.dedup import NearDupPipeline
+
+        return NearDupPipeline(DedupConfig()).run(clips_path)
+
+    headline = timed("clips_near_dedup", _flagship)
+
+    for name in [
+        "exact_dedup",
+        "duplicate_groups",
+        "normalize",
+        "token_count",
+        "doc_stats_by_lang",
+        "events_hourly",
+        "events_asof",
+        "pricing_summary",
+        "text_near_dup",
+        "text_quality",
+        "knn_cosine",
+        "embedding_near_dup",
+    ]:
+        timed(name, entry.queries()[name])
+
+    ray.shutdown()
+    return {
+        "metric": "near_dup_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_clips": n_clips,
+        "clips_per_sec": round(n_clips / headline, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # same input, fresh ray.init per level (cluster-size proxy per the
+        # driver instruction: N vs 4N parallelism in fresh processes)
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo, r_hi = run(lo), run(hi)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": t_lo,
+                    "sec_32": t_hi,
+                    "clips_per_sec_8": r_lo["clips_per_sec"],
+                    "clips_per_sec_32": r_hi["clips_per_sec"],
+                    "sf": sf_dir,
+                }
+            )
+        )
+        return
+
+    print(json.dumps(run_benchmark(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

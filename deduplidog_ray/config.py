@@ -129,6 +129,9 @@ class ExecutionConfig:
     decode_batch_size: int = 256           # decoded PCM is ~100x bytes; keep small
     decode_concurrency: int = 8            # actor pool size for the decode stage
     hot_band_cap: int = 64                 # groups larger than this use star pairs
+    verify_partitions: int = 64            # hash partitions for the band shuffle
+                                           # (P ≈ 2-4× cluster cores; at scale,
+                                           # data_size / target_partition_size)
     pair_block_rows: int = 65536
     target_max_block_size: int | None = None  # DataContext override if set
 

@@ -73,7 +73,7 @@ def oracle_payload(table: pa.Table, cfg: DedupConfig) -> dict[str, np.ndarray]:
         "n_shingles": (off[1:] - off[:-1]).astype(np.int64),
         "n_frames": n_frames,
         "minhash": sig,
-        "fp_bits": np.unpackbits(fps, axis=1).astype(np.int32),
+        "fp_packed": fps,
         "decode_error": err,
     }
 

@@ -38,7 +38,7 @@ from deduplidog_ray.stages.canonical import make_canonicalizer
 from deduplidog_ray.stages.decode import DecodeFingerprint
 from deduplidog_ray.stages.normalize import make_normalizer
 from deduplidog_ray.stages.sigstage import make_signature_stage
-from deduplidog_ray.stages.verify import make_group_verifier, make_rep_verifier
+from deduplidog_ray.stages.verify import make_partition_verifier, make_rep_verifier
 from deduplidog_ray.state.checkpoint import CheckpointManager
 from deduplidog_ray.state.unionfind import UnionFind
 
@@ -65,26 +65,29 @@ class NearDupPipeline:
     def signatures(self, clips: ray.data.Dataset) -> ray.data.Dataset:
         """decode → normalize → signature columns; drops ``bytes``."""
         ex = self.cfg.execution
+        # fixed-size pool sized to the cluster: an autoscaling (1, N) pool
+        # ramps up too slowly for short jobs, and a fixed pool larger than
+        # the cluster's CPUs would wait forever for actors
+        avail = int(ray.cluster_resources().get("CPU", ex.decode_concurrency))
+        pool = max(1, min(ex.decode_concurrency, avail - 1))
         ds = clips.map_batches(
             DecodeFingerprint,
             batch_format="pyarrow",
             batch_size=ex.decode_batch_size,
-            # autoscaling pool (min 1): a fixed pool larger than the
-            # cluster's CPUs would wait forever for actors
-            concurrency=(1, ex.decode_concurrency),
+            concurrency=pool,
             num_cpus=1,
             zero_copy_batch=True,
         )
+        # batch_size=None → one task per block: parallelism follows the
+        # block layout instead of serializing into a few 4096-row batches
         ds = ds.map_batches(
             make_normalizer(self.cfg.normalize),
             batch_format="pyarrow",
-            batch_size=ex.batch_size,
             zero_copy_batch=True,
         )
         ds = ds.map_batches(
             make_signature_stage(self.cfg.signature),
             batch_format="pyarrow",
-            batch_size=ex.batch_size,
             zero_copy_batch=True,
         )
 
@@ -139,8 +142,10 @@ class NearDupPipeline:
             batch_size=ex.batch_size,
             zero_copy_batch=True,
         )
-        mixed = exploded.groupby("band_key").map_groups(
-            make_group_verifier(cfg), batch_format="pyarrow"
+        # groupby the HASH PARTITION id (P groups → P vectorized UDF calls),
+        # never the raw band key (millions of per-group Python dispatches)
+        mixed = exploded.groupby("part").map_groups(
+            make_partition_verifier(cfg), batch_format="pyarrow"
         )
         pair_cols = ["a", "b", "reason", "score"]
 
@@ -157,14 +162,16 @@ class NearDupPipeline:
         def _only_reps(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            return t.filter(pc.equal(t["row_type"], "rep")).drop_columns(
-                ["row_type", "a", "b", "reason", "score"]
-            )
+            out = t.filter(pc.equal(t["row_type"], "rep"))
+            out = out.drop_columns(["row_type", "a", "b", "reason", "score", "part"])
+            keys = out["orig_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+            rep_part = (keys % np.uint64(ex.verify_partitions)).astype(np.int64)
+            return out.append_column("part", pa.array(rep_part))
 
         reps = mixed.map_batches(_only_reps, batch_format="pyarrow")
         # second round restores connectivity across salted subgroups; the
         # rep table is tiny (one row per subgroup of a hot key)
-        pairs2 = reps.groupby("orig_key").map_groups(
+        pairs2 = reps.groupby("part").map_groups(
             make_rep_verifier(cfg), batch_format="pyarrow"
         )
         return pairs1.union(pairs2)
@@ -238,24 +245,25 @@ class NearDupPipeline:
             t = _split(t, False)
             ids = t["clip_id"].to_pylist()
             errs = t["decode_error"].to_pylist()
-            import pandas as pd
-
-            return pa.Table.from_pandas(
-                pd.DataFrame(
-                    {
-                        "clip_id": ids,
-                        "cluster_id": ids,
-                        "is_canonical": [True] * len(ids),
-                        "action": [
-                            "quarantine" if e is not None else "keep" for e in errs
-                        ],
-                        "reasons": [
+            # explicitly typed (empty batches must not infer null/double
+            # columns — Ray's union checks schema consistency)
+            return pa.table(
+                {
+                    "clip_id": pa.array(ids, type=pa.string()),
+                    "cluster_id": pa.array(ids, type=pa.string()),
+                    "is_canonical": pa.array([True] * len(ids), type=pa.bool_()),
+                    "action": pa.array(
+                        ["quarantine" if e is not None else "keep" for e in errs],
+                        type=pa.string(),
+                    ),
+                    "reasons": pa.array(
+                        [
                             [f"decode_error: {e}"] if e is not None else []
                             for e in errs
                         ],
-                    }
-                ),
-                preserve_index=False,
+                        type=pa.list_(pa.string()),
+                    ),
+                }
             )
 
         singles = sig_ds.map_batches(_singleton_results, batch_format="pyarrow")
@@ -272,6 +280,22 @@ class NearDupPipeline:
         return out
 
     # ----------------------------------------------------------- end2end
+    def _read_input(self, path: str) -> ray.data.Dataset:
+        """Read the clips table with a sane block layout.
+
+        Small inputs (< ~2 GB) are split to ~3 blocks per core so every
+        stage parallelizes; large inputs keep Ray's size-based layout
+        (a fixed block count would be wrong at scale).
+        """
+        import os
+
+        frags = list_fragments(path)
+        total = sum(os.path.getsize(f) for f in frags if os.path.exists(f))
+        if total < 2 << 30:
+            avail = int(ray.cluster_resources().get("CPU", 8))
+            return read_fragments(frags, override_num_blocks=avail * 3)
+        return read_fragments(frags)
+
     def run(
         self, clips: ray.data.Dataset | str, partitions: int | None = None
     ) -> ray.data.Dataset:
@@ -279,7 +303,7 @@ class NearDupPipeline:
             sig_ds = self.signatures_checkpointed(clips, partitions)
         else:
             if isinstance(clips, str):
-                clips = read_fragments(list_fragments(clips))
+                clips = self._read_input(clips)
             # no checkpoint → pin the (bytes-free) signature table so the
             # two candidate passes don't recompute decode twice
             sig_ds = self.signatures(clips).materialize()

@@ -5,10 +5,13 @@
 the chosen key columns; the kept ("canonical") row is the minimum id —
 the order-independent analog of "first match wins" (:492-494).
 
-Pattern (scale note): never a row-comparison join — add a key-hash column
-in a vectorized map_batches, then ONE groupby(hash) shuffle with per-group
-keep-first. At 100 TB the shuffle moves each row once, partitioned by the
-64-bit key hash; skew on a hot key only affects keep-first (O(group)).
+Pattern (scale note): never a row-comparison join and never one group per
+distinct key — add a 64-bit key-hash column in a vectorized map_batches,
+add ``part = hash % P`` and do ONE ``groupby(part)`` shuffle; inside each
+of the P partitions the whole dedup is a single vectorized pandas
+``drop_duplicates`` / ``value_counts`` call. Each row moves once,
+partitioned by key hash; P scales with data size, UDF dispatch count
+stays P (not #distinct-keys).
 """
 
 from __future__ import annotations
@@ -19,72 +22,96 @@ import pyarrow as pa
 
 import ray.data
 
-from deduplidog_ray.stages.hashing import combine64, hash_strings_u64, mix64
+from deduplidog_ray.stages.hashing import combine64, hash_strings_u64
+
+DEFAULT_PARTITIONS = 64
 
 
 def add_key_hash(
-    ds: ray.data.Dataset, key_cols: list[str], out_col: str = "_key_hash"
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    out_col: str = "_key_hash",
+    partitions: int = DEFAULT_PARTITIONS,
 ) -> ray.data.Dataset:
-    """Vectorized 64-bit hash of the concatenated key columns."""
+    """Vectorized 64-bit hash of the concatenated key columns + the
+    ``_part`` hash-partition id used as the shuffle key."""
 
     def _hash(t: pa.Table) -> pa.Table:
         acc = None
         for c in key_cols:
             vals = t[c].to_pylist()
-            h = hash_strings_u64([str(v) if v is not None else "\0" for v in vals],
-                                 seed=0xDED)
+            h = hash_strings_u64(
+                [str(v) if v is not None else "\0" for v in vals], seed=0xDED
+            )
             acc = h if acc is None else combine64(acc, h)
         if acc is None:
             acc = np.zeros(len(t), dtype=np.uint64)
-        if out_col in t.column_names:
-            t = t.drop_columns([out_col])
-        return t.append_column(out_col, pa.array(acc.view(np.int64)))
+        for name in (out_col, "_part"):
+            if name in t.column_names:
+                t = t.drop_columns([name])
+        t = t.append_column(out_col, pa.array(acc.view(np.int64)))
+        part = (acc % np.uint64(partitions)).astype(np.int64)
+        return t.append_column("_part", pa.array(part))
 
     return ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedupe_exact(
-    ds: ray.data.Dataset, key_cols: list[str], id_col: str
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    partitions: int = DEFAULT_PARTITIONS,
 ) -> ray.data.Dataset:
     """Keep, per duplicate group, the row with the minimum ``id_col``."""
-    hashed = add_key_hash(ds, key_cols)
+    hashed = add_key_hash(ds, key_cols, partitions=partitions)
 
     def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
+        # whole partition at once: sort by id, drop_duplicates keeps min id
+        return g.sort_values(id_col, kind="stable").drop_duplicates(
+            "_key_hash", keep="first"
+        )
 
-    out = hashed.groupby("_key_hash").map_groups(_keep_first, batch_format="pandas")
-    return out.drop_columns(["_key_hash"])
+    out = hashed.groupby("_part").map_groups(_keep_first, batch_format="pandas")
+    return out.drop_columns(["_key_hash", "_part"])
 
 
 def duplicate_groups(
-    ds: ray.data.Dataset, key_cols: list[str], id_col: str
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    partitions: int = DEFAULT_PARTITIONS,
 ) -> ray.data.Dataset:
     """Groups with >1 member: (canonical id, n_dups) per duplicated key.
 
     ≙ ``having_multiple_candidates`` ambiguity report (deduplidog.py:517-519).
     """
-    hashed = add_key_hash(ds, key_cols)
+    hashed = add_key_hash(ds, key_cols, partitions=partitions)
 
     def _report(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.head(0)[[id_col]].assign(n_dups=pd.Series(dtype="int64"))
-        gid = g[id_col].min()
-        return pd.DataFrame({id_col: [gid], "n_dups": [len(g)]})
+        agg = g.groupby("_key_hash", sort=False)[id_col].agg(["min", "size"])
+        agg = agg[agg["size"] > 1]
+        return pd.DataFrame(
+            {id_col: agg["min"].to_numpy(), "n_dups": agg["size"].to_numpy()}
+        )
 
-    return hashed.groupby("_key_hash").map_groups(_report, batch_format="pandas")
+    return hashed.groupby("_part").map_groups(_report, batch_format="pandas")
 
 
 def anti_unique(
-    ds: ray.data.Dataset, key_cols: list[str], id_col: str
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    partitions: int = DEFAULT_PARTITIONS,
 ) -> ray.data.Dataset:
     """Rows whose key matches NO other row — ``invert_selection`` semantics
     (deduplidog.py:128-129, :513-516): the anti-join / EXCEPT output."""
-    hashed = add_key_hash(ds, key_cols)
+    hashed = add_key_hash(ds, key_cols, partitions=partitions)
 
     def _only_singletons(g: pd.DataFrame) -> pd.DataFrame:
-        return g if len(g) == 1 else g.head(0)
+        counts = g["_key_hash"].value_counts()
+        return g[g["_key_hash"].map(counts) == 1]
 
-    out = hashed.groupby("_key_hash").map_groups(
+    out = hashed.groupby("_part").map_groups(
         _only_singletons, batch_format="pandas"
     )
-    return out.drop_columns(["_key_hash"])
+    return out.drop_columns(["_key_hash", "_part"])

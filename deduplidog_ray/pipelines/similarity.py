@@ -25,11 +25,11 @@ import ray
 import ray.data
 
 
-def _mat_from_list_col(col) -> np.ndarray:
+def _mat_from_list_col(col, dtype=np.float32) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     dim = len(col[0])
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(dtype)
     return flat.reshape(len(col), dim)
 
 
@@ -44,19 +44,21 @@ def knn_cosine_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row → (query_idx, vec_id, cos).
 
     The query matrix is broadcast via ``ray.put`` once; each batch computes
     one (B, Q) matmul and emits only its local top-k rows, so the driver
     merges Q*k*num_batches candidate rows, never the corpus.
+    ``dtype=float64`` gives bit-parity with SQL-engine ranking.
     """
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qn = _normalize(np.asarray(queries, dtype=dtype))
     q_ref = ray.put(qn)
 
     def _score(t: pa.Table) -> pa.Table:
         q = ray.get(q_ref)                       # plasma-local, zero-copy
-        m = _normalize(_mat_from_list_col(t[vec_col]))
+        m = _normalize(_mat_from_list_col(t[vec_col], dtype))
         sims = m @ q.T                           # (B, Q)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         kk = min(k, len(ids))
@@ -67,7 +69,7 @@ def knn_cosine_bruteforce(
             {
                 "query_idx": pa.array(qi.astype(np.int64)),
                 id_col: pa.array(ids[ri]),
-                "cos": pa.array(sims[ri, qi].astype(np.float32)),
+                "cos": pa.array(sims[ri, qi].astype(np.float64)),
             }
         )
 

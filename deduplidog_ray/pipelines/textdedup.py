@@ -1,0 +1,187 @@
+"""Text-only near-duplicate detection (documents table).
+
+The transcript axis of the flagship engine applied standalone: MinHash-LSH
++ SimHash candidate generation over a text column, Jaccard/Hamming verify,
+union-find clusters, keep-canonical output. Same kernels
+(stages/signatures.py), same shuffle shape (explode keys → groupby →
+in-group verify) — the "documents" counterpart the task sheet requires
+(exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup as first-class ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from deduplidog_ray.config import SignatureConfig
+from deduplidog_ray.stages.hashing import combine64, mix64
+from deduplidog_ray.stages.signatures import (
+    band_hashes,
+    minhash_signatures,
+    shingle_hashes,
+    simhash_block_keys,
+    simhash_signatures,
+)
+from deduplidog_ray.state.unionfind import UnionFind
+
+_TAG_BAND = np.uint64(0xD1)
+_TAG_BLOCK = np.uint64(0xD2)
+
+
+def make_text_signature_stage(cfg: SignatureConfig, text_col: str, id_col: str):
+    def _sig(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        flat, off = shingle_hashes(texts, cfg.shingle_k, cfg.seed)
+        sig = minhash_signatures(flat, off, cfg)
+        sh = simhash_signatures(flat, off)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "minhash": pa.array(
+                    [sig[i].astype("<u4").tobytes() for i in range(len(t))],
+                    type=pa.binary(),
+                ),
+                "simhash": pa.array(sh.view(np.int64)),
+            }
+        )
+
+    return _sig
+
+
+def make_text_explode(cfg: SignatureConfig, id_col: str, partitions: int = 64):
+    def _explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        sig = np.frombuffer(b"".join(t["minhash"].to_pylist()), dtype="<u4").reshape(
+            n, cfg.num_perm
+        )
+        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bands = band_hashes(sig, cfg)
+        blocks = simhash_block_keys(sh, cfg.simhash_hamming)
+        keys = np.concatenate(
+            [
+                combine64(np.broadcast_to(_TAG_BAND, bands.shape).copy(), bands).reshape(-1),
+                combine64(np.broadcast_to(_TAG_BLOCK, blocks.shape).copy(), blocks).reshape(-1),
+            ]
+        )
+        idx = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int64), bands.shape[1]),
+                np.repeat(np.arange(n, dtype=np.int64), blocks.shape[1]),
+            ]
+        )
+        out = t.take(pa.array(idx))
+        out = out.append_column("band_key", pa.array(keys.view(np.int64)))
+        part = (keys % np.uint64(partitions)).astype(np.int64)
+        return out.append_column("part", pa.array(part))
+
+    return _explode
+
+
+_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def make_text_verifier(cfg: SignatureConfig, id_col: str, star_over: int = 256):
+    """Multi-group verifier over one hash partition (see stages/verify.py
+    "EXECUTION SHAPE"): segment the partition by band_key, build in-group
+    pair indices, evaluate ONE 1-D kernel over all pairs."""
+
+    def _verify(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float32())}
+        )
+        n = len(g)
+        if n < 2:
+            return empty
+        keys = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        g = g.take(pa.array(order))
+        keys, ids = keys[order], ids[order]
+        dup_row = np.zeros(n, dtype=bool)
+        dup_row[1:] = (keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1])
+        if dup_row.any():
+            keep = np.nonzero(~dup_row)[0]
+            g = g.take(pa.array(keep))
+            keys, ids = keys[keep], ids[keep]
+            n = len(keys)
+        starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        ii_p, jj_p = [], []
+        tri_cache = {}
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz < 2:
+                continue
+            if sz <= star_over:
+                tri = tri_cache.setdefault(sz, np.triu_indices(sz, k=1))
+                ii_p.append(st + tri[0]); jj_p.append(st + tri[1])
+            else:
+                ii_p.append(st + np.zeros(sz - 1, dtype=np.int64))
+                jj_p.append(st + 1 + np.arange(sz - 1))
+        if not ii_p:
+            return empty
+        ii = np.concatenate(ii_p); jj = np.concatenate(jj_p)
+        sig = np.frombuffer(b"".join(g["minhash"].to_pylist()), dtype="<u4").reshape(
+            n, cfg.num_perm
+        )
+        sh = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        jac = (sig[ii] == sig[jj]).mean(axis=1)
+        x = sh[ii] ^ sh[jj]
+        ham = _POP[x.view(np.uint8).reshape(len(ii), 8)].sum(axis=1).astype(np.int32)
+        dup = (jac >= cfg.jaccard_threshold) | (ham <= cfg.simhash_hamming)
+        a, b = ids[ii[dup]], ids[jj[dup]]
+        swap = a > b
+        return pa.table(
+            {
+                "a": pa.array(np.where(swap, b, a).astype(np.int64)),
+                "b": pa.array(np.where(swap, a, b).astype(np.int64)),
+                "jaccard": pa.array(jac[dup].astype(np.float32)),
+            }
+        )
+
+    return _verify
+
+
+def text_near_dup_pairs(
+    ds: ray.data.Dataset,
+    cfg: SignatureConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    cfg = cfg or SignatureConfig()
+    sigs = ds.map_batches(
+        make_text_signature_stage(cfg, text_col, id_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        zero_copy_batch=True,
+    )
+    exploded = sigs.map_batches(
+        make_text_explode(cfg, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return exploded.groupby("part").map_groups(
+        make_text_verifier(cfg, id_col), batch_format="pyarrow"
+    )
+
+
+def text_near_dedup(
+    ds: ray.data.Dataset,
+    cfg: SignatureConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """doc_id → cluster_id (= min member) for near-duplicate documents;
+    returns the small cluster map (driver-side DSU over the pair stream)."""
+    pairs = text_near_dup_pairs(ds, cfg, text_col, id_col)
+    uf = UnionFind()
+    # zero-pad ids so the DSU's lexicographic min == numeric min
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, bb in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+            uf.union(f"{a:020d}", f"{bb:020d}")
+    comp = uf.components()
+    ks = sorted(comp)
+    return pd.DataFrame(
+        {"doc_id": [int(k) for k in ks], "cluster_id": [int(comp[k]) for k in ks]}
+    )

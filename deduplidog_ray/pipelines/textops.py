@@ -116,6 +116,23 @@ def doc_fingerprint(ds: ray.data.Dataset, seed: int = 0xF1D0) -> ray.data.Datase
     return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def doc_fingerprint_md5(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """MD5 hex content fingerprint — the SQL-reproducible variant
+    (DuckDB ``md5(text)``) used for oracle parity; hot paths use the
+    64-bit xxhash fingerprint above."""
+    import hashlib
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((v or "").encode()).hexdigest() for v in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())}
+        )
+
+    return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_score(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
     """Full text-quality scoring via the TextScore actor pool."""
     return ds.map_batches(

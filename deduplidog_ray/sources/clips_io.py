@@ -47,14 +47,20 @@ def list_fragments(path: str) -> list[str]:
     return [path]
 
 
-def read_fragments(fragments: list[str], columns: list[str] | None = None) -> ray.data.Dataset:
+def read_fragments(
+    fragments: list[str],
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
     if HAVE_LANCE and fragments and "#fragment-" in fragments[0]:  # pragma: no cover
         base = fragments[0].split("#")[0]
         ids = [int(f.split("fragment-")[1]) for f in fragments]
         ds = lance.dataset(base)
         frags = [f for f in ds.get_fragments() if f.fragment_id in ids]
         return ray.data.read_lance(base, columns=columns, fragments=frags)
-    return ray.data.read_parquet(fragments, columns=columns)
+    return ray.data.read_parquet(
+        fragments, columns=columns, override_num_blocks=override_num_blocks
+    )
 
 
 def write_clips(ds: ray.data.Dataset, path: str) -> None:

@@ -26,78 +26,99 @@ import ray.data
 from deduplidog_ray.audio.codecs import encode
 from deduplidog_ray.audio.synth import make_pcm
 
-_GEN_VERSION = "v1"
+_GEN_VERSION = "v2"
 _SRS = [8000, 16000, 22050]
 
 
-class _SynthClips:
-    """map_batches callable: documents batch → clips rows (with dups)."""
+def _make_synth_clips(amplify: int):
+    """map_batches fn factory: documents batch → clips rows (with dups).
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
-                               "transcript", "role")}
+    ``amplify`` clips are derived per document (distinct seeds and
+    token-rotated transcripts) so bench scales beyond the documents table's
+    row count without external data."""
 
-        def emit(cid, buf, sr, dur, codec, transcript, role):
-            out["clip_id"].append(cid)
-            out["bytes"].append(buf)
-            out["sr_hz"].append(sr)
-            out["dur_ms"].append(dur)
-            out["codec"].append(codec)
-            out["transcript"].append(transcript)
-            out["role"].append(role)
+    def _synth(batch: pa.Table) -> pa.Table:
+        return _synth_clips(batch, amplify)
 
-        for did, text in zip(doc_ids, texts):
-            text = text or ""
-            toks = text.split()[:48]
+    return _synth
+
+
+def _synth_clips(batch: pa.Table, amplify: int = 1) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                           "transcript", "role")}
+
+    def emit(cid, buf, sr, dur, codec, transcript, role):
+        out["clip_id"].append(cid)
+        out["bytes"].append(buf)
+        out["sr_hz"].append(sr)
+        out["dur_ms"].append(dur)
+        out["codec"].append(codec)
+        out["transcript"].append(transcript)
+        out["role"].append(role)
+
+    for did, text in zip(doc_ids, texts):
+        text = text or ""
+        base_toks = text.split()[:48]
+        for salt in range(amplify):
+            uid = did * amplify + salt
+            # token rotation per salt → distinct transcripts per clip family
+            toks = base_toks[salt % max(1, len(base_toks)):] + \
+                   base_toks[:salt % max(1, len(base_toks))]
+            if salt:
+                toks = [f"s{salt}"] + toks
             transcript = " ".join(toks)
-            sr = _SRS[did % len(_SRS)]
-            dur = 600 + (did * 37) % 1800
-            pcm = make_pcm(did, dur, sr)
-            emit(f"clip_{did:09d}_o", encode(pcm, sr, "pcm_s16le"), sr, dur,
+            sr = _SRS[uid % len(_SRS)]
+            dur = 600 + (uid * 37) % 1800
+            pcm = make_pcm(uid, dur, sr)
+            emit(f"clip_{uid:09d}_o", encode(pcm, sr, "pcm_s16le"), sr, dur,
                  "pcm_s16le", transcript, "original")
-            m = did % 10
+            m = uid % 10
             if m == 0:      # exact duplicate
-                emit(f"clip_{did:09d}_d", encode(pcm, sr, "pcm_s16le"), sr, dur,
+                emit(f"clip_{uid:09d}_d", encode(pcm, sr, "pcm_s16le"), sr, dur,
                      "pcm_s16le", transcript, "work")
             elif m == 1:    # lossy re-encode
-                emit(f"clip_{did:09d}_d", encode(pcm, sr, "ulaw"), sr, dur,
+                emit(f"clip_{uid:09d}_d", encode(pcm, sr, "ulaw"), sr, dur,
                      "ulaw", transcript, "work")
             elif m == 2 and len(toks) > 8:   # fuzzy transcript + noised audio
                 t2 = list(toks)
                 t2[len(t2) // 2] = "variant"
-                rng = np.random.default_rng(did)
+                rng = np.random.default_rng(uid)
                 noisy = np.clip(
                     pcm + rng.normal(0, 2e-3, len(pcm)).astype(np.float32), -1, 1
                 )
-                emit(f"clip_{did:09d}_d", encode(noisy, sr, "pcm_s16le"), sr, dur,
+                emit(f"clip_{uid:09d}_d", encode(noisy, sr, "pcm_s16le"), sr, dur,
                      "pcm_s16le", " ".join(t2), "work")
 
-        return pa.table(
-            {
-                "clip_id": pa.array(out["clip_id"], type=pa.string()),
-                "bytes": pa.array(out["bytes"], type=pa.binary()),
-                "sr_hz": pa.array(out["sr_hz"], type=pa.int32()),
-                "dur_ms": pa.array(out["dur_ms"], type=pa.int32()),
-                "codec": pa.array(out["codec"], type=pa.string()),
-                "transcript": pa.array(out["transcript"], type=pa.string()),
-                "role": pa.array(out["role"], type=pa.string()),
-            }
-        )
+    return pa.table(
+        {
+            "clip_id": pa.array(out["clip_id"], type=pa.string()),
+            "bytes": pa.array(out["bytes"], type=pa.binary()),
+            "sr_hz": pa.array(out["sr_hz"], type=pa.int32()),
+            "dur_ms": pa.array(out["dur_ms"], type=pa.int32()),
+            "codec": pa.array(out["codec"], type=pa.string()),
+            "transcript": pa.array(out["transcript"], type=pa.string()),
+            "role": pa.array(out["role"], type=pa.string()),
+        }
+    )
 
 
-def clips_path_for(sf_dir: str, cache_root: str = "/tmp/deduplidog_ray_clips") -> str:
+def clips_path_for(
+    sf_dir: str, amplify: int = 1, cache_root: str = "/tmp/deduplidog_ray_clips"
+) -> str:
     key = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}:{_GEN_VERSION}".encode(), digest_size=8
+        f"{os.path.abspath(sf_dir)}:{_GEN_VERSION}:a{amplify}".encode(), digest_size=8
     ).hexdigest()
     return os.path.join(cache_root, key)
 
 
-def clips_from_documents(sf_dir: str, force: bool = False) -> str:
+def clips_from_documents(
+    sf_dir: str, amplify: int = 1, force: bool = False
+) -> str:
     """Ensure the synthesized clips parquet dir for ``sf_dir`` exists;
     returns its path. Distributed generation, cached."""
-    path = clips_path_for(sf_dir)
+    path = clips_path_for(sf_dir, amplify)
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker) and not force:
         return path
@@ -111,7 +132,8 @@ def clips_from_documents(sf_dir: str, force: bool = False) -> str:
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     docs.map_batches(
-        _SynthClips, batch_format="pyarrow", batch_size=512, zero_copy_batch=True
+        _make_synth_clips(amplify), batch_format="pyarrow", batch_size=128,
+        zero_copy_batch=True,
     ).write_parquet(tmp)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(_GEN_VERSION)

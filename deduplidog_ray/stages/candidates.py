@@ -142,6 +142,10 @@ def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None):
         out = out.append_column("band_key", pa.array(keys.view(np.int64)))
         out = out.append_column("orig_key", pa.array(orig_keys.view(np.int64)))
         out = out.append_column("salted", pa.array(salted))
+        # hash partition id — the groupby key (P partitions, NOT one group
+        # per band key: see stages/verify.py "EXECUTION SHAPE")
+        part = (keys % np.uint64(cfg.execution.verify_partitions)).astype(np.int64)
+        out = out.append_column("part", pa.array(part))
         return out
 
     return _explode
@@ -162,9 +166,11 @@ def make_key_count_stage(cfg: DedupConfig):
             bad = np.array([e is not None for e in err], dtype=bool)
             keys = keys[~bad[idx]]
         uniq, cnt = np.unique(keys, return_counts=True)
+        part = (uniq % np.uint64(cfg.execution.verify_partitions)).astype(np.int64)
         return pa.table(
             {"band_key": pa.array(uniq.view(np.int64)),
-             "cnt": pa.array(cnt.astype(np.int64))}
+             "cnt": pa.array(cnt.astype(np.int64)),
+             "part": pa.array(part)}
         )
 
     return _count
@@ -172,22 +178,36 @@ def make_key_count_stage(cfg: DedupConfig):
 
 def find_hot_keys(sig_ds, cfg: DedupConfig) -> dict[int, int]:
     """Pass 1: return {key: n_salts} for keys whose member count exceeds
-    ``hot_band_cap``. Small result (hot keys only) → driver dict."""
+    ``hot_band_cap``. Small result (hot keys only) → driver dict.
+
+    Shuffle shape: per-batch partial counts (combiner) → groupby the HASH
+    PARTITION of the key (P groups, vectorized np.unique merge per
+    partition) → only rows with count > cap leave the cluster. Never a
+    groupby on the raw key (one Python group per distinct band key).
+    """
     cap = cfg.execution.hot_band_cap
+
+    def _merge_partition(g: pa.Table) -> pa.Table:
+        k = g["band_key"].to_numpy(zero_copy_only=False)
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        mask = tot > cap
+        return pa.table(
+            {"band_key": pa.array(uniq[mask]), "cnt": pa.array(tot[mask])}
+        )
+
     counts = (
         sig_ds.map_batches(
             make_key_count_stage(cfg),
             batch_format="pyarrow",
             batch_size=cfg.execution.batch_size,
         )
-        .groupby("band_key")
-        .sum("cnt")
+        .groupby("part")
+        .map_groups(_merge_partition, batch_format="pyarrow")
     )
     hot: dict[int, int] = {}
     for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        k = b["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = b["sum(cnt)"].to_numpy(zero_copy_only=False)
-        mask = c > cap
-        for key, cnt in zip(k[mask], c[mask]):
+        for key, cnt in zip(b["band_key"].to_pylist(), b["cnt"].to_pylist()):
             hot[int(key)] = int(np.ceil(cnt / cap))
     return hot

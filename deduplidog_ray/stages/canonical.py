@@ -38,6 +38,18 @@ def make_canonicalizer(policy: CanonicalPolicy, reasons_by_clip: dict[str, list[
     reasons_by_clip = reasons_by_clip or {}
 
     def _canon(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            # typed empty frame: an untyped one infers float64 columns and
+            # trips Ray's schema-consistency check on union
+            return pd.DataFrame(
+                {
+                    "clip_id": pd.Series(dtype="object"),
+                    "cluster_id": pd.Series(dtype="object"),
+                    "is_canonical": pd.Series(dtype="bool"),
+                    "action": pd.Series(dtype="object"),
+                    "reasons": pd.Series(dtype="object"),
+                }
+            )
         is_orig = (
             (g["role"] == "original").to_numpy()
             if "role" in g.columns

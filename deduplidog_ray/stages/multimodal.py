@@ -1,0 +1,136 @@
+"""Multimodal (image / video) actor-pool stages — plumbing real, decode stubbed.
+
+The task sheet requires image/audio/video treated as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches``
+stages. Audio is fully real in this engine (stages/decode.py). The
+image/video libraries (PIL, cv2, ffmpeg) are NOT in this container, so per
+instructions the decode kernels here are STUBS gated behind import-try —
+a clearly-marked deterministic fake stands in so the Ray-side plumbing
+(schema, batch sizing, actor signature, quarantine, output layout) is real
+and tested.
+
+≙ reference ST1 image-hash preloader (deduplidog/deduplidog.py:327-346,
+helpers.py:43-53) and ST2 cv2 frame-count probe (utils.py:96-102).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+try:  # pragma: no cover
+    import cv2  # noqa: F401
+
+    HAVE_CV2 = True
+except ImportError:
+    HAVE_CV2 = False
+
+
+def _fake_image_decode(buf: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE (stub): 8x8 grayscale derived from a content hash.
+
+    Stands in for PIL decode so average-hash plumbing runs; replaced by a
+    real decoder when PIL is present.
+    """
+    d = hashlib.blake2b(buf, digest_size=64).digest()
+    return np.frombuffer(d, dtype=np.uint8).reshape(8, 8).astype(np.float32)
+
+
+class ImageHashStage:
+    """Actor-pool stage: image ``bytes`` → 64-bit average hash + dims.
+
+    ≙ ``imagehash.average_hash`` (reference helpers.py:43-53): resize to
+    8x8 grayscale, threshold at the mean → 64 bits. With PIL installed the
+    real decode runs; without it, the deterministic fake (identical bytes
+    ⇒ identical hash, so exact-duplicate detection remains meaningful).
+    """
+
+    def __init__(self, img_max_bytes: int | None = None) -> None:
+        # ≙ img_max_size skip (deduplidog.py:152-153)
+        self.img_max_bytes = img_max_bytes
+        self.have_pil = HAVE_PIL
+
+    def _decode_8x8(self, buf: bytes) -> np.ndarray:
+        if self.have_pil:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(buf)).convert("L").resize((8, 8))
+            return np.asarray(img, dtype=np.float32)
+        return _fake_image_decode(buf)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hashes = np.zeros(len(batch), dtype=np.uint64)
+        errors: list[str | None] = [None] * len(batch)
+        for i in range(len(batch)):
+            v = col[i].as_py()
+            try:
+                if not v:
+                    raise ValueError("empty bytes")
+                if self.img_max_bytes and len(v) > self.img_max_bytes:
+                    raise ValueError("image too large (img_max_bytes)")
+                g = self._decode_8x8(bytes(v))
+                bits = (g > g.mean()).astype(np.uint8).reshape(-1)
+                hashes[i] = np.packbits(bits)[::-1].copy().view(np.uint64)[0]
+            except Exception as e:  # quarantine, never fail the block
+                errors[i] = str(e)
+        out = batch.append_column("img_hash", pa.array(hashes.view(np.int64)))
+        return out.append_column("img_error", pa.array(errors, type=pa.string()))
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: video ``bytes`` → sampled-frame count + stride plan.
+
+    ≙ the cv2 frame-count probe (reference utils.py:96-102). Without cv2
+    this STUB derives a deterministic fake frame count from the payload
+    size + a declared fps column, and raises ``NotImplementedError`` for
+    the actual pixel sampling — the schema/actor plumbing is the tested
+    surface.
+    """
+
+    def __init__(self, sample_every_n: int = 30) -> None:
+        self.sample_every_n = sample_every_n
+        self.have_cv2 = HAVE_CV2
+
+    def frame_count(self, buf: bytes, fps: float, bitrate_bps: int) -> int:
+        if self.have_cv2:  # pragma: no cover
+            raise NotImplementedError("real cv2 probe wiring pending")
+        # deterministic fake: duration ≈ bytes / (bitrate/8) seconds
+        dur_s = len(buf) / max(1.0, bitrate_bps / 8)
+        return int(dur_s * fps)
+
+    def sample_frames(self, buf: bytes):  # pragma: no cover - stub
+        raise NotImplementedError(
+            "pixel decode requires cv2/ffmpeg (not in this container)"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fps = (
+            batch["fps"].to_numpy(zero_copy_only=False)
+            if "fps" in batch.column_names
+            else np.full(len(batch), 30.0)
+        )
+        counts = np.zeros(len(batch), dtype=np.int32)
+        sampled = np.zeros(len(batch), dtype=np.int32)
+        for i in range(len(batch)):
+            v = col[i].as_py() or b""
+            counts[i] = self.frame_count(bytes(v), float(fps[i]), 1_000_000)
+            sampled[i] = counts[i] // self.sample_every_n
+        out = batch.append_column("n_frames_video", pa.array(counts))
+        return out.append_column("n_sampled_frames", pa.array(sampled))

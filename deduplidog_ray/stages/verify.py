@@ -12,20 +12,28 @@
 A pair is confirmed iff (same codec class) and any of:
   exact:   content_hash equal
   pcm:     pcm_hash equal                        and dur gate
-  near:    transcript axis (J >= t or Hamming <= k or normalized-equal) and
-           audio axis (fp Hamming <= f)          and dur gate
+  near:    transcript axis (J >= t or Hamming <= k) and
+           audio axis (fp Hamming <= frac)       and dur gate
   contain: containment >= c (transcript axis only; dur gate waived — the
            contained clip is by definition shorter)
 
 mirroring the reference's "name axis AND content axis" conjunction
 (_process_file → _find_similar(_media), deduplidog.py:462-519, :707-735).
-``ignore_transcript`` ≙ ``ignore_name`` (:109-110) drops the transcript
-conjunct; ``ignore_duration`` ≙ ``ignore_date``.
 
-All comparisons are blockwise numpy matrix kernels — the same code path
-serves the per-group verifier (pipeline) and the exhaustive oracle
-(deduplidog_ray/oracle.py), which is what makes the recall comparison a
-measurement of LSH candidate loss, not of predicate drift.
+EXECUTION SHAPE (the scale-critical part): verification runs per HASH
+PARTITION, not per band group. ``groupby(band_key).map_groups`` costs one
+Python dispatch per distinct key — at web scale that is one call per
+~unique shingle band (millions). Instead the pipeline adds
+``part = band_key % P`` and groups by ``part`` (P ≈ 2-4× cluster cores):
+each partition receives ALL its band groups in one table and this module
+verifies every group in a handful of numpy passes — segment the sorted
+partition, build in-group pair indices arithmetically, then evaluate ONE
+1-D pairwise kernel over all candidate pairs at once.
+
+The same 1-D kernel (``confirm_pairs_1d``) backs the exhaustive oracle's
+block compare (``confirm_block`` builds the cross-product indices), so the
+pipeline and the oracle share one predicate implementation — recall
+measured against the oracle is pure candidate-generation loss.
 """
 
 from __future__ import annotations
@@ -33,11 +41,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from deduplidog_ray.audio.fingerprint import FP_BYTES
+from deduplidog_ray.audio.fingerprint import BITS_PER_FRAME, FP_BYTES
 from deduplidog_ray.config import DedupConfig
 
 REASONS = ["exact", "pcm", "jaccard", "simhash", "contain"]
 _R_EXACT, _R_PCM, _R_JACCARD, _R_SIMHASH, _R_CONTAIN = range(5)
+
+#: byte-popcount lookup table (vectorized Hamming over packed bytes)
+_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
 PAIRS_EMPTY = pa.table(
     {
@@ -50,7 +61,11 @@ PAIRS_EMPTY = pa.table(
 
 
 def payload_from_table(t: pa.Table, num_perm: int) -> dict[str, np.ndarray]:
-    """Columnar payload → dict of numpy arrays for the matrix kernels."""
+    """Columnar payload → dict of numpy arrays for the pair kernels.
+
+    ``minhash`` stays (n, P) uint32; ``fp`` stays PACKED (n, FP_BYTES)
+    uint8 — Hamming runs on packed bytes via the popcount table.
+    """
     n = len(t)
     mh = t["minhash"].to_pylist()
     fp = t["fp"].to_pylist()
@@ -65,96 +80,138 @@ def payload_from_table(t: pa.Table, num_perm: int) -> dict[str, np.ndarray]:
         "n_shingles": t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64),
         "n_frames": t["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64),
         "minhash": np.frombuffer(b"".join(mh), dtype="<u4").reshape(n, num_perm),
-        "fp_bits": np.unpackbits(
-            np.frombuffer(b"".join(fp), dtype=np.uint8).reshape(n, FP_BYTES), axis=1
-        ).astype(np.int32),
+        "fp_packed": np.frombuffer(b"".join(fp), dtype=np.uint8).reshape(n, FP_BYTES),
     }
+
+
+def confirm_pairs_1d(
+    P: dict[str, np.ndarray], ii: np.ndarray, jj: np.ndarray, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Evaluate the duplicate predicate for the pair list (ii, jj).
+
+    Returns (dup bool (M,), reason int8 (M,), score float32 (M,)).
+    One numpy pass over all M pairs — no per-pair or per-group Python.
+    """
+    m, s = cfg.match, cfg.signature
+    M = len(ii)
+    if M == 0:
+        z = np.zeros(0)
+        return z.astype(bool), z.astype(np.int8), z.astype(np.float32)
+
+    same_class = P["codec_class"][ii] == P["codec_class"][jj]
+    dur_ok = (
+        np.ones(M, dtype=bool)
+        if m.ignore_duration
+        else np.abs(P["dur_ms"][ii] - P["dur_ms"][jj]) <= m.dur_delta_ms
+    )
+    exact = P["content_hash"][ii] == P["content_hash"][jj]
+    pcm = P["pcm_hash"][ii] == P["pcm_hash"][jj]
+
+    jac = (P["minhash"][ii] == P["minhash"][jj]).mean(axis=1)
+
+    x = P["simhash"][ii] ^ P["simhash"][jj]
+    sh_ham = _POP[x.view(np.uint8).reshape(M, 8)].sum(axis=1).astype(np.int32)
+
+    fp_ham = _POP[P["fp_packed"][ii] ^ P["fp_packed"][jj]].sum(axis=1).astype(np.int32)
+    common_bits = BITS_PER_FRAME * np.minimum(P["n_frames"][ii], P["n_frames"][jj])
+    audio_ok = fp_ham <= m.fp_hamming_frac * np.maximum(common_bits, 1)
+
+    transcript_ok = (
+        np.ones(M, dtype=bool)
+        if m.ignore_transcript
+        else (jac >= s.jaccard_threshold) | (sh_ham <= s.simhash_hamming)
+    )
+
+    na = P["n_shingles"][ii].astype(np.float64)
+    nb = P["n_shingles"][jj].astype(np.float64)
+    mn = np.minimum(na, nb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        containment = np.where(mn > 0, jac * (na + nb) / ((1.0 + jac) * mn), 0.0)
+    contain_ok = (
+        (containment >= s.containment_threshold)
+        & (mn >= s.winnow_window)
+        & (jac < s.jaccard_threshold)
+    )
+
+    near = transcript_ok & audio_ok & dur_ok
+    dup = same_class & (exact | (pcm & dur_ok) | near | contain_ok)
+
+    reason = np.full(M, -1, dtype=np.int8)
+    score = np.zeros(M, dtype=np.float32)
+    for mask, code, sc in [
+        (same_class & contain_ok, _R_CONTAIN, containment),
+        (same_class & near & (sh_ham <= s.simhash_hamming), _R_SIMHASH,
+         (64 - sh_ham) / 64.0),
+        (same_class & near & (jac >= s.jaccard_threshold), _R_JACCARD, jac),
+        (same_class & pcm & dur_ok, _R_PCM, None),
+        (same_class & exact, _R_EXACT, None),
+    ]:
+        reason[mask] = code
+        score[mask] = 1.0 if sc is None else sc[mask].astype(np.float32)
+    return dup, reason, score
 
 
 def confirm_block(
     A: dict[str, np.ndarray], B: dict[str, np.ndarray], cfg: DedupConfig
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Cross-verify all pairs of two payload blocks.
+    """Cross-verify all pairs of two payload blocks (oracle path).
 
-    Returns (dup bool (nA,nB), reason int8, score float32).
+    Thin wrapper over ``confirm_pairs_1d`` on the cross-product index —
+    a single predicate implementation for pipeline and oracle.
     """
-    m, s = cfg.match, cfg.signature
     nA, nB = len(A["dur_ms"]), len(B["dur_ms"])
+    if nA == 0 or nB == 0:
+        z = np.zeros((nA, nB))
+        return z.astype(bool), z.astype(np.int8), z.astype(np.float32)
+    P: dict[str, np.ndarray] = {
+        k: np.concatenate([A[k], B[k]]) for k in A
+    }
+    ii = np.repeat(np.arange(nA), nB)
+    jj = nA + np.tile(np.arange(nB), nA)
+    dup, reason, score = confirm_pairs_1d(P, ii, jj, cfg)
+    return dup.reshape(nA, nB), reason.reshape(nA, nB), score.reshape(nA, nB)
 
-    same_class = A["codec_class"][:, None] == B["codec_class"][None, :]
 
-    dur_ok = (
-        np.ones((nA, nB), dtype=bool)
-        if m.ignore_duration
-        else np.abs(A["dur_ms"][:, None] - B["dur_ms"][None, :]) <= m.dur_delta_ms
-    )
+# --------------------------------------------------------------------------
+# partitioned multi-group verification (the pipeline hot path)
+# --------------------------------------------------------------------------
 
-    exact = A["content_hash"][:, None] == B["content_hash"][None, :]
-    pcm = A["pcm_hash"][:, None] == B["pcm_hash"][None, :]
+def _segment_pair_indices(
+    seg_starts: np.ndarray, seg_sizes: np.ndarray, star_over: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """In-group (i, j) global row indices for every segment.
 
-    # MinHash Jaccard estimate
-    jac = (A["minhash"][:, None, :] == B["minhash"][None, :, :]).mean(axis=2)
-
-    # SimHash Hamming
-    x = A["simhash"][:, None] ^ B["simhash"][None, :]
-    sh_ham = np.unpackbits(x.view(np.uint8).reshape(nA, nB, 8), axis=2).sum(
-        axis=2, dtype=np.int32
-    )
-
-    # fingerprint Hamming via matmul
-    sa = A["fp_bits"].sum(axis=1)
-    sb = B["fp_bits"].sum(axis=1)
-    fp_ham = sa[:, None] + sb[None, :] - 2 * (A["fp_bits"] @ B["fp_bits"].T)
-
-    transcript_ok = (
-        np.ones((nA, nB), dtype=bool)
-        if m.ignore_transcript
-        else (jac >= s.jaccard_threshold) | (sh_ham <= s.simhash_hamming)
-    )
-    # fractional threshold over the pair's common active frames
-    # (audio/fingerprint.py docstring: zero tails contribute ~nothing)
-    common_bits = 16 * np.minimum(A["n_frames"][:, None], B["n_frames"][None, :])
-    audio_ok = fp_ham <= m.fp_hamming_frac * np.maximum(common_bits, 1)
-
-    # containment estimate from Jaccard + set sizes:
-    # |A∩B|/min ≈ J*(|A|+|B|) / ((1+J)*min)
-    na = A["n_shingles"][:, None].astype(np.float64)
-    nb = B["n_shingles"][None, :].astype(np.float64)
-    mn = np.minimum(na, nb)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        containment = np.where(mn > 0, jac * (na + nb) / ((1.0 + jac) * mn), 0.0)
-    # require a real size asymmetry and enough shingles to trust the estimate
-    contain_ok = (
-        (containment >= s.containment_threshold)
-        & (mn >= s.winnow_window)
-        & (jac < s.jaccard_threshold)          # plain near-dup handled above
-    )
-
-    dup = same_class & (
-        exact
-        | (pcm & dur_ok)
-        | (transcript_ok & audio_ok & dur_ok)
-        | contain_ok
-    )
-
-    reason = np.full((nA, nB), -1, dtype=np.int8)
-    score = np.zeros((nA, nB), dtype=np.float32)
-    near = transcript_ok & audio_ok & dur_ok
-    reason[same_class & contain_ok] = _R_CONTAIN
-    score[same_class & contain_ok] = containment[same_class & contain_ok]
-    sim_m = same_class & near & (sh_ham <= s.simhash_hamming)
-    reason[sim_m] = _R_SIMHASH
-    score[sim_m] = (64 - sh_ham[sim_m]) / 64.0
-    jac_m = same_class & near & (jac >= s.jaccard_threshold)
-    reason[jac_m] = _R_JACCARD
-    score[jac_m] = jac[jac_m]
-    pcm_m = same_class & pcm & dur_ok
-    reason[pcm_m] = _R_PCM
-    score[pcm_m] = 1.0
-    ex_m = same_class & exact
-    reason[ex_m] = _R_EXACT
-    score[ex_m] = 1.0
-    return dup, reason, score
+    Segments up to ``star_over`` rows get all C(n,2) pairs; larger ones get
+    star pairs to their first 3 members (union-find only needs
+    connectivity; oversized groups are near-identical by construction —
+    see stages/candidates.py salting).
+    """
+    ii_parts: list[np.ndarray] = []
+    jj_parts: list[np.ndarray] = []
+    tri_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for start, size in zip(seg_starts.tolist(), seg_sizes.tolist()):
+        if size < 2:
+            continue
+        if size <= star_over:
+            tri = tri_cache.get(size)
+            if tri is None:
+                tri = np.triu_indices(size, k=1)
+                tri_cache[size] = tri
+            ii_parts.append(start + tri[0])
+            jj_parts.append(start + tri[1])
+        else:
+            nrep = 3
+            reps = np.arange(nrep)
+            rest = np.arange(size)
+            ii = start + np.repeat(reps, size)
+            jj = start + np.tile(rest, nrep)
+            keep = ii != jj
+            ii_parts.append(ii[keep])
+            jj_parts.append(jj[keep])
+    if not ii_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(ii_parts), np.concatenate(jj_parts)
 
 
 def _pairs_table(
@@ -176,100 +233,94 @@ def _pairs_table(
     )
 
 
-def verify_group_table(
-    group: pa.Table, cfg: DedupConfig, star_over: int | None = None
-) -> pa.Table:
-    """Verify one candidate group (already co-located by the shuffle).
+def verify_partition_table(
+    part: pa.Table, cfg: DedupConfig, key_col: str = "band_key"
+) -> tuple[pa.Table, np.ndarray, pa.Table]:
+    """Verify ALL band groups inside one hash partition.
 
-    Group rows are sorted by clip_id (determinism); duplicate clip_id rows
-    (a clip reaching the same group via two key types) are dropped first.
-    ``star_over``: if set and the group exceeds it, verify members only
-    against the first ``min(3, n)`` representatives instead of all pairs —
-    the oversized-group guard (union-find only needs connectivity).
+    Returns (pairs table, rep row indices, the sorted/deduped partition) —
+    rep rows (one per salted subgroup) feed the second-round groupby.
     """
-    ids_all = np.asarray(group["clip_id"].to_pylist(), dtype=object)
-    order = np.argsort(ids_all, kind="stable")
-    _, first = np.unique(ids_all[order], return_index=True)
-    sel = order[first]
-    if len(sel) < 2:
-        return PAIRS_EMPTY
-    g = group.take(pa.array(np.sort(sel)))
-    # re-sort by clip_id after take
-    g = g.take(pa.array(np.argsort(np.asarray(g["clip_id"].to_pylist(), dtype=object))))
-    P = payload_from_table(g, cfg.signature.num_perm)
-    ids = P["clip_id"]
-    n = len(ids)
+    n = len(part)
+    empty_idx = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return PAIRS_EMPTY, empty_idx, part
+    keys = part[key_col].to_numpy(zero_copy_only=False)
+    ids = np.asarray(part["clip_id"].to_pylist(), dtype=object)
+    order = np.lexsort((ids, keys))
+    part = part.take(pa.array(order))
+    keys = keys[order]
+    ids = ids[order]
 
-    if star_over is not None and n > star_over:
-        nrep = min(3, n)
-        A = {k: v[:nrep] for k, v in P.items()}
-        dup, reason, score = confirm_block(A, P, cfg)
-        ii, jj = np.nonzero(dup)
-        keep = ii != jj
-        ii, jj = ii[keep], jj[keep]
-        return _pairs_table(ids, ii, jj, reason[dup][keep], score[dup][keep])
+    # drop duplicate (key, clip) rows (a clip reaching one group twice)
+    dup_row = np.zeros(n, dtype=bool)
+    dup_row[1:] = (keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1])
+    if dup_row.any():
+        keep = np.nonzero(~dup_row)[0]
+        part = part.take(pa.array(keep))
+        keys = keys[keep]
+        ids = ids[keep]
+        n = len(keys)
 
-    dup, reason, score = confirm_block(P, P, cfg)
-    iu = np.triu_indices(n, k=1)
-    mask = dup[iu]
-    ii, jj = iu[0][mask], iu[1][mask]
-    return _pairs_table(ids, ii, jj, reason[iu][mask], score[iu][mask])
+    seg_starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+    seg_sizes = np.diff(np.concatenate([seg_starts, [n]]))
 
-
-def make_group_verifier(cfg: DedupConfig):
-    """map_groups(batch_format='pyarrow') callable for the band shuffle.
-
-    Output rows are either verified pairs (row_type='pair') or, for salted
-    hot-key subgroups, one representative payload row (row_type='rep') that
-    feeds the second-round groupby on ``orig_key`` (stages/candidates.py).
-    """
     cap = cfg.execution.hot_band_cap
+    ii, jj = _segment_pair_indices(seg_starts, seg_sizes, star_over=cap * 2)
+
+    P = payload_from_table(part, cfg.signature.num_perm)
+    dup, reason, score = confirm_pairs_1d(P, ii, jj, cfg)
+    pairs = _pairs_table(ids, ii[dup], jj[dup], reason[dup], score[dup])
+
+    # rep rows: first member of every SALTED segment
+    if "salted" in part.column_names:
+        salted = part["salted"].to_numpy(zero_copy_only=False)
+        rep_idx = seg_starts[salted[seg_starts].astype(bool)]
+    else:
+        rep_idx = empty_idx
+    return pairs, rep_idx, part
+
+
+def make_partition_verifier(cfg: DedupConfig):
+    """map_groups(batch_format='pyarrow') over rows grouped by ``part``.
+
+    Output = verified pairs (row_type='pair') + rep payload rows
+    (row_type='rep') for the hot-key representative round.
+    """
 
     def _verify(group: pa.Table) -> pa.Table:
-        pairs = verify_group_table(group, cfg, star_over=cap * 2)
-        out = {
-            "row_type": ["pair"] * len(pairs),
-            "a": pairs["a"].to_pylist(),
-            "b": pairs["b"].to_pylist(),
-            "reason": pairs["reason"].to_pylist(),
-            "score": pairs["score"].to_pylist(),
-        }
-        rep_cols: dict[str, list] = {c: [] for c in group.column_names}
-        if len(group) and group["salted"][0].as_py():
-            # representative = min clip_id (deterministic)
-            ids = np.asarray(group["clip_id"].to_pylist(), dtype=object)
-            r = int(np.argmin(ids))
-            for c in group.column_names:
-                rep_cols[c].append(group[c][r].as_py())
-            out["row_type"].append("rep")
-            out["a"].append(None)
-            out["b"].append(None)
-            out["reason"].append(None)
-            out["score"].append(None)
-        n_out = len(out["row_type"])
-        for c in group.column_names:
-            if c in ("a", "b"):
-                continue
-            vals = rep_cols[c]
-            pad = [None] * (n_out - len(vals))
-            out[c] = pad + vals if len(vals) else [None] * n_out
-        schema_cols = {}
-        for name, values in out.items():
-            if name in group.column_names:
-                schema_cols[name] = pa.array(values, type=group.schema.field(name).type)
-            elif name == "score":
-                schema_cols[name] = pa.array(values, type=pa.float32())
-            else:
-                schema_cols[name] = pa.array(values, type=pa.string())
-        return pa.table(schema_cols)
+        pairs, rep_idx, sorted_part = verify_partition_table(group, cfg)
+        n_pairs = len(pairs)
+        n_reps = len(rep_idx)
+        cols: dict[str, pa.Array] = {}
+        cols["row_type"] = pa.array(
+            ["pair"] * n_pairs + ["rep"] * n_reps, type=pa.string()
+        )
+        for name in ("a", "b", "reason"):
+            cols[name] = pa.concat_arrays(
+                [pairs[name].combine_chunks(), pa.nulls(n_reps, pa.string())]
+            )
+        cols["score"] = pa.concat_arrays(
+            [pairs["score"].combine_chunks(), pa.nulls(n_reps, pa.float32())]
+        )
+        reps = (
+            sorted_part.take(pa.array(rep_idx)) if n_reps else sorted_part.slice(0, 0)
+        )
+        for name in sorted_part.column_names:
+            typ = sorted_part.schema.field(name).type
+            rep_col = reps[name].combine_chunks() if n_reps else pa.nulls(0, typ)
+            cols[name] = pa.concat_arrays([pa.nulls(n_pairs, typ), rep_col])
+        return pa.table(cols)
 
     return _verify
 
 
 def make_rep_verifier(cfg: DedupConfig):
-    """Second-round map_groups over representative rows grouped by orig_key."""
+    """Second round: rep rows grouped by a hash partition of ``orig_key`` —
+    same multi-group kernel keyed on orig_key."""
 
     def _verify(group: pa.Table) -> pa.Table:
-        return verify_group_table(group, cfg, star_over=cfg.execution.hot_band_cap)
+        pairs, _, _ = verify_partition_table(group, cfg, key_col="orig_key")
+        return pairs
 
     return _verify
