@@ -44,11 +44,12 @@ _TAG_CONTENT = np.uint64(0xB5)
 
 #: payload columns carried through the shuffle (everything verify needs, so
 #: no join back to the signature table is required — one shuffle, not two).
+#: codec_class and n_bytes are deliberately NOT carried: keys already mix
+#: the class hash (a group can never mix modalities) and the kernel never
+#: reads n_bytes — every byte here is multiplied by ~26 keys/clip.
 PAYLOAD_COLUMNS = [
     "clip_id",
-    "codec_class",
     "dur_ms",
-    "n_bytes",
     "content_hash",
     "pcm_hash",
     "simhash",
@@ -58,9 +59,23 @@ PAYLOAD_COLUMNS = [
     "n_shingles",
 ]
 
+#: key-rank layout for first-collision pair dedup (stages/verify.py):
+#: a confirmed pair is emitted ONLY from its lowest-rank colliding key,
+#: so the same duplicate isn't shipped once per band it collides in.
+RANK_BAND0 = 0              # bands occupy ranks [0, lsh_bands)
+def rank_block0(cfg):       # blocks follow the bands
+    return cfg.signature.lsh_bands
+def rank_pcm(cfg):
+    return cfg.signature.lsh_bands + cfg.signature.simhash_hamming + 1
+def rank_content(cfg):
+    return rank_pcm(cfg) + 1
+def rank_winnow(cfg):
+    return rank_content(cfg) + 1
 
-def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig):
-    """Per-clip candidate keys → (flat_keys uint64, clip_row_idx int64)."""
+
+def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig, with_rank: bool = False):
+    """Per-clip candidate keys → (flat_keys uint64, clip_row_idx int64[,
+    key_rank uint8])."""
     n = len(batch)
     class_h = hash_strings_u64(batch["codec_class"].to_pylist(), seed=0xC1A5)
     sig = np.frombuffer(
@@ -73,15 +88,20 @@ def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig):
 
     parts_keys: list[np.ndarray] = []
     parts_idx: list[np.ndarray] = []
+    parts_rank: list[np.ndarray] = []
 
     def _mix_tag(vals: np.ndarray, tag: np.uint64, ch: np.ndarray) -> np.ndarray:
         return combine64(combine64(np.broadcast_to(tag, vals.shape).copy(), ch), vals)
 
-    for mat, tag in [(bands, _TAG_BAND), (blocks, _TAG_BLOCK)]:
+    for mat, tag, rank0 in [(bands, _TAG_BAND, 0),
+                            (blocks, _TAG_BLOCK, rank_block0(cfg))]:
         k = mat.shape[1]
         keys = _mix_tag(mat, tag, class_h[:, None])
         parts_keys.append(keys.reshape(-1))
         parts_idx.append(np.repeat(np.arange(n, dtype=np.int64), k))
+        parts_rank.append(
+            np.tile(np.arange(rank0, rank0 + k, dtype=np.uint8), n)
+        )
 
     # winnowing keys (variable count per clip) — only docs with enough
     # shingles to make containment meaningful
@@ -94,14 +114,21 @@ def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig):
     if len(wvals):
         parts_keys.append(_mix_tag(wvals, _TAG_WINNOW, class_h[wdoc]))
         parts_idx.append(wdoc)
+        parts_rank.append(np.full(len(wvals), rank_winnow(cfg), dtype=np.uint8))
 
     # exact-content keys
-    for col, tag in [("pcm_hash", _TAG_PCM), ("content_hash", _TAG_CONTENT)]:
+    for col, tag, rank in [("pcm_hash", _TAG_PCM, rank_pcm(cfg)),
+                           ("content_hash", _TAG_CONTENT, rank_content(cfg))]:
         vals = batch[col].to_numpy(zero_copy_only=False).view(np.uint64)
         parts_keys.append(_mix_tag(vals, tag, class_h))
         parts_idx.append(np.arange(n, dtype=np.int64))
+        parts_rank.append(np.full(n, rank, dtype=np.uint8))
 
-    return np.concatenate(parts_keys), np.concatenate(parts_idx)
+    keys = np.concatenate(parts_keys)
+    idx = np.concatenate(parts_idx)
+    if with_rank:
+        return keys, idx, np.concatenate(parts_rank)
+    return keys, idx
 
 
 def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None):
@@ -113,14 +140,14 @@ def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None):
     """
 
     def _explode(batch: pa.Table) -> pa.Table:
-        keys, idx = _clip_key_matrix(batch, cfg)
+        keys, idx, rank = _clip_key_matrix(batch, cfg, with_rank=True)
         # quarantine poison rows: no candidate keys (≙ skip on decode failure,
         # reference deduplidog.py:447-448)
         if "decode_error" in batch.column_names:
             err = batch["decode_error"].to_numpy(zero_copy_only=False)
             bad = np.array([e is not None for e in err], dtype=bool)
             keep = ~bad[idx]
-            keys, idx = keys[keep], idx[keep]
+            keys, idx, rank = keys[keep], idx[keep], rank[keep]
 
         orig_keys = keys
         salted = np.zeros(len(keys), dtype=bool)
@@ -142,6 +169,7 @@ def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None):
         out = out.append_column("band_key", pa.array(keys.view(np.int64)))
         out = out.append_column("orig_key", pa.array(orig_keys.view(np.int64)))
         out = out.append_column("salted", pa.array(salted))
+        out = out.append_column("key_rank", pa.array(rank, type=pa.uint8()))
         # hash partition id — the groupby key (P partitions, NOT one group
         # per band key: see stages/verify.py "EXECUTION SHAPE")
         part = (keys % np.uint64(cfg.execution.verify_partitions)).astype(np.int64)

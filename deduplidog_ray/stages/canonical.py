@@ -7,10 +7,9 @@ canonical member = max by
 
     (is_original,            ≙ work_dir vs original_dir roles (:185-190)
      n_bytes,                ≙ treat_bigger_as_original (:533-535)
-     -dur_ms,                deterministic tiebreak (no mtime in the schema;
+     clip_id ascending)      deterministic tiebreak (no mtime in the schema;
                              the "older is genuine" heuristic (:554-559) maps
                              to source-side policy here)
-     clip_id ascending)      final deterministic tiebreak
 
 Policy flags:
   skip_bigger      (:539-541): duplicates bigger than the canonical get
@@ -19,6 +18,10 @@ Policy flags:
   neglect_warning  (:565-566): apply the action even when warned.
   invert_selection (:128-129, :513-516): output only the NON-duplicates
                    (anti-join semantics) — applied by the pipeline.
+
+EXECUTION SHAPE: one UDF call per HASH PARTITION of cluster_id, never one
+per cluster (same rationale as stages/verify.py) — inside a partition the
+whole canonicalization is vectorized pandas (sort + duplicated + transform).
 """
 
 from __future__ import annotations
@@ -28,69 +31,66 @@ import pandas as pd
 
 from deduplidog_ray.config import CanonicalPolicy
 
+_EMPTY = pd.DataFrame(
+    {
+        "clip_id": pd.Series(dtype="object"),
+        "cluster_id": pd.Series(dtype="object"),
+        "is_canonical": pd.Series(dtype="bool"),
+        "action": pd.Series(dtype="object"),
+        "reasons": pd.Series(dtype="object"),
+    }
+)
 
-def make_canonicalizer(policy: CanonicalPolicy, reasons_by_clip: dict[str, list[str]] | None = None):
-    """map_groups(batch_format='pandas') fn over rows grouped by cluster_id.
 
-    Input groups carry: clip_id, cluster_id, n_bytes, dur_ms, and optionally
-    ``role`` ('original'|'work'). Output = RESULT_SCHEMA columns.
+def make_canonicalizer(
+    policy: CanonicalPolicy, reasons_by_clip: dict[str, list[str]] | None = None
+):
+    """map_groups(batch_format='pandas') fn over rows grouped by the hash
+    PARTITION of cluster_id (``_cpart``). Vectorized across all clusters
+    in the partition. Input needs: clip_id, cluster_id, n_bytes
+    (+ optional ``role``); output = RESULT_SCHEMA columns.
     """
     reasons_by_clip = reasons_by_clip or {}
 
     def _canon(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
-            # typed empty frame: an untyped one infers float64 columns and
-            # trips Ray's schema-consistency check on union
-            return pd.DataFrame(
-                {
-                    "clip_id": pd.Series(dtype="object"),
-                    "cluster_id": pd.Series(dtype="object"),
-                    "is_canonical": pd.Series(dtype="bool"),
-                    "action": pd.Series(dtype="object"),
-                    "reasons": pd.Series(dtype="object"),
-                }
-            )
-        is_orig = (
-            (g["role"] == "original").to_numpy()
-            if "role" in g.columns
-            else np.zeros(len(g), dtype=bool)
+            return _EMPTY.copy()
+        df = g.copy()
+        df["_orig"] = (
+            (df["role"] == "original") if "role" in df.columns else False
         )
-        size = g["n_bytes"].to_numpy() if policy.treat_bigger_as_original else np.zeros(len(g))
-        # lexicographic max by (is_original, size, clip_id ascending)
-        order = sorted(
-            range(len(g)),
-            key=lambda i: (not is_orig[i], -size[i], g["clip_id"].iat[i]),
+        size_key = df["n_bytes"] if policy.treat_bigger_as_original else 0
+        df["_size_key"] = size_key
+        df = df.sort_values(
+            ["cluster_id", "_orig", "_size_key", "clip_id"],
+            ascending=[True, False, False, True],
+            kind="stable",
         )
-        canon_i = order[0]
-        canon_size = g["n_bytes"].iat[canon_i]
-        canon_id = g["clip_id"].iat[canon_i]
+        is_canon = ~df.duplicated("cluster_id", keep="first")
+        canon_size = df.groupby("cluster_id", sort=False)["n_bytes"].transform(
+            "first"
+        )
+        bigger = (df["n_bytes"] > canon_size) & ~is_canon
 
-        actions, reasons, is_canon = [], [], []
-        for i in range(len(g)):
-            cid = g["clip_id"].iat[i]
-            r = list(reasons_by_clip.get(cid, []))
-            if i == canon_i:
-                actions.append("keep")
-                is_canon.append(True)
-            else:
-                is_canon.append(False)
-                warned = False
-                if g["n_bytes"].iat[i] > canon_size:
-                    r.append(f"SIZE WARNING {int(g['n_bytes'].iat[i] - canon_size)} B")
-                    warned = True
-                if warned and policy.skip_bigger:
-                    actions.append("keep")
-                elif warned and not policy.neglect_warning:
-                    actions.append("skip")       # warned ⇒ no action (:565-566)
-                else:
-                    actions.append(policy.action)
-            reasons.append(r)
+        action = np.full(len(df), policy.action, dtype=object)
+        if policy.skip_bigger:
+            action[bigger.to_numpy()] = "keep"
+        elif not policy.neglect_warning:
+            action[bigger.to_numpy()] = "skip"   # warned ⇒ no action (:565-566)
+        action[is_canon.to_numpy()] = "keep"
+
+        base_reasons = df["clip_id"].map(lambda c: list(reasons_by_clip.get(c, [])))
+        delta = (df["n_bytes"] - canon_size).to_numpy()
+        reasons = [
+            (r + [f"SIZE WARNING {int(d)} B"]) if big else r
+            for r, big, d in zip(base_reasons, bigger.to_numpy(), delta)
+        ]
         return pd.DataFrame(
             {
-                "clip_id": g["clip_id"].to_numpy(),
-                "cluster_id": canon_id,
-                "is_canonical": is_canon,
-                "action": actions,
+                "clip_id": df["clip_id"].to_numpy(),
+                "cluster_id": df["cluster_id"].to_numpy(),
+                "is_canonical": is_canon.to_numpy(),
+                "action": action,
                 "reasons": reasons,
             }
         )

@@ -69,11 +69,17 @@ def payload_from_table(t: pa.Table, num_perm: int) -> dict[str, np.ndarray]:
     n = len(t)
     mh = t["minhash"].to_pylist()
     fp = t["fp"].to_pylist()
+    names = t.column_names
     return {
         "clip_id": np.asarray(t["clip_id"].to_pylist(), dtype=object),
-        "codec_class": np.asarray(t["codec_class"].to_pylist(), dtype=object),
+        # band rows don't carry codec_class (keys mix the class hash, so a
+        # group can never mix modalities); the oracle path does carry it
+        "codec_class": (
+            np.asarray(t["codec_class"].to_pylist(), dtype=object)
+            if "codec_class" in names
+            else np.zeros(n, dtype=np.int8)
+        ),
         "dur_ms": t["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64),
-        "n_bytes": t["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64),
         "content_hash": t["content_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
         "pcm_hash": t["pcm_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
         "simhash": t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64),
@@ -214,6 +220,46 @@ def _segment_pair_indices(
     return np.concatenate(ii_parts), np.concatenate(jj_parts)
 
 
+def _first_collision_rank(
+    P: dict[str, np.ndarray], ii: np.ndarray, jj: np.ndarray, cfg: DedupConfig
+) -> np.ndarray:
+    """Per pair: the lowest key rank at which the two clips collide.
+
+    Rank layout (stages/candidates.py): bands [0,b) → simhash blocks
+    [b, b+k+1) → pcm → content → winnow (the fallback when nothing else
+    collides — only winnow keys can have produced the candidate then).
+    """
+    s = cfg.signature
+    M = len(ii)
+    b, r = s.lsh_bands, s.lsh_rows
+    eq = P["minhash"][ii] == P["minhash"][jj]                  # (M, num_perm)
+    band_eq = eq.reshape(M, b, r).all(axis=2)                  # (M, b)
+    first = np.where(band_eq.any(axis=1), band_eq.argmax(axis=1), 255).astype(np.int16)
+
+    nblocks = s.simhash_hamming + 1
+    x = P["simhash"][ii] ^ P["simhash"][jj]
+    edges = np.linspace(0, 64, nblocks + 1).astype(int)
+    for t in range(nblocks):
+        lo, hi = edges[t], edges[t + 1]
+        mask = ((np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)) << np.uint64(lo)
+        blk_eq = (x & mask) == 0
+        first = np.minimum(first, np.where(blk_eq, b + t, 255).astype(np.int16))
+
+    rank_pcm = b + nblocks
+    first = np.minimum(
+        first,
+        np.where(P["pcm_hash"][ii] == P["pcm_hash"][jj], rank_pcm, 255).astype(np.int16),
+    )
+    first = np.minimum(
+        first,
+        np.where(
+            P["content_hash"][ii] == P["content_hash"][jj], rank_pcm + 1, 255
+        ).astype(np.int16),
+    )
+    rank_winnow = rank_pcm + 2
+    return np.where(first == 255, rank_winnow, first).astype(np.int16)
+
+
 def _pairs_table(
     ids: np.ndarray, ii: np.ndarray, jj: np.ndarray,
     reason: np.ndarray, score: np.ndarray,
@@ -270,6 +316,25 @@ def verify_partition_table(
 
     P = payload_from_table(part, cfg.signature.num_perm)
     dup, reason, score = confirm_pairs_1d(P, ii, jj, cfg)
+
+    # first-collision dedup: a confirmed pair collides in up to ~26 keys
+    # (every band, every block, content...) — emit it ONLY from its
+    # lowest-rank colliding key so the pair stream isn't amplified ~20x.
+    # Salted segments are exempt (their subgroup split differs per key, so
+    # no other rank is guaranteed to co-locate the pair).
+    if dup.any() and "key_rank" in part.column_names:
+        rank_col = part["key_rank"].to_numpy(zero_copy_only=False)
+        salted_col = (
+            part["salted"].to_numpy(zero_copy_only=False)
+            if "salted" in part.column_names
+            else np.zeros(len(part), dtype=bool)
+        )
+        ic, jc = ii[dup], jj[dup]
+        first = _first_collision_rank(P, ic, jc, cfg)
+        emit = (first == rank_col[ic]) | salted_col[ic].astype(bool)
+        sel = np.zeros(len(ii), dtype=bool)
+        sel[np.nonzero(dup)[0][emit]] = True
+        dup = sel
     pairs = _pairs_table(ids, ii[dup], jj[dup], reason[dup], score[dup])
 
     # rep rows: first member of every SALTED segment
