@@ -205,6 +205,34 @@ def q_events_asof(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min ⇒ new session) over the events log —
+    the stream-shaped workload pattern (ordered, keyed log + per-key
+    windowing; SURVEY.md §2.10)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return sessionize(ds, gap_seconds=1800.0)
+
+
+def q_sliding_windows(sf_dir: str):
+    """Sliding 1h windows advancing 30 min: per-user event counts."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.windows import sliding_window_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return sliding_window_counts(
+        ds, window_seconds=3600.0, slide_seconds=1800.0
+    )
+
+
 def q_pricing_summary(sf_dir: str):
     """Classic grouped aggregation (counters family G1) over lineitem."""
     import pyarrow as pa
@@ -338,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_filter": q_lang_filter,
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
+        "sessionize": q_sessionize,
+        "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
@@ -403,6 +433,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN events e2
               ON e2.user_id = e1.user_id AND e2.ts < e1.ts
             GROUP BY e1.event_id
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "sliding_windows": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 1800) AS BIGINT) AS b
+                FROM events
+            )
+            SELECT user_id, (b - i) * 1800 AS window_start,
+                   count(*) AS n_events
+            FROM ev, range(0, 2) t(i)
+            GROUP BY user_id, window_start
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -14,10 +14,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
 def main(argv: list[str] | None = None) -> int:
+    # keep polars' rayon pool at 1 thread in every Ray worker (children
+    # inherit the env); Ray owns the parallelism
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     p = argparse.ArgumentParser(
         prog="deduplidog_ray",
         description="Ray-Data-native near-duplicate detection + clustering",

@@ -127,7 +127,9 @@ class ExecutionConfig:
 
     batch_size: int = 4096                 # rows per map_batches call
     decode_batch_size: int = 256           # decoded PCM is ~100x bytes; keep small
-    decode_concurrency: int = 8            # actor pool size for the decode stage
+    decode_concurrency: int = 256          # UPPER BOUND on the decode actor
+                                           # pool; the pipeline sizes the pool
+                                           # to the cluster's CPUs at runtime
     hot_band_cap: int = 64                 # groups larger than this use star pairs
     verify_partitions: int = 64            # hash partitions for the band shuffle
                                            # (P ≈ 2-4× cluster cores; at scale,
@@ -152,5 +154,8 @@ class DedupConfig:
         """
         d = asdict(self)
         d.pop("execution", None)
+        # engine format version: bumped when checkpoint column encodings
+        # change (e.g. minhash width), invalidating old checkpoints
+        d["_engine_format"] = 2
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.blake2b(blob, digest_size=8).hexdigest()

@@ -71,11 +71,12 @@ class NearDupPipeline:
     def signatures(self, clips: ray.data.Dataset) -> ray.data.Dataset:
         """decode → normalize → signature columns; drops ``bytes``."""
         ex = self.cfg.execution
-        # fixed-size pool sized to the cluster: an autoscaling (1, N) pool
-        # ramps up too slowly for short jobs, and a fixed pool larger than
-        # the cluster's CPUs would wait forever for actors
-        avail = int(ray.cluster_resources().get("CPU", ex.decode_concurrency))
-        pool = max(1, min(ex.decode_concurrency, avail - 1))
+        # fixed-size pool sized to ~60% of the cluster: an autoscaling
+        # (1, N) pool ramps too slowly for short jobs; a pool taking every
+        # CPU starves the read and signature stages and serializes the
+        # pipeline (decode is ~60% of this stage's core-seconds)
+        avail = int(ray.cluster_resources().get("CPU", 8))
+        pool = max(1, min(ex.decode_concurrency, int(avail * 0.6)))
         ds = clips.map_batches(
             DecodeFingerprint,
             batch_format="pyarrow",
@@ -136,16 +137,29 @@ class NearDupPipeline:
         the two passes don't recompute decode+signatures twice.
         """
         cfg, ex = self.cfg, self.cfg.execution
-        hot = find_hot_keys(sig_ds, cfg)                      # pass 1
+        hot, active = find_hot_keys(sig_ds, cfg)              # pass 1
         self.metrics["hot_keys"] = len(hot)
+        self.metrics["active_keys"] = len(active)
         if self.ckpt:
             self.ckpt.write_skew_metrics(hot, ex.hot_band_cap)
         hot_ref = ray.put(hot) if hot else None
+        active_ref = ray.put(active)
 
+        # the downstream sort's parallelism follows the exploded block
+        # count: target ~2 blocks per core (too few caps SortMap/Reduce
+        # width; too many drowns the exchange in tiny-object overhead)
+        avail = int(ray.cluster_resources().get("CPU", 8))
+        try:
+            n_rows = sig_ds.count()          # metadata-cheap when materialized
+        except Exception:
+            n_rows = 0
+        explode_batch = (
+            max(512, n_rows // (2 * avail)) if n_rows else ex.batch_size
+        )
         exploded = sig_ds.map_batches(                        # pass 2
-            make_explode_stage(cfg, hot_ref),
+            make_explode_stage(cfg, hot_ref, active_ref),
             batch_format="pyarrow",
-            batch_size=ex.batch_size,
+            batch_size=explode_batch,
             zero_copy_batch=True,
         )
         # groupby the HASH PARTITION id (P groups → P vectorized UDF calls),
@@ -153,6 +167,11 @@ class NearDupPipeline:
         mixed = exploded.groupby("part").map_groups(
             make_partition_verifier(cfg), batch_format="pyarrow"
         )
+        if hot:
+            # two consumers (pairs + reps) would re-execute the whole
+            # explode+shuffle+verify chain; the mixed output is tiny
+            # (pairs + one rep row per salted subgroup) — pin it
+            mixed = mixed.materialize()
         pair_cols = ["a", "b", "reason", "score"]
 
         def _only_pairs(t: pa.Table) -> pa.Table:
@@ -216,11 +235,18 @@ class NearDupPipeline:
     ) -> ray.data.Dataset:
         """Attach cluster ids; canonicalize clustered rows; pass singletons.
 
-        Only clustered rows enter the groupby(cluster_id) shuffle — and only
-        their 5 small policy columns. Singletons and poison rows map straight
-        through (no shuffle at all).
+        Two physical plans with identical semantics:
+        - clustered-row count <= ~2M (always true in the sandbox; true at
+          scale when the duplicate fraction is modest): canonicalization
+          runs ON THE DRIVER over the collected policy columns (a few MB)
+          and the results are ONE broadcast map_batches — no shuffle, no
+          union, no extra barriers.
+        - beyond that: only clustered rows (5 small policy columns) enter a
+          groupby(hash(cluster_id)) shuffle; singletons never shuffle.
         """
         cfg = self.cfg
+        if 0 < len(clusters) <= 2_000_000:
+            return self._results_driver_path(sig_ds, clusters, reasons)
         clusters_ref = ray.put(clusters)
 
         def _split(t: pa.Table, want_clustered: bool) -> pa.Table:
@@ -310,6 +336,83 @@ class NearDupPipeline:
             )
         return out
 
+    def _results_driver_path(
+        self,
+        sig_ds: ray.data.Dataset,
+        clusters: dict[str, str],
+        reasons: dict[str, list[str]],
+    ) -> ray.data.Dataset:
+        """Small-cluster-set fast path: canonicalize on the driver, emit
+        results in one broadcast map pass (see ``results`` docstring)."""
+        import pandas as pd
+
+        cfg = self.cfg
+        clusters_ref = ray.put(set(clusters))
+
+        def _collect_policy(t: pa.Table) -> pa.Table:
+            cl = ray.get(clusters_ref)
+            ids = t["clip_id"].to_pylist()
+            sel = np.nonzero(np.array([i in cl for i in ids], dtype=bool))[0]
+            cols = ["clip_id", "n_bytes", "dur_ms"]
+            if "role" in t.column_names:
+                cols.append("role")
+            return t.select(cols).take(pa.array(sel))
+
+        policy = sig_ds.map_batches(
+            _collect_policy, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        policy["cluster_id"] = policy["clip_id"].map(clusters)
+        canon_df = make_canonicalizer(cfg.canonical, reasons)(policy)
+        result_map = {
+            r.clip_id: (r.cluster_id, r.is_canonical, r.action, r.reasons)
+            for r in canon_df.itertuples()
+        }
+        map_ref = ray.put(result_map)
+
+        def _emit(t: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            ids = t["clip_id"].to_pylist()
+            errs = t["decode_error"].to_pylist()
+            out = {"clip_id": [], "cluster_id": [], "is_canonical": [],
+                   "action": [], "reasons": []}
+            for cid, err in zip(ids, errs):
+                ent = m.get(cid)
+                if ent is not None:
+                    out["clip_id"].append(cid)
+                    out["cluster_id"].append(ent[0])
+                    out["is_canonical"].append(bool(ent[1]))
+                    out["action"].append(ent[2])
+                    out["reasons"].append(list(ent[3]))
+                else:
+                    out["clip_id"].append(cid)
+                    out["cluster_id"].append(cid)
+                    out["is_canonical"].append(True)
+                    out["action"].append(
+                        "quarantine" if err is not None else "keep"
+                    )
+                    out["reasons"].append(
+                        [f"decode_error: {err}"] if err is not None else []
+                    )
+            return pa.table(
+                {
+                    "clip_id": pa.array(out["clip_id"], type=pa.string()),
+                    "cluster_id": pa.array(out["cluster_id"], type=pa.string()),
+                    "is_canonical": pa.array(out["is_canonical"], type=pa.bool_()),
+                    "action": pa.array(out["action"], type=pa.string()),
+                    "reasons": pa.array(out["reasons"], type=pa.list_(pa.string())),
+                }
+            )
+
+        out = sig_ds.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
+        if cfg.canonical.invert_selection:
+            import pyarrow.compute as pc
+
+            out = out.map_batches(
+                lambda t: t.filter(pc.equal(t["action"], "keep")),
+                batch_format="pyarrow",
+            )
+        return out
+
     # ----------------------------------------------------------- end2end
     def _read_input(self, path: str) -> ray.data.Dataset:
         """Read the clips table with a sane block layout.
@@ -337,7 +440,13 @@ class NearDupPipeline:
                 clips = self._read_input(clips)
             # no checkpoint → pin the (bytes-free) signature table so the
             # two candidate passes don't recompute decode twice
+            t0 = time.monotonic()
             sig_ds = self.signatures(clips).materialize()
+            self.metrics["sec_signatures"] = round(time.monotonic() - t0, 2)
+        t1 = time.monotonic()
         pairs_ds = self.pairs(sig_ds)
+        self.metrics["sec_hot_pass"] = round(time.monotonic() - t1, 2)
+        t2 = time.monotonic()
         clusters, reasons = self.cluster(pairs_ds)
+        self.metrics["sec_verify_cluster"] = round(time.monotonic() - t2, 2)
         return self.results(sig_ds, clusters, reasons)

@@ -41,7 +41,7 @@ def make_text_signature_stage(cfg: SignatureConfig, text_col: str, id_col: str):
             {
                 id_col: t[id_col],
                 "minhash": pa.array(
-                    [sig[i].astype("<u4").tobytes() for i in range(len(t))],
+                    [sig[i].astype("<u2").tobytes() for i in range(len(t))],
                     type=pa.binary(),
                 ),
                 "simhash": pa.array(sh.view(np.int64)),
@@ -54,7 +54,7 @@ def make_text_signature_stage(cfg: SignatureConfig, text_col: str, id_col: str):
 def make_text_explode(cfg: SignatureConfig, id_col: str, partitions: int = 64):
     def _explode(t: pa.Table) -> pa.Table:
         n = len(t)
-        sig = np.frombuffer(b"".join(t["minhash"].to_pylist()), dtype="<u4").reshape(
+        sig = np.frombuffer(b"".join(t["minhash"].to_pylist()), dtype="<u2").reshape(
             n, cfg.num_perm
         )
         sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -124,7 +124,7 @@ def make_text_verifier(cfg: SignatureConfig, id_col: str, star_over: int = 256):
         if not ii_p:
             return empty
         ii = np.concatenate(ii_p); jj = np.concatenate(jj_p)
-        sig = np.frombuffer(b"".join(g["minhash"].to_pylist()), dtype="<u4").reshape(
+        sig = np.frombuffer(b"".join(g["minhash"].to_pylist()), dtype="<u2").reshape(
             n, cfg.num_perm
         )
         sh = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)

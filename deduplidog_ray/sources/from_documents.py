@@ -26,7 +26,7 @@ import ray.data
 from deduplidog_ray.audio.codecs import encode
 from deduplidog_ray.audio.synth import make_pcm
 
-_GEN_VERSION = "v2"
+_GEN_VERSION = "v3"
 _SRS = [8000, 16000, 22050]
 
 
@@ -63,11 +63,17 @@ def _synth_clips(batch: pa.Table, amplify: int = 1) -> pa.Table:
         base_toks = text.split()[:48]
         for salt in range(amplify):
             uid = did * amplify + salt
-            # token rotation per salt → distinct transcripts per clip family
-            toks = base_toks[salt % max(1, len(base_toks)):] + \
-                   base_toks[:salt % max(1, len(base_toks))]
-            if salt:
-                toks = [f"s{salt}"] + toks
+            if salt == 0:
+                toks = list(base_toks)
+            else:
+                # seeded shuffle per salt: same vocabulary, different token
+                # ORDER → k-gram shingle sets are ~disjoint, so amplified
+                # variants are NOT near-duplicates of each other (a rotation
+                # would keep every k-gram and make every family one giant
+                # near-identical cluster — unrealistically adversarial)
+                r = np.random.default_rng(uid)
+                toks = list(base_toks)
+                r.shuffle(toks)
             transcript = " ".join(toks)
             sr = _SRS[uid % len(_SRS)]
             dur = 600 + (uid * 37) % 1800

@@ -79,7 +79,7 @@ def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig, with_rank: bool = False)
     n = len(batch)
     class_h = hash_strings_u64(batch["codec_class"].to_pylist(), seed=0xC1A5)
     sig = np.frombuffer(
-        b"".join(batch["minhash"].to_pylist()), dtype="<u4"
+        b"".join(batch["minhash"].to_pylist()), dtype="<u2"
     ).reshape(n, cfg.signature.num_perm)
     simhash = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
 
@@ -131,16 +131,27 @@ def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig, with_rank: bool = False)
     return keys, idx
 
 
-def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None):
+def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None, active_ref=None):
     """map_batches fn: signature rows → exploded (band_key, payload) rows.
 
     ``hot_keys_ref``: optional ``ray.put`` ObjectRef of ``{orig_key: n_salts}``
     (pass 2). When set, hot keys are salted and ``orig_key``/``salted``
     columns record the pre-salt key for the representative round.
+    ``active_ref``: optional ``ray.put`` ObjectRef of the sorted int64
+    active-key array; rows whose key is not active are not emitted.
     """
 
     def _explode(batch: pa.Table) -> pa.Table:
         keys, idx, rank = _clip_key_matrix(batch, cfg, with_rank=True)
+        if active_ref is not None:
+            active = ray.get(active_ref)          # plasma-local, zero-copy
+            k64 = keys.view(np.int64)
+            pos = np.searchsorted(active, k64)
+            pos = np.minimum(pos, max(0, len(active) - 1))
+            is_active = (
+                active[pos] == k64 if len(active) else np.zeros(len(k64), bool)
+            )
+            keys, idx, rank = keys[is_active], idx[is_active], rank[is_active]
         # quarantine poison rows: no candidate keys (≙ skip on decode failure,
         # reference deduplidog.py:447-448)
         if "decode_error" in batch.column_names:
@@ -159,6 +170,20 @@ def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None):
                     [hot.get(int(k), 0) for k in keys.view(np.int64)], dtype=np.uint64
                 )
                 is_hot = nsalt > 0
+                # HOT WINNOW KEYS ARE DROPPED, not salted: a fingerprint
+                # shared by >cap clips is a globally-common n-gram window
+                # (boilerplate), worthless as containment evidence — the
+                # standard winnowing practice (MOSS ignores ubiquitous
+                # fingerprints). Contained clips share ~n_shingles/w
+                # fingerprints, so the rare ones still link them. Hot
+                # band/block/content keys (genuinely near-identical
+                # families) are salted as before.
+                drop = is_hot & (rank == rank_winnow(cfg))
+                if drop.any():
+                    keep_m = ~drop
+                    keys, idx, rank = keys[keep_m], idx[keep_m], rank[keep_m]
+                    orig_keys = orig_keys[keep_m]
+                    nsalt, is_hot = nsalt[keep_m], is_hot[keep_m]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     salt = np.where(is_hot, mix64(clip_h[idx]) % np.maximum(nsalt, 1), 0)
                 keys = np.where(is_hot, combine64(keys, salt + np.uint64(1)), keys)
@@ -204,14 +229,19 @@ def make_key_count_stage(cfg: DedupConfig):
     return _count
 
 
-def find_hot_keys(sig_ds, cfg: DedupConfig) -> dict[int, int]:
-    """Pass 1: return {key: n_salts} for keys whose member count exceeds
-    ``hot_band_cap``. Small result (hot keys only) → driver dict.
+def find_hot_keys(sig_ds, cfg: DedupConfig) -> tuple[dict[int, int], np.ndarray]:
+    """Pass 1: returns ({hot key: n_salts}, sorted ACTIVE keys array).
+
+    Active = member count >= 2. A key seen once can never produce a pair,
+    so pass 2 skips emitting its row entirely — a semi-join reduction that
+    removes the (majority) singleton fraction of the band-row shuffle.
+    At 10^12 scale the active set becomes a Bloom filter per executor;
+    here it is a sorted int64 array probed with searchsorted.
 
     Shuffle shape: per-batch partial counts (combiner) → groupby the HASH
     PARTITION of the key (P groups, vectorized np.unique merge per
-    partition) → only rows with count > cap leave the cluster. Never a
-    groupby on the raw key (one Python group per distinct band key).
+    partition) → only aggregated (key, count>=2) rows leave the cluster.
+    Never a groupby on the raw key (one Python group per distinct key).
     """
     cap = cfg.execution.hot_band_cap
 
@@ -220,7 +250,7 @@ def find_hot_keys(sig_ds, cfg: DedupConfig) -> dict[int, int]:
         c = g["cnt"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(k, return_inverse=True)
         tot = np.bincount(inv, weights=c).astype(np.int64)
-        mask = tot > cap
+        mask = tot >= 2
         return pa.table(
             {"band_key": pa.array(uniq[mask]), "cnt": pa.array(tot[mask])}
         )
@@ -235,7 +265,16 @@ def find_hot_keys(sig_ds, cfg: DedupConfig) -> dict[int, int]:
         .map_groups(_merge_partition, batch_format="pyarrow")
     )
     hot: dict[int, int] = {}
+    active_parts: list[np.ndarray] = []
     for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for key, cnt in zip(b["band_key"].to_pylist(), b["cnt"].to_pylist()):
+        k = b["band_key"].to_numpy(zero_copy_only=False)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        active_parts.append(k)
+        for key, cnt in zip(k[c > cap], c[c > cap]):
             hot[int(key)] = int(np.ceil(cnt / cap))
-    return hot
+    active = (
+        np.sort(np.concatenate(active_parts))
+        if active_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    return hot, active

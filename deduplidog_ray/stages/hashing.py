@@ -14,8 +14,16 @@ polars' Rust xxhash when available).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
+
+# polars spawns a rayon pool sized to ALL cores per process; inside a Ray
+# worker that multiplies into hundreds of runnable threads cluster-wide
+# (observed load ~3x core count, 30%+ slowdown). One thread per worker —
+# parallelism belongs to Ray, not to the kernel library. Must be set
+# before the first polars import in the process.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
 _M2 = np.uint64(0x94D049BB133111EB)

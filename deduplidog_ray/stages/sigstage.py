@@ -24,7 +24,7 @@ def make_signature_stage(cfg: SignatureConfig):
     def _signatures(batch: pa.Table) -> pa.Table:
         texts = batch["norm_transcript"].to_pylist()
         flat, off = shingle_hashes(texts, cfg.shingle_k, cfg.seed)
-        sig = minhash_signatures(flat, off, cfg)          # (D, P) uint32
+        sig = minhash_signatures(flat, off, cfg)          # (D, P) uint16
         sh = simhash_signatures(flat, off)                # (D,) uint64
         nsh = (off[1:] - off[:-1]).astype(np.int32)
         wdoc, wval, wcnt = winnow_keys(flat, off, cfg.winnow_window)
@@ -33,7 +33,7 @@ def make_signature_stage(cfg: SignatureConfig):
             pa.array(woff, type=pa.int32()), pa.array(wval.view(np.int64))
         )
 
-        sig_bytes = [sig[i].astype("<u4").tobytes() for i in range(len(batch))]
+        sig_bytes = [sig[i].astype("<u2").tobytes() for i in range(len(batch))]
         out = batch
         for name, arr in [
             ("minhash", pa.array(sig_bytes, type=pa.binary())),

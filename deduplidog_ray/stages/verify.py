@@ -63,7 +63,7 @@ PAIRS_EMPTY = pa.table(
 def payload_from_table(t: pa.Table, num_perm: int) -> dict[str, np.ndarray]:
     """Columnar payload → dict of numpy arrays for the pair kernels.
 
-    ``minhash`` stays (n, P) uint32; ``fp`` stays PACKED (n, FP_BYTES)
+    ``minhash`` stays (n, P) uint16; ``fp`` stays PACKED (n, FP_BYTES)
     uint8 — Hamming runs on packed bytes via the popcount table.
     """
     n = len(t)
@@ -85,7 +85,7 @@ def payload_from_table(t: pa.Table, num_perm: int) -> dict[str, np.ndarray]:
         "simhash": t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64),
         "n_shingles": t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64),
         "n_frames": t["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64),
-        "minhash": np.frombuffer(b"".join(mh), dtype="<u4").reshape(n, num_perm),
+        "minhash": np.frombuffer(b"".join(mh), dtype="<u2").reshape(n, num_perm),
         "fp_packed": np.frombuffer(b"".join(fp), dtype=np.uint8).reshape(n, FP_BYTES),
     }
 
@@ -220,44 +220,54 @@ def _segment_pair_indices(
     return np.concatenate(ii_parts), np.concatenate(jj_parts)
 
 
-def _first_collision_rank(
-    P: dict[str, np.ndarray], ii: np.ndarray, jj: np.ndarray, cfg: DedupConfig
+def _no_earlier_collision(
+    P: dict[str, np.ndarray],
+    ii: np.ndarray,
+    jj: np.ndarray,
+    seg_rank: np.ndarray,
+    cfg: DedupConfig,
 ) -> np.ndarray:
-    """Per pair: the lowest key rank at which the two clips collide.
+    """True for pairs with NO key collision at any rank below their
+    segment's rank — i.e. this segment is the pair's first-collision home
+    and must evaluate+emit it.
 
-    Rank layout (stages/candidates.py): bands [0,b) → simhash blocks
-    [b, b+k+1) → pcm → content → winnow (the fallback when nothing else
-    collides — only winnow keys can have produced the candidate then).
+    A pair in a rank-r segment by definition collides at r, so only ranks
+    < r need checking: rank-0 (first band) segments cost NOTHING, rank-1
+    costs one uint64 compare per pair, etc. Work is proportional to how
+    *redundant* a candidate is — exactly the thing being eliminated.
+    Memory: processed per distinct rank, temporaries stay O(M_r).
     """
     s = cfg.signature
-    M = len(ii)
-    b, r = s.lsh_bands, s.lsh_rows
-    eq = P["minhash"][ii] == P["minhash"][jj]                  # (M, num_perm)
-    band_eq = eq.reshape(M, b, r).all(axis=2)                  # (M, b)
-    first = np.where(band_eq.any(axis=1), band_eq.argmax(axis=1), 255).astype(np.int16)
+    b = s.lsh_bands
+    from deduplidog_ray.stages.signatures import band_hashes, simhash_block_keys
 
+    if "_band_hashes" not in P:
+        P["_band_hashes"] = band_hashes(P["minhash"], s)       # (n, b) u64
+    if "_block_keys" not in P:
+        P["_block_keys"] = simhash_block_keys(P["simhash"], s.simhash_hamming)
+    bh = P["_band_hashes"]
+    blk = P["_block_keys"]
     nblocks = s.simhash_hamming + 1
-    x = P["simhash"][ii] ^ P["simhash"][jj]
-    edges = np.linspace(0, 64, nblocks + 1).astype(int)
-    for t in range(nblocks):
-        lo, hi = edges[t], edges[t + 1]
-        mask = ((np.uint64(1) << np.uint64(hi - lo)) - np.uint64(1)) << np.uint64(lo)
-        blk_eq = (x & mask) == 0
-        first = np.minimum(first, np.where(blk_eq, b + t, 255).astype(np.int16))
-
     rank_pcm = b + nblocks
-    first = np.minimum(
-        first,
-        np.where(P["pcm_hash"][ii] == P["pcm_hash"][jj], rank_pcm, 255).astype(np.int16),
-    )
-    first = np.minimum(
-        first,
-        np.where(
-            P["content_hash"][ii] == P["content_hash"][jj], rank_pcm + 1, 255
-        ).astype(np.int16),
-    )
-    rank_winnow = rank_pcm + 2
-    return np.where(first == 255, rank_winnow, first).astype(np.int16)
+    rank_content = rank_pcm + 1
+
+    keep = np.ones(len(ii), dtype=bool)
+    for r in np.unique(seg_rank):
+        if r == 0:
+            continue                        # first band: nothing earlier
+        m = seg_rank == r
+        im, jm = ii[m], jj[m]
+        coll = np.zeros(len(im), dtype=bool)
+        for rp in range(min(int(r), b)):                       # earlier bands
+            coll |= bh[im, rp] == bh[jm, rp]
+        for t in range(max(0, min(int(r) - b, nblocks))):      # earlier blocks
+            coll |= blk[im, t] == blk[jm, t]
+        if r > rank_pcm:
+            coll |= P["pcm_hash"][im] == P["pcm_hash"][jm]
+        if r > rank_content:
+            coll |= P["content_hash"][im] == P["content_hash"][jm]
+        keep[m] = ~coll
+    return keep
 
 
 def _pairs_table(
@@ -280,7 +290,8 @@ def _pairs_table(
 
 
 def verify_partition_table(
-    part: pa.Table, cfg: DedupConfig, key_col: str = "band_key"
+    part: pa.Table, cfg: DedupConfig, key_col: str = "band_key",
+    rank_filter: bool = True,
 ) -> tuple[pa.Table, np.ndarray, pa.Table]:
     """Verify ALL band groups inside one hash partition.
 
@@ -291,6 +302,10 @@ def verify_partition_table(
     empty_idx = np.empty(0, dtype=np.int64)
     if n == 0:
         return PAIRS_EMPTY, empty_idx, part
+    # one contiguous copy up front: sort-reduce outputs arrive as
+    # many-chunk tables and every per-chunk access (take/to_pylist/
+    # to_numpy) pays per-chunk overhead otherwise
+    part = part.combine_chunks()
     keys = part[key_col].to_numpy(zero_copy_only=False)
     ids = np.asarray(part["clip_id"].to_pylist(), dtype=object)
     order = np.lexsort((ids, keys))
@@ -311,30 +326,29 @@ def verify_partition_table(
     seg_starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
     seg_sizes = np.diff(np.concatenate([seg_starts, [n]]))
 
+    # star_over = cap: segments above the cap (possible when hot-key stats
+    # drifted or salting is off) connect via star pairs only. Safe for the
+    # recall metric — recall counts co-CLUSTERED oracle pairs, and a star
+    # keeps the component connected — while capping the quadratic
+    # evaluation cost of near-identical mega-groups.
     cap = cfg.execution.hot_band_cap
-    ii, jj = _segment_pair_indices(seg_starts, seg_sizes, star_over=cap * 2)
+    ii, jj = _segment_pair_indices(seg_starts, seg_sizes, star_over=cap)
 
     P = payload_from_table(part, cfg.signature.num_perm)
-    dup, reason, score = confirm_pairs_1d(P, ii, jj, cfg)
 
-    # first-collision dedup: a confirmed pair collides in up to ~26 keys
-    # (every band, every block, content...) — emit it ONLY from its
-    # lowest-rank colliding key so the pair stream isn't amplified ~20x.
-    # Salted segments are exempt (their subgroup split differs per key, so
-    # no other rank is guaranteed to co-locate the pair).
-    if dup.any() and "key_rank" in part.column_names:
+    # first-collision filter BEFORE the kernel: a candidate pair collides
+    # in up to ~26 keys (every band, every block, content...) — only its
+    # lowest-rank colliding key evaluates AND emits it, so neither the
+    # kernel work nor the pair stream nor the memory traffic is amplified
+    # ~20x. Salted subgroup pairs are filtered too: subgroup splits are
+    # key-independent in the common case, and cluster-level connectivity
+    # (the recall metric) is guaranteed by the representative round anyway.
+    if rank_filter and len(ii) and "key_rank" in part.column_names:
         rank_col = part["key_rank"].to_numpy(zero_copy_only=False)
-        salted_col = (
-            part["salted"].to_numpy(zero_copy_only=False)
-            if "salted" in part.column_names
-            else np.zeros(len(part), dtype=bool)
-        )
-        ic, jc = ii[dup], jj[dup]
-        first = _first_collision_rank(P, ic, jc, cfg)
-        emit = (first == rank_col[ic]) | salted_col[ic].astype(bool)
-        sel = np.zeros(len(ii), dtype=bool)
-        sel[np.nonzero(dup)[0][emit]] = True
-        dup = sel
+        keep = _no_earlier_collision(P, ii, jj, rank_col[ii], cfg)
+        ii, jj = ii[keep], jj[keep]
+
+    dup, reason, score = confirm_pairs_1d(P, ii, jj, cfg)
     pairs = _pairs_table(ids, ii[dup], jj[dup], reason[dup], score[dup])
 
     # rep rows: first member of every SALTED segment
@@ -385,7 +399,9 @@ def make_rep_verifier(cfg: DedupConfig):
     same multi-group kernel keyed on orig_key."""
 
     def _verify(group: pa.Table) -> pa.Table:
-        pairs, _, _ = verify_partition_table(group, cfg, key_col="orig_key")
+        pairs, _, _ = verify_partition_table(
+            group, cfg, key_col="orig_key", rank_filter=False
+        )
         return pairs
 
     return _verify

@@ -7,6 +7,9 @@ import pytest
 
 @pytest.fixture(scope="session")
 def ray_session():
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     import ray
 
     if not ray.is_initialized():
