@@ -430,6 +430,23 @@ class NearDupPipeline:
             return read_fragments(frags, override_num_blocks=avail * 3)
         return read_fragments(frags)
 
+    def _pairs_checkpointed(self, sig_ds: ray.data.Dataset) -> ray.data.Dataset:
+        """Verified-pair (cluster state) checkpoint — the second lineage
+        stage the north rule names: a killed job that finished the band
+        shuffle resumes from the pair table without re-shuffling."""
+        assert self.ckpt is not None
+        if 0 in self.ckpt.done_partitions("pairs"):
+            import ray.data as rd
+
+            return rd.read_parquet(self.ckpt.stage_files("pairs"))
+        t0 = time.monotonic()
+        pairs_ds = self.pairs(sig_ds)
+        # the pair table is small (pairs, not rows) → one partition
+        self.ckpt.write_partition("pairs", 0, pairs_ds, ["<signatures>"], t0)
+        import ray.data as rd
+
+        return rd.read_parquet(self.ckpt.stage_files("pairs"))
+
     def run(
         self, clips: ray.data.Dataset | str, partitions: int | None = None
     ) -> ray.data.Dataset:
@@ -444,7 +461,10 @@ class NearDupPipeline:
             sig_ds = self.signatures(clips).materialize()
             self.metrics["sec_signatures"] = round(time.monotonic() - t0, 2)
         t1 = time.monotonic()
-        pairs_ds = self.pairs(sig_ds)
+        if self.ckpt is not None:
+            pairs_ds = self._pairs_checkpointed(sig_ds)
+        else:
+            pairs_ds = self.pairs(sig_ds)
         self.metrics["sec_hot_pass"] = round(time.monotonic() - t1, 2)
         t2 = time.monotonic()
         clusters, reasons = self.cluster(pairs_ds)
