@@ -33,7 +33,11 @@ import ray.data
 
 from deduplidog_ray.config import DedupConfig
 from deduplidog_ray.sources.clips_io import list_fragments, read_fragments
-from deduplidog_ray.stages.candidates import find_hot_keys, make_explode_stage
+from deduplidog_ray.stages.candidates import (
+    find_hot_keys,
+    make_explode_stage,
+    make_key_stage,
+)
 from deduplidog_ray.stages.canonical import make_canonicalizer
 from deduplidog_ray.stages.decode import DecodeFingerprint
 from deduplidog_ray.stages.normalize import make_normalizer
@@ -48,7 +52,7 @@ SIG_COLUMNS = [
     "clip_id", "sr_hz", "dur_ms", "codec", "codec_class", "role",
     "n_bytes", "content_hash", "pcm_hash", "fp", "n_frames", "dur_ms_actual",
     "decode_error", "norm_transcript", "minhash", "simhash",
-    "n_shingles", "winnow",
+    "n_shingles", "winnow", "cand_keys", "cand_ranks",
 ]
 
 
@@ -97,6 +101,11 @@ class NearDupPipeline:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        # candidate keys computed ONCE here; the count and explode passes
+        # read the cached columns instead of redoing band/block/winnow math
+        ds = ds.map_batches(
+            make_key_stage(self.cfg), batch_format="pyarrow", zero_copy_batch=True
+        )
 
         def _project(t: pa.Table) -> pa.Table:
             keep = [c for c in SIG_COLUMNS if c in t.column_names]
@@ -118,9 +127,18 @@ class NearDupPipeline:
         frags = list_fragments(input_path)
         nparts = partitions or max(1, min(len(frags), 8))
         groups: list[list[str]] = [list(frags[i::nparts]) for i in range(nparts)]
+        import glob
+        import os
+
         done = self.ckpt.done_partitions("signatures")
         for pid, group in enumerate(groups):
-            if pid in done or not group:
+            # a manifest entry whose files were deleted self-heals
+            have_files = bool(
+                glob.glob(
+                    os.path.join(self.ckpt.partition_dir("signatures", pid), "*.parquet")
+                )
+            )
+            if (pid in done and have_files) or not group:
                 continue
             t0 = time.monotonic()
             ds = self.signatures(read_fragments(group))
@@ -436,9 +454,11 @@ class NearDupPipeline:
         shuffle resumes from the pair table without re-shuffling."""
         assert self.ckpt is not None
         if 0 in self.ckpt.done_partitions("pairs"):
-            import ray.data as rd
+            files = self.ckpt.stage_files("pairs")
+            if files:                      # manifest entry with deleted files
+                import ray.data as rd      # → fall through and recompute
 
-            return rd.read_parquet(self.ckpt.stage_files("pairs"))
+                return rd.read_parquet(files)
         t0 = time.monotonic()
         pairs_ds = self.pairs(sig_ds)
         # the pair table is small (pairs, not rows) → one partition

@@ -75,8 +75,27 @@ def rank_winnow(cfg):
 
 def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig, with_rank: bool = False):
     """Per-clip candidate keys → (flat_keys uint64, clip_row_idx int64[,
-    key_rank uint8])."""
+    key_rank uint8]).
+
+    Reads the precomputed ``cand_keys``/``cand_ranks`` columns when present
+    (stages/sigstage.py computes them ONCE; both the count pass and the
+    explode pass would otherwise redo this work), else computes them.
+    """
     n = len(batch)
+    if "cand_keys" in batch.column_names:
+        kl = batch["cand_keys"]
+        if isinstance(kl, pa.ChunkedArray):
+            kl = kl.combine_chunks()
+        off = kl.offsets.to_numpy().astype(np.int64)
+        keys = kl.values.to_numpy(zero_copy_only=False).view(np.uint64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), off[1:] - off[:-1])
+        if not with_rank:
+            return keys, idx
+        rl = batch["cand_ranks"]
+        if isinstance(rl, pa.ChunkedArray):
+            rl = rl.combine_chunks()
+        rank = rl.values.to_numpy(zero_copy_only=False).astype(np.uint8)
+        return keys, idx, rank
     class_h = hash_strings_u64(batch["codec_class"].to_pylist(), seed=0xC1A5)
     sig = np.frombuffer(
         b"".join(batch["minhash"].to_pylist()), dtype="<u2"
@@ -129,6 +148,34 @@ def _clip_key_matrix(batch: pa.Table, cfg: DedupConfig, with_rank: bool = False)
     if with_rank:
         return keys, idx, np.concatenate(parts_rank)
     return keys, idx
+
+
+def make_key_stage(cfg: DedupConfig):
+    """map_batches fn appending the per-clip candidate keys/ranks as list
+    columns (computed once per row; the count and explode passes read
+    them). Order within each row's list follows the key-rank layout."""
+
+    def _keys(batch: pa.Table) -> pa.Table:
+        keys, idx, rank = _clip_key_matrix(batch, cfg, with_rank=True)
+        order = np.argsort(idx, kind="stable")
+        keys, idx, rank = keys[order], idx[order], rank[order]
+        counts = np.bincount(idx, minlength=len(batch)).astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        key_col = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(keys.view(np.int64))
+        )
+        rank_col = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(rank, type=pa.uint8()),
+        )
+        out = batch
+        for name, arr in [("cand_keys", key_col), ("cand_ranks", rank_col)]:
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, arr)
+        return out
+
+    return _keys
 
 
 def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None, active_ref=None):
