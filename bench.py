@@ -63,8 +63,6 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.monotonic()
         res = fn(sf_dir)
         # consume: Datasets execute lazily — count() drives them
-        import pandas as pd
-
         import ray.data
 
         if isinstance(res, ray.data.Dataset):

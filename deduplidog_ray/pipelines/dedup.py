@@ -4,16 +4,20 @@ End-to-end DAG (SURVEY.md §3 "target lifecycle"):
 
     read clips → decode/fingerprint (ACTOR POOL map_batches)
                → normalize transcript (stateless, pyarrow.compute)
-               → signatures: shingle → MinHash/SimHash/winnow (stateless)
+               → signatures + candidate keys (stateless, computed once)
                → [checkpoint per partition, lineage manifest]
-               → pass 1: hot-key counts (partial-agg + tiny groupby)
-               → pass 2: explode candidate keys (salted for hot keys)
-               → groupby(band_key) SHUFFLE → per-group verify (vectorized)
-               → rep round: groupby(orig_key) over hot-key representatives
+               → pass 1: key counts (combiner + partition groupby) →
+                 hot-key salt plan + ACTIVE key set (count >= 2)
+               → pass 2: explode active candidate keys (salted hot keys,
+                 hot winnow keys dropped)
+               → groupby(key HASH PARTITION) SHUFFLE → multi-group
+                 vectorized verify with first-collision pair dedup
+               → rep round over hot-key representatives
+               → [pair/cluster-state checkpoint]
                → union-find connected components (driver DSU over the
                  small pair stream)
-               → canonicalize per cluster (map_groups over ONLY the
-                 clustered rows — singletons never shuffle)
+               → canonicalize (driver fast path, or per cluster-id hash
+                 partition at scale — singletons never shuffle)
                → results table (+ write)
 
 ≙ reference ``Deduplidog().start()`` (deduplidog/deduplidog.py:263-325),
@@ -23,7 +27,6 @@ re-expressed order-independently (SURVEY.md §7). Scale notes inline.
 from __future__ import annotations
 
 import time
-from collections.abc import Iterable
 
 import numpy as np
 import pyarrow as pa
@@ -65,11 +68,18 @@ class NearDupPipeline:
         )
         self.metrics: dict = {}
         # polars-backed sort blocks: measured ~35% faster on the wide
-        # (minhash/fp binary) band-row exchange than the Arrow sort path
-        try:
-            ray.data.DataContext.get_current().use_polars_sort = True
-        except Exception:
-            pass
+        # (minhash/fp binary) band-row exchange than the Arrow sort path.
+        # Enabled ONLY when the polars thread pin was exported before
+        # ray.init (bench.py/CLI/conftest do) — Ray's own sort tasks don't
+        # import this package, so an unpinned polars there spawns a full
+        # rayon pool per worker (measured: load 3x cores, net slowdown)
+        import os
+
+        if os.environ.get("POLARS_MAX_THREADS") == "1":
+            try:
+                ray.data.DataContext.get_current().use_polars_sort = True
+            except Exception:
+                pass
 
     # ------------------------------------------------------------ stage 1
     def signatures(self, clips: ray.data.Dataset) -> ray.data.Dataset:
@@ -362,8 +372,6 @@ class NearDupPipeline:
     ) -> ray.data.Dataset:
         """Small-cluster-set fast path: canonicalize on the driver, emit
         results in one broadcast map pass (see ``results`` docstring)."""
-        import pandas as pd
-
         cfg = self.cfg
         clusters_ref = ray.put(set(clusters))
 

@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray.data
 
 from deduplidog_ray.config import SignatureConfig
-from deduplidog_ray.stages.hashing import combine64, mix64
+from deduplidog_ray.stages.hashing import combine64
 from deduplidog_ray.stages.signatures import (
     band_hashes,
     minhash_signatures,
