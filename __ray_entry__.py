@@ -257,6 +257,58 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast dimension join ≙ J4 sidecar lookup (utils.py:196-205):
+    customer (small side, ray.put once) joined to orders per batch, then a
+    grouped aggregate — the canonical star-schema pattern."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    lookup = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    def _join(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nk = [m.get(k, -1) for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nk, type=pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    joined = orders.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
+    out = joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+    )
+
+    # integer cents for an exact value-hash (double summation order differs
+    # between engines in the last bits)
+    import pyarrow.compute as pc
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["sum_price"], 100)), pa.int64())
+        return pa.table(
+            {"c_nationkey": t["c_nationkey"], "n_orders": t["n_orders"],
+             "sum_price_cents": cents}
+        )
+
+    return out.map_batches(_cents, batch_format="pyarrow")
+
+
 def q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-10 for the first 3 embedding rows (float64
     so ranking matches the SQL oracle bit-for-bit)."""
@@ -369,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
+        "orders_by_nation": q_orders_by_nation,
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
         "text_quality": q_text_quality,
@@ -470,6 +523,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT c.c_nationkey,
+                   count(*) AS n_orders,
+                   CAST(round(sum(o.o_totalprice) * 100) AS BIGINT)
+                       AS sum_price_cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_nationkey
         """,
         "knn_cosine": """
             SELECT q.vec_id AS query_vec_id, e.vec_id
