@@ -26,6 +26,7 @@ re-expressed order-independently (SURVEY.md §7). Scale notes inline.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -45,7 +46,11 @@ from deduplidog_ray.stages.canonical import make_canonicalizer
 from deduplidog_ray.stages.decode import DecodeFingerprint
 from deduplidog_ray.stages.normalize import make_normalizer
 from deduplidog_ray.stages.sigstage import make_signature_stage
-from deduplidog_ray.stages.verify import make_partition_verifier, make_rep_verifier
+from deduplidog_ray.stages.verify import (
+    make_partition_verifier,
+    make_rep_verifier,
+    verify_partition_table,
+)
 from deduplidog_ray.state.checkpoint import CheckpointManager
 from deduplidog_ray.state.unionfind import UnionFind
 
@@ -190,6 +195,8 @@ class NearDupPipeline:
             batch_size=explode_batch,
             zero_copy_batch=True,
         )
+        if ex.exchange == "hive":
+            return self._pairs_hive_exchange(exploded)
         # groupby the HASH PARTITION id (P groups → P vectorized UDF calls),
         # never the raw band key (millions of per-group Python dispatches)
         mixed = exploded.groupby("part").map_groups(
@@ -228,6 +235,76 @@ class NearDupPipeline:
             make_rep_verifier(cfg), batch_format="pyarrow"
         )
         return pairs1.union(pairs2)
+
+    def _pairs_hive_exchange(self, exploded: ray.data.Dataset) -> ray.data.Dataset:
+        """MapReduce-style band-row exchange: map-side hive-partitioned
+        parquet write (``partition_cols=['part']``), then ONE read+verify
+        task per partition. No sort, no sampling, no driver barrier —
+        measured ~3x faster than Ray's sort-based groupby on this
+        workload and it scales with cores on both sides.
+
+        On a multi-node cluster the exchange directory lives on the shared
+        store (S3/NFS) — the classic external-shuffle layout; locally it
+        rides the page cache. The representative round (tiny) is resolved
+        on the driver.
+        """
+        import glob
+        import shutil
+        import uuid
+
+        cfg = self.cfg
+        xdir = (
+            os.path.join(self.workdir, f"exchange-{uuid.uuid4().hex[:8]}")
+            if self.workdir
+            else f"/tmp/deduplidog_ray_exchange/{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            exploded.write_parquet(xdir, partition_cols=["part"])
+            part_dirs = sorted(glob.glob(os.path.join(xdir, "part=*")))
+
+            @ray.remote
+            def _verify_dir(d: str, part_val: int):
+                import pyarrow.parquet as pq
+
+                files = glob.glob(os.path.join(d, "*.parquet"))
+                t = pa.concat_tables([pq.read_table(f) for f in files])
+                t = t.append_column(
+                    "part", pa.array(np.full(len(t), part_val, dtype=np.int64))
+                )
+                pairs, rep_idx, sorted_part = verify_partition_table(t, cfg)
+                reps = (
+                    sorted_part.take(pa.array(rep_idx))
+                    if len(rep_idx)
+                    else sorted_part.slice(0, 0)
+                )
+                return pairs, reps
+
+            futs = [
+                _verify_dir.remote(d, int(os.path.basename(d).split("=")[1]))
+                for d in part_dirs
+            ]
+            results = ray.get(futs)
+        finally:
+            shutil.rmtree(xdir, ignore_errors=True)
+
+        pair_tables = [p for p, _ in results if len(p)]
+        rep_tables = [r for _, r in results if len(r)]
+        # representative round: tiny (one row per salted subgroup) →
+        # resolved right here with the same multi-group kernel
+        if rep_tables:
+            reps = pa.concat_tables(rep_tables)
+            rep_pairs, _, _ = verify_partition_table(
+                reps, cfg, key_col="orig_key", rank_filter=False
+            )
+            if len(rep_pairs):
+                pair_tables.append(rep_pairs)
+        import ray.data as rd
+
+        if not pair_tables:
+            from deduplidog_ray.stages.verify import PAIRS_EMPTY
+
+            return rd.from_arrow(PAIRS_EMPTY)
+        return rd.from_arrow(pa.concat_tables(pair_tables))
 
     # ------------------------------------------------------------ stage 3
     def cluster(
