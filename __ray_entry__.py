@@ -257,6 +257,14 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def q_contained_docs(sf_dir: str):
+    """Exact substring containment pairs ≙ shrunk/partial-copy detection
+    (docs/index.md:20-22): winnowing candidates + char-exact verify."""
+    from deduplidog_ray.pipelines.containment import contained_doc_pairs
+
+    return contained_doc_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_orders_by_nation(sf_dir: str):
     """Broadcast dimension join ≙ J4 sidecar lookup (utils.py:196-205):
     customer (small side, ray.put once) joined to orders per batch, then a
@@ -421,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
+        "contained_docs": q_contained_docs,
         "orders_by_nation": q_orders_by_nation,
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
@@ -523,6 +532,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "contained_docs": """
+            SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+            FROM documents a JOIN documents b
+              ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0
+            ORDER BY contained_id, container_id
         """,
         "orders_by_nation": """
             SELECT c.c_nationkey,
