@@ -475,7 +475,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
         "doc_stats_by_lang": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "lang_filter": """

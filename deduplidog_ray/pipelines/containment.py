@@ -4,13 +4,30 @@
 applied to text: find every ordered pair (contained, container) where one
 document's text occurs verbatim inside another's.
 
-Shape: winnowing fingerprints as candidate keys (Schleimer et al. — two
-texts sharing a token run of >= w+k-1 tokens share a selected
-fingerprint), hash-partition groupby, then EXACT char-level substring
-verification inside the partition (CPython's two-way `in` — the
-suffix-automaton-class check). Guarantee: containments of at least
-``w + k - 1`` tokens are always found; shorter fragments are below the
-fingerprint resolution (tune ``w`` down for finer recall at more keys).
+Scale shape (round-2 rewrite — the round-1 version shipped full text once
+per winnow key and verified O(n²) per segment):
+
+1. **Keys-only exchange.** Char(byte)-level winnowing fingerprints
+   (Schleimer et al., SIGMOD'03) — rows are ``(doc_id, wkey, part)``,
+   24 bytes, never text. Char-level shingles make candidates
+   alignment-free (mid-token substrings still share byte shingles).
+2. **Candidate pairs with shared-key counts**, hash-partitioned by key.
+3. **Set-inclusion prefilter.** If ``bytes(a)`` occurs in ``bytes(b)``
+   then every window of a's shingle sequence is also a window of b's, so
+   winnowing selects a's entire fingerprint set inside b:
+   ``selected(a) ⊆ selected(b)``. A candidate pair can therefore only be
+   a real containment if ``|shared| == n_keys(contained side)`` — checked
+   with two skinny meta joins before ANY text moves. Near-zero false
+   positives reach verification.
+4. **Exact verify.** Only surviving pairs' texts are fetched (broadcast
+   id-set semi-join against the corpus — text bytes shipped ∝ survivors,
+   ≤ 1× corpus), then char-exact ``in``.
+5. **Short-doc sideband.** Docs under ``w + k - 1`` bytes are below the
+   winnowing guarantee; they are collected (rare) and matched exactly via
+   a broadcast scan, so the result is exact for ALL inputs, not just
+   fixtures (ADVICE round 1).
+
+Result equals the O(n²) SQL ``position(a.text IN b.text) > 0`` oracle.
 """
 
 from __future__ import annotations
@@ -19,67 +36,312 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
-from deduplidog_ray.config import SignatureConfig
-from deduplidog_ray.stages.signatures import shingle_hashes, winnow_keys
+from deduplidog_ray.stages.hashing import mix64
+from deduplidog_ray.stages.signatures import char_shingle_hashes, winnow_keys
+
+_EMPTY_PAIRS = {
+    "contained_id": pd.Series(dtype="int64"),
+    "container_id": pd.Series(dtype="int64"),
+}
+
+
+def _pairs_from_partition(
+    g: pd.DataFrame, partitions: int, max_key_group: int | None
+) -> pd.DataFrame:
+    """Per key-partition: meta rows pass through; key rows → candidate
+    pairs with partition-local shared-key counts, re-keyed by hash(a)."""
+    # meta rows are the ones carrying nk >= 1 (a real wkey could bit-cast
+    # to -1, so the discriminator is nk, not the wkey sentinel)
+    meta = g[g["nk"] >= 0]
+    keys = g[g["nk"] < 0]
+    out_frames = []
+    if len(meta):
+        out_frames.append(
+            pd.DataFrame(
+                {
+                    "a": meta["a"].to_numpy(),
+                    "b": np.full(len(meta), -1, dtype=np.int64),
+                    "cnt": np.zeros(len(meta), dtype=np.int64),
+                    "nk": meta["nk"].to_numpy(),
+                    "part": meta["part"].to_numpy(),
+                }
+            )
+        )
+    if len(keys) >= 2:
+        wk = keys["wkey"].to_numpy()
+        ids = keys["a"].to_numpy()
+        order = np.argsort(wk, kind="stable")
+        wk, ids = wk[order], ids[order]
+        # segment boundaries; only multi-member segments generate pairs
+        seg_start = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
+        seg_end = np.r_[seg_start[1:], len(wk)]
+        sizes = seg_end - seg_start
+        a_parts, b_parts = [], []
+        for s, m in zip(seg_start[sizes >= 2], sizes[sizes >= 2]):
+            if max_key_group is not None and m > max_key_group:
+                continue  # documented recall trade-off, off by default
+            seg = np.sort(ids[s : s + m])
+            i, j = np.triu_indices(int(m), 1)
+            a_parts.append(seg[i])
+            b_parts.append(seg[j])
+        if a_parts:
+            a = np.concatenate(a_parts)
+            b = np.concatenate(b_parts)
+            pairs = (
+                pd.DataFrame({"a": a, "b": b})
+                .groupby(["a", "b"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            pairs["nk"] = np.int64(-1)
+            pairs["part"] = (
+                mix64(pairs["a"].to_numpy().astype(np.uint64), seed=0xA17)
+                % np.uint64(partitions)
+            ).astype(np.int64)
+            out_frames.append(pairs)
+    if not out_frames:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+                "nk": pd.Series(dtype="int64"),
+                "part": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.concat(out_frames, ignore_index=True)
+
+
+def _attach_nk_a(g: pd.DataFrame, partitions: int) -> pd.DataFrame:
+    """Partitioned by hash(a): sum partition-local counts globally, attach
+    n_keys(a); meta rows pass through re-keyed for the hash(b) stage."""
+    meta = g[g["b"] == -1]
+    pairs = g[g["b"] != -1]
+    out_frames = []
+    if len(meta):
+        # part stays hash(doc)%P — correct key for the next (hash(b)) stage
+        out_frames.append(
+            meta[["a", "b", "cnt", "nk", "part"]].assign(nk_a=np.int64(-1))
+        )
+    if len(pairs):
+        agg = (
+            pairs.groupby(["a", "b"], sort=False)["cnt"].sum().reset_index()
+        )
+        nk_map = pd.Series(
+            meta["nk"].to_numpy(), index=meta["a"].to_numpy()
+        )
+        agg["nk_a"] = agg["a"].map(nk_map).fillna(-1).astype(np.int64)
+        agg["nk"] = np.int64(-1)
+        agg["part"] = (
+            mix64(agg["b"].to_numpy().astype(np.uint64), seed=0xA17)
+            % np.uint64(partitions)
+        ).astype(np.int64)
+        out_frames.append(agg[["a", "b", "cnt", "nk", "part", "nk_a"]])
+    if not out_frames:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+                "nk": pd.Series(dtype="int64"),
+                "part": pd.Series(dtype="int64"),
+                "nk_a": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.concat(out_frames, ignore_index=True)
+
+
+def _prefilter(g: pd.DataFrame) -> pd.DataFrame:
+    """Partitioned by hash(b): attach n_keys(b), keep only pairs where the
+    shared-key count equals a full fingerprint set (set-inclusion bound)."""
+    meta = g[g["b"] == -1]
+    pairs = g[g["b"] != -1]
+    if not len(pairs):
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "dir_ab": pd.Series(dtype="bool"),
+                "dir_ba": pd.Series(dtype="bool"),
+            }
+        )
+    nk_map = pd.Series(meta["nk"].to_numpy(), index=meta["a"].to_numpy())
+    nk_b = pairs["b"].map(nk_map).fillna(-1).astype(np.int64).to_numpy()
+    nk_a = pairs["nk_a"].to_numpy()
+    cnt = pairs["cnt"].to_numpy()
+    dir_ab = (nk_a >= 1) & (cnt >= nk_a)  # a's full set present in b
+    dir_ba = (nk_b >= 1) & (cnt >= nk_b)
+    keep = dir_ab | dir_ba
+    return pd.DataFrame(
+        {
+            "a": pairs["a"].to_numpy()[keep],
+            "b": pairs["b"].to_numpy()[keep],
+            "dir_ab": dir_ab[keep],
+            "dir_ba": dir_ba[keep],
+        }
+    )
 
 
 def contained_doc_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingle_k: int = 3,
-    winnow_w: int = 4,
+    shingle_k: int = 8,
+    winnow_w: int = 32,
     partitions: int = 64,
     seed: int = 0x5EED,
+    max_key_group: int | None = None,
 ) -> pd.DataFrame:
     """All ordered (contained_id, container_id) exact-substring pairs.
 
-    Candidates via winnowing; verification is char-exact, so the result
-    equals the O(n^2) SQL ``position(a.text IN b.text) > 0`` wherever the
-    shared run is >= winnow_w + shingle_k - 1 tokens.
+    Exact vs the SQL oracle for every input: the winnowing path guarantees
+    candidates for contained texts of >= ``winnow_w + shingle_k - 1``
+    bytes; shorter (rare) texts go through the broadcast sideband.
+    ``max_key_group`` (default None = exact) optionally skips pathological
+    hot fingerprints at a documented recall cost.
     """
+    min_len = winnow_w + shingle_k - 1
 
     def _keys(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
-        flat, off = shingle_hashes(texts, shingle_k, seed)
-        wdoc, wval, _ = winnow_keys(flat, off, winnow_w)
-        out = t.select([id_col, text_col]).take(pa.array(wdoc))
-        part = (wval % np.uint64(partitions)).astype(np.int64)
-        out = out.append_column("wkey", pa.array(wval.view(np.int64)))
-        return out.append_column("part", pa.array(part))
+        ids = t[id_col].to_numpy().astype(np.int64)
+        nbytes = np.fromiter(
+            (len(x.encode("utf-8")) if x else 0 for x in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        longm = nbytes >= min_len
+        flat, off = char_shingle_hashes(texts, shingle_k, seed)
+        wdoc, wval, per_doc = winnow_keys(flat, off, winnow_w)
+        keep = longm[wdoc]  # short docs: sideband, never keys
+        wdoc, wval = wdoc[keep], wval[keep]
+        key_a = ids[wdoc]
+        key_part = (wval % np.uint64(partitions)).astype(np.int64)
+        meta_ids = ids[longm]
+        meta_nk = per_doc[longm]
+        meta_part = (
+            mix64(meta_ids.astype(np.uint64), seed=0xA17)
+            % np.uint64(partitions)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([key_a, meta_ids])),
+                "wkey": pa.array(
+                    np.concatenate(
+                        [wval.view(np.int64),
+                         np.full(len(meta_ids), -1, dtype=np.int64)]
+                    )
+                ),
+                "nk": pa.array(
+                    np.concatenate(
+                        [np.full(len(key_a), -1, dtype=np.int64), meta_nk]
+                    )
+                ),
+                "part": pa.array(np.concatenate([key_part, meta_part])),
+            }
+        )
 
-    def _verify(g: pd.DataFrame) -> pd.DataFrame:
-        pairs: set[tuple[int, int]] = set()
-        for _, seg in g.groupby("wkey", sort=False):
-            if len(seg) < 2:
-                continue
-            ids = seg[id_col].to_numpy()
-            texts = seg[text_col].to_numpy()
-            for i in range(len(seg)):
-                for j in range(i + 1, len(seg)):
-                    if ids[i] == ids[j]:
-                        continue
-                    if texts[i] in texts[j]:
-                        pairs.add((ids[i], ids[j]))
-                    if texts[j] in texts[i]:
-                        pairs.add((ids[j], ids[i]))
-        if not pairs:
-            return pd.DataFrame(
-                {"contained_id": pd.Series(dtype="int64"),
-                 "container_id": pd.Series(dtype="int64")}
+    keyed = ds.map_batches(_keys, batch_format="pyarrow", zero_copy_batch=True)
+    cand = keyed.groupby("part").map_groups(
+        lambda g: _pairs_from_partition(g, partitions, max_key_group),
+        batch_format="pandas",
+    )
+    with_nka = cand.groupby("part").map_groups(
+        lambda g: _attach_nk_a(g, partitions), batch_format="pandas"
+    )
+    survivors = (
+        with_nka.groupby("part")
+        .map_groups(_prefilter, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # ---- verify survivors: broadcast id-set semi-join fetches only the
+    # texts actually needed (∝ survivors, not corpus) ----
+    results: list[tuple[int, int]] = []
+    if len(survivors):
+        need = set(survivors["a"]) | set(survivors["b"])
+        need_ref = ray.put(need)
+
+        def _fetch(t: pa.Table) -> pa.Table:
+            needed = ray.get(need_ref)
+            ids = t[id_col].to_numpy()
+            mask = np.fromiter(
+                (i in needed for i in ids), dtype=bool, count=len(ids)
             )
-        a, b = zip(*sorted(pairs))
-        return pd.DataFrame({"contained_id": list(a), "container_id": list(b)})
+            return t.select([id_col, text_col]).filter(pa.array(mask))
 
-    parts = ds.map_batches(_keys, batch_format="pyarrow", zero_copy_batch=True)
-    out = parts.groupby("part").map_groups(_verify, batch_format="pandas")
-    df = out.to_pandas()
-    # the same pair can surface in several partitions (one per shared
-    # fingerprint) — global distinct on the small result
+        texts_df = (
+            ds.map_batches(_fetch, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        tmap = pd.Series(
+            texts_df[text_col].to_numpy(), index=texts_df[id_col].to_numpy()
+        )
+        ta = survivors["a"].map(tmap).to_numpy()
+        tb = survivors["b"].map(tmap).to_numpy()
+        aa = survivors["a"].to_numpy()
+        bb = survivors["b"].to_numpy()
+        dab = survivors["dir_ab"].to_numpy()
+        dba = survivors["dir_ba"].to_numpy()
+        for i in range(len(survivors)):
+            if dab[i] and ta[i] in tb[i]:
+                results.append((aa[i], bb[i]))
+            if dba[i] and tb[i] in ta[i]:
+                results.append((bb[i], aa[i]))
+
+    # ---- short-doc sideband: exact broadcast scan for sub-guarantee docs
+    shorts = (
+        ds.map_batches(
+            lambda t: t.select([id_col, text_col]).filter(
+                pa.compute.less(pa.compute.binary_length(t[text_col]), min_len)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    if len(shorts):
+        sref = ray.put(
+            list(zip(shorts[id_col].to_numpy(), shorts[text_col].to_numpy()))
+        )
+
+        def _scan(t: pa.Table) -> pa.Table:
+            slist = ray.get(sref)
+            ids = t[id_col].to_numpy()
+            texts = t[text_col].to_pylist()
+            out_a, out_b = [], []
+            for sid, stext in slist:
+                stext = stext or ""
+                for did, dtext in zip(ids, texts):
+                    if did == sid or dtext is None:
+                        continue
+                    if stext in dtext:
+                        out_a.append(sid)
+                        out_b.append(did)
+                    if len(dtext) <= len(stext) and dtext in stext:
+                        out_a.append(did)
+                        out_b.append(sid)
+            return pa.table(
+                {
+                    "contained_id": pa.array(out_a, type=pa.int64()),
+                    "container_id": pa.array(out_b, type=pa.int64()),
+                }
+            )
+
+        sb = ds.map_batches(
+            _scan, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        results.extend(zip(sb["contained_id"], sb["container_id"]))
+
+    if not results:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    out = pd.DataFrame(results, columns=["contained_id", "container_id"])
     return (
-        df.drop_duplicates()
+        out.drop_duplicates()
         .sort_values(["contained_id", "container_id"], kind="stable")
         .reset_index(drop=True)
+        .astype({"contained_id": "int64", "container_id": "int64"})
     )

@@ -56,6 +56,35 @@ def add_key_hash(
     return ds.map_batches(_hash, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _keep_first_partition(
+    g: pd.DataFrame, key_cols: list[str], id_col: str
+) -> pd.DataFrame:
+    """Partition kernel: sort by id, drop_duplicates on the REAL key columns
+    (not ``_key_hash`` — two distinct keys colliding in 64 bits must NOT
+    merge; at 10^12 rows collisions are expected by the birthday bound).
+    The hash is only the partitioner: equal keys hash equal, so every
+    duplicate group is co-located and in-partition key equality is exact."""
+    return g.sort_values(id_col, kind="stable").drop_duplicates(
+        key_cols, keep="first"
+    )
+
+
+def _report_partition(
+    g: pd.DataFrame, key_cols: list[str], id_col: str
+) -> pd.DataFrame:
+    agg = g.groupby(key_cols, sort=False, dropna=False)[id_col].agg(
+        ["min", "size"]
+    )
+    agg = agg[agg["size"] > 1]
+    return pd.DataFrame(
+        {id_col: agg["min"].to_numpy(), "n_dups": agg["size"].to_numpy()}
+    )
+
+
+def _singletons_partition(g: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+    return g[~g.duplicated(subset=key_cols, keep=False)]
+
+
 def dedupe_exact(
     ds: ray.data.Dataset,
     key_cols: list[str],
@@ -64,14 +93,10 @@ def dedupe_exact(
 ) -> ray.data.Dataset:
     """Keep, per duplicate group, the row with the minimum ``id_col``."""
     hashed = add_key_hash(ds, key_cols, partitions=partitions)
-
-    def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # whole partition at once: sort by id, drop_duplicates keeps min id
-        return g.sort_values(id_col, kind="stable").drop_duplicates(
-            "_key_hash", keep="first"
-        )
-
-    out = hashed.groupby("_part").map_groups(_keep_first, batch_format="pandas")
+    out = hashed.groupby("_part").map_groups(
+        lambda g: _keep_first_partition(g, key_cols, id_col),
+        batch_format="pandas",
+    )
     return out.drop_columns(["_key_hash", "_part"])
 
 
@@ -86,15 +111,10 @@ def duplicate_groups(
     ≙ ``having_multiple_candidates`` ambiguity report (deduplidog.py:517-519).
     """
     hashed = add_key_hash(ds, key_cols, partitions=partitions)
-
-    def _report(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("_key_hash", sort=False)[id_col].agg(["min", "size"])
-        agg = agg[agg["size"] > 1]
-        return pd.DataFrame(
-            {id_col: agg["min"].to_numpy(), "n_dups": agg["size"].to_numpy()}
-        )
-
-    return hashed.groupby("_part").map_groups(_report, batch_format="pandas")
+    return hashed.groupby("_part").map_groups(
+        lambda g: _report_partition(g, key_cols, id_col),
+        batch_format="pandas",
+    )
 
 
 def anti_unique(
@@ -106,12 +126,7 @@ def anti_unique(
     """Rows whose key matches NO other row — ``invert_selection`` semantics
     (deduplidog.py:128-129, :513-516): the anti-join / EXCEPT output."""
     hashed = add_key_hash(ds, key_cols, partitions=partitions)
-
-    def _only_singletons(g: pd.DataFrame) -> pd.DataFrame:
-        counts = g["_key_hash"].value_counts()
-        return g[g["_key_hash"].map(counts) == 1]
-
     out = hashed.groupby("_part").map_groups(
-        _only_singletons, batch_format="pandas"
+        lambda g: _singletons_partition(g, key_cols), batch_format="pandas"
     )
     return out.drop_columns(["_key_hash", "_part"])

@@ -103,6 +103,59 @@ def shingle_hashes(
     return out, out_off
 
 
+def char_shingle_hashes(
+    texts: list[str | None], k: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Char(byte)-level k-gram rolling hashes → (flat uint64, offsets[D+1]).
+
+    Unlike :func:`shingle_hashes` this works on utf-8 BYTES, so containment
+    candidates are alignment-free: a char-level substring always yields the
+    byte-level shingle run (utf-8 substrings of char substrings align).
+    Docs with fewer than ``k`` bytes emit ZERO shingles — callers must
+    handle them out-of-band (broadcast path in containment).
+
+    Vectorized: one concatenated uint8 array, k multiply-add passes for the
+    polynomial rolling hash, then a final mix; windows crossing doc
+    boundaries are excluded by offset arithmetic.
+    """
+    ndocs = len(texts)
+    bufs = [t.encode("utf-8") if t else b"" for t in texts]
+    nbytes = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=ndocs)
+    counts = np.maximum(nbytes - k + 1, 0)
+    out_off = np.empty(ndocs + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(counts, out=out_off[1:])
+    out = np.empty(out_off[-1], dtype=np.uint64)
+    if out_off[-1] == 0:
+        return out, out_off
+
+    big = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    byte_off = np.empty(ndocs + 1, dtype=np.int64)
+    byte_off[0] = 0
+    np.cumsum(nbytes, out=byte_off[1:])
+
+    n = len(big)
+    p = np.uint64(0x100000001B3)  # FNV-ish odd multiplier; uint64 wraparound
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * p + big[j : j + n - k + 1]
+        acc = mix64(acc, seed=seed)
+
+    # gather valid (non-boundary-crossing) windows per doc
+    has = counts > 0
+    starts = byte_off[:-1][has]
+    c = counts[has]
+    total = int(c.sum())
+    rep_starts = np.repeat(starts, c)
+    base = np.repeat(np.cumsum(np.concatenate([[0], c[:-1]])), c)
+    src_idx = rep_starts + (np.arange(total) - base)
+    dst_starts = out_off[:-1][has]
+    dst_idx = np.repeat(dst_starts, c) + (np.arange(total) - base)
+    out[dst_idx] = acc[src_idx]
+    return out, out_off
+
+
 def minhash_params(cfg: SignatureConfig) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) multiply-shift permutation params."""
     rng = np.random.default_rng(cfg.seed)

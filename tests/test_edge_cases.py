@@ -90,3 +90,68 @@ def test_null_and_empty_transcripts(ray_session):
         )
     res = NearDupPipeline(DedupConfig()).run(rd.from_arrow(_clips_table(rows))).to_pandas()
     assert len(res) == 4                      # nothing crashes, all labeled
+
+
+def test_hash_collision_does_not_merge_distinct_keys():
+    """Planted 64-bit key-hash collision: rows with DIFFERENT real keys but
+    the SAME _key_hash must never merge — the hash is only the partitioner
+    (VERDICT r1 #4; birthday bound at 10^12 rows makes collisions certain)."""
+    import pandas as pd
+
+    from deduplidog_ray.pipelines.exact import (
+        _keep_first_partition,
+        _report_partition,
+        _singletons_partition,
+    )
+
+    g = pd.DataFrame(
+        {
+            "_key_hash": [7, 7, 7],  # collision: alpha and beta share a hash
+            "_k": ["alpha", "beta", "alpha"],
+            "doc_id": [2, 1, 3],
+            "_part": [0, 0, 0],
+        }
+    )
+    kept = _keep_first_partition(g, ["_k"], "doc_id")
+    assert sorted(kept["doc_id"]) == [1, 2]  # beta kept, alpha keeps min id
+
+    rep = _report_partition(g, ["_k"], "doc_id")
+    assert rep.to_dict("records") == [{"doc_id": 2, "n_dups": 2}]
+
+    single = _singletons_partition(g, ["_k"])
+    assert list(single["_k"]) == ["beta"]
+
+
+def test_containment_short_docs_and_midtoken(ray_session, tmp_path):
+    """Containment is exact for inputs BELOW the winnowing guarantee
+    (short docs → broadcast sideband) and for mid-token char substrings
+    (char-level shingles) — both misses in the round-1 token design."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.containment import contained_doc_pairs
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "the quick brown fox jumps over the lazy dog while the band plays on and on",
+                "quick brown fox jumps over the lazy dog while the band plays on",
+                "x fox",
+                "ick brown fox jumps over the lazy dog while the band play",
+                "og",
+                "zzz totally unrelated content here with nothing shared",
+            ],
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    got = contained_doc_pairs(rd.read_parquet(p))
+    want = duckdb.sql(
+        f"""SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+            FROM read_parquet('{p}') a JOIN read_parquet('{p}') b
+            ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0
+            ORDER BY 1, 2"""
+    ).fetchdf().astype({"contained_id": "int64", "container_id": "int64"})
+    assert got.reset_index(drop=True).equals(want)
