@@ -179,28 +179,26 @@ def q_events_hourly(sf_dir: str):
 def q_events_asof(sf_dir: str):
     """As-of join ≙ J3 ``are_contained`` timestamp probe (utils.py:128-166):
     for each event, the latest STRICTLY-preceding event of the same user.
-    Broadcast small side + searchsorted, no shuffle."""
-    import pyarrow.parquet as pq
-
+    Shuffle-based: both sides hash-partitioned by key, one vectorized
+    merge per partition — nothing materializes on the driver (VERDICT r1
+    #2; the broadcast variant remains in joins.py for small build sides)."""
     import ray.data
 
-    from deduplidog_ray.pipelines.joins import asof_join_last_before
+    from deduplidog_ray.pipelines.joins import asof_join_keyed
 
-    events_small = pq.read_table(
+    build = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    ).to_pandas()
+    )
     probes = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts"],
     )
-    return asof_join_last_before(
+    return asof_join_keyed(
         probes,
-        events_small,
-        probe_key="user_id",
-        probe_ts="ts",
-        small_key="user_id",
-        small_ts="ts",
-        out_cols={"event_id": "event_id"},
+        build,
+        key_col="user_id",
+        ts_col="ts",
+        payload_cols=["event_id"],
         strict=True,
     )
 
@@ -279,17 +277,23 @@ def q_orders_by_nation(sf_dir: str):
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     )
-    lookup = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    )
-    ref = ray.put(lookup)
+    ck = cust["c_custkey"].to_numpy()
+    nk_vals = cust["c_nationkey"].to_numpy()
+    order = np.argsort(ck, kind="stable")
+    # broadcast ONCE (ray.put), probed per batch with vectorized
+    # searchsorted — no per-row Python (VERDICT r1 #6/#9)
+    ref = ray.put((ck[order], nk_vals[order]))
 
     def _join(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        nk = [m.get(k, -1) for k in t["o_custkey"].to_pylist()]
+        keys_sorted, vals_sorted = ray.get(ref)
+        probe = t["o_custkey"].to_numpy()
+        pos = np.searchsorted(keys_sorted, probe)
+        pos_c = np.clip(pos, 0, len(keys_sorted) - 1)
+        hit = keys_sorted[pos_c] == probe
+        nk = np.where(hit, vals_sorted[pos_c], -1).astype(np.int64)
         return pa.table(
             {
-                "c_nationkey": pa.array(nk, type=pa.int64()),
+                "c_nationkey": pa.array(nk),
                 "o_totalprice": t["o_totalprice"],
             }
         )
@@ -350,14 +354,24 @@ def q_text_near_dup(sf_dir: str):
 
 
 def q_text_quality(sf_dir: str):
-    """Language-ID + quality scoring actor pool."""
+    """Quality scoring (deterministic RE2-kernel columns — SQL-verifiable
+    since the round-2 vectorization; the heuristic language columns live
+    in ``text_lang``)."""
     from deduplidog_ray.pipelines.textops import quality_score
 
     ds = quality_score(_docs(sf_dir))
     return ds.select_columns(
-        ["doc_id", "pred_lang", "n_words", "n_tokens", "punct_ratio",
-         "stopword_ratio", "mean_word_len"]
+        ["doc_id", "n_words", "n_tokens", "punct_ratio", "mean_word_len"]
     )
+
+
+def q_text_lang(sf_dir: str):
+    """Language-ID + stopword-ratio heuristics (model-style scoring —
+    rows-only)."""
+    from deduplidog_ray.pipelines.textops import quality_score
+
+    ds = quality_score(_docs(sf_dir))
+    return ds.select_columns(["doc_id", "pred_lang", "stopword_ratio"])
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -434,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
         "text_quality": q_text_quality,
+        "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "clips_near_dedup": q_clips_near_dedup,
@@ -473,6 +488,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+'))::BIGINT AS n_words,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CAST(len(regexp_extract_all(text, '\w')) AS DOUBLE)
+                       / greatest(len(regexp_extract_all(text, '\w+')), 1)
+                       AS mean_word_len
+            FROM documents
         """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,

@@ -26,20 +26,30 @@ def keep_canonical(
     the standard training-data dedup consumption. Canonical ids are
     broadcast (ray.put once) — a semi-join filter, no shuffle.
     """
-    ids = set()
-    for b in results.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        mask = np.asarray(b["is_canonical"].to_pylist(), dtype=bool)
-        act = np.asarray(b["action"].to_pylist(), dtype=object)
-        for cid in np.asarray(b["clip_id"].to_pylist(), dtype=object)[
-            mask & (act != "quarantine")
-        ]:
-            ids.add(cid)
-    ref = ray.put(ids)
+    ids = (
+        results.map_batches(
+            lambda t: t.select(["clip_id"]).filter(
+                pa.compute.and_(
+                    t["is_canonical"].combine_chunks()
+                    if isinstance(t["is_canonical"], pa.ChunkedArray)
+                    else t["is_canonical"],
+                    pa.compute.not_equal(t["action"], "quarantine"),
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()["clip_id"]
+        .to_numpy()
+    )
+    ref = ray.put(pa.array(ids, type=pa.string()))
+    _memo: dict[str, pa.Array] = {}
 
     def _filter(t: pa.Table) -> pa.Table:
-        keep = ray.get(ref)
-        m = np.array([c in keep for c in t["clip_id"].to_pylist()], dtype=bool)
-        return t.take(pa.array(np.nonzero(m)[0]))
+        if "ks" not in _memo:
+            _memo["ks"] = ray.get(ref)
+        mask = pa.compute.is_in(t["clip_id"], value_set=_memo["ks"])
+        return t.filter(mask)
 
     return clips.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -50,25 +60,30 @@ def annotate_actions(
     """Attach (cluster_id, is_canonical, action) to every clip row —
     ≙ ``rename``/flag mode A1 (deduplidog.py:613-632): mark, don't drop.
     Broadcast map join (results are small relative to clip payloads)."""
-    table: dict[str, tuple] = {}
-    for b in results.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for cid, cl, can, act in zip(
-            b["clip_id"].to_pylist(),
-            b["cluster_id"].to_pylist(),
-            b["is_canonical"].to_pylist(),
-            b["action"].to_pylist(),
-        ):
-            table[cid] = (cl, can, act)
-    ref = ray.put(table)
+    import pandas as pd
+
+    rdf = results.select_columns(
+        ["clip_id", "cluster_id", "is_canonical", "action"]
+    ).to_pandas()
+    # broadcast ONCE; per batch a vectorized pandas hash-merge, no
+    # per-row Python (VERDICT r1 #9)
+    ref = ray.put(rdf)
+    _memo: dict[str, object] = {}
 
     def _annotate(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids = t["clip_id"].to_pylist()
-        rows = [m.get(c, (c, True, "keep")) for c in ids]
+        if "m" not in _memo:
+            _memo["m"] = ray.get(ref)
+        m = _memo["m"]
+        left = pd.DataFrame({"clip_id": t["clip_id"].to_pandas()})
+        j = left.merge(m, on="clip_id", how="left")
+        hit = j["cluster_id"].notna().to_numpy()
+        cluster = np.where(hit, j["cluster_id"].to_numpy(), left["clip_id"].to_numpy())
+        canon = np.where(hit, j["is_canonical"].to_numpy(), True).astype(bool)
+        action = np.where(hit, j["action"].to_numpy(), "keep")
         for name, arr in [
-            ("cluster_id", pa.array([r[0] for r in rows], type=pa.string())),
-            ("is_canonical", pa.array([r[1] for r in rows], type=pa.bool_())),
-            ("action", pa.array([r[2] for r in rows], type=pa.string())),
+            ("cluster_id", pa.array(cluster, type=pa.string())),
+            ("is_canonical", pa.array(canon, type=pa.bool_())),
+            ("action", pa.array(action, type=pa.string())),
         ]:
             if name in t.column_names:
                 t = t.drop_columns([name])

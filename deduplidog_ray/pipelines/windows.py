@@ -1,24 +1,135 @@
 """Stream-shaped window operators over an ordered, keyed events table.
 
 Ray Data is a batch engine with no event-time watermarks (ray_guide):
-stream semantics are expressed as "partition by key, sort by ts within the
-partition, window with pandas" — the reference has no streaming concepts
-either (SURVEY.md §2.10; its one ordered construct is the mtime-window
-probe J3, utils.py:128-166). Ordering assumption: windows are computed
-per key over that key's events sorted by ``ts``; cross-key order is
-irrelevant.
+stream semantics are expressed as "hash-partition by key, sort by (key,
+ts) within the partition, window all keys of the partition in ONE
+vectorized kernel" — the reference has no streaming concepts either
+(SURVEY.md §2.10; its one ordered construct is the mtime-window probe J3,
+utils.py:128-166).
 
-Operators: tumbling aggregate (see also __ray_entry__ events_hourly),
-sliding-window counts, and session windows (gap-based), each
-SQL-expressible for the DuckDB oracle.
+EXECUTION SHAPE (round-2 rewrite): round 1 grouped by the raw key —
+one Python UDF dispatch per distinct key, the exact pathology measured at
+135k calls ≈ 70 s in the flagship's history. Now the groupby key is
+``hash(key) % P``: P UDF calls total, and inside each partition the
+windowing is lexsort + segment boundaries over every key at once (same
+code shape as stages/verify.py's verify_partition_table).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
+
+from deduplidog_ray.stages.hashing import hash_strings_u64, mix64
+
+DEFAULT_PARTITIONS = 64
+
+
+def _add_part(
+    ds: ray.data.Dataset, key_col: str, partitions: int
+) -> ray.data.Dataset:
+    """Append ``_part = hash(key) % P`` (vectorized; string or int keys)."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash_strings_u64(col.to_pylist(), seed=0x5E55)
+        else:
+            h = mix64(col.to_numpy().astype(np.uint64), seed=0x5E55)
+        part = (h % np.uint64(partitions)).astype(np.int64)
+        if "_part" in t.column_names:
+            t = t.drop_columns(["_part"])
+        return t.append_column("_part", pa.array(part))
+
+    return ds.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sessions_partition(
+    g: pd.DataFrame, key_col: str, ts_col: str, gap_seconds: float
+) -> pd.DataFrame:
+    """All keys of one hash partition, one vectorized pass: lexsort by
+    (key, ts), flag session starts at key boundaries or gaps, then emit
+    per-session aggregates from segment boundaries."""
+    codes, uniques = pd.factorize(g[key_col], sort=False)
+    ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    order = np.lexsort((ts, codes))
+    codes_s, ts_s = codes[order], ts[order]
+    n = len(codes_s)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=g[key_col].dtype),
+                "session_id": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "start_ts": pd.Series(dtype="datetime64[ns]"),
+                "end_ts": pd.Series(dtype="datetime64[ns]"),
+            }
+        )
+    new_key = np.r_[True, codes_s[1:] != codes_s[:-1]]
+    gap = np.r_[True, (ts_s[1:] - ts_s[:-1]) / 1e9 > gap_seconds]
+    new_sess = new_key | gap
+    bnd = np.flatnonzero(new_sess)                      # session start rows
+    ends = np.r_[bnd[1:], n]
+    skey = codes_s[bnd]
+    # per-key 1-based session numbering
+    key_start = np.flatnonzero(np.r_[True, skey[1:] != skey[:-1]])
+    sess_per_key = np.diff(np.r_[key_start, len(skey)])
+    session_id = (
+        np.arange(len(skey)) - np.repeat(key_start, sess_per_key) + 1
+    )
+    return pd.DataFrame(
+        {
+            key_col: uniques[skey],
+            "session_id": session_id.astype(np.int64),
+            "n_events": (ends - bnd).astype(np.int64),
+            "start_ts": ts_s[bnd].astype("datetime64[ns]"),
+            "end_ts": ts_s[ends - 1].astype("datetime64[ns]"),
+        }
+    )
+
+
+def _slide_partition(
+    g: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    slide_seconds: float,
+    k: int,
+) -> pd.DataFrame:
+    """All keys of one hash partition: replicate each event into its k
+    covering windows, then count per (key, window) via lexsort + reduceat."""
+    codes, uniques = pd.factorize(g[key_col], sort=False)
+    ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64) / 1e9
+    base = np.floor(ts / slide_seconds).astype(np.int64)
+    # event at slide-bucket b belongs to windows starting b-k+1 .. b
+    starts = np.concatenate([base - i for i in range(k)])
+    keys_r = np.tile(codes, k)
+    order = np.lexsort((starts, keys_r))
+    keys_s, starts_s = keys_r[order], starts[order]
+    n = len(keys_s)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=g[key_col].dtype),
+                "window_start": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+            }
+        )
+    bnd = np.flatnonzero(
+        np.r_[True, (keys_s[1:] != keys_s[:-1]) | (starts_s[1:] != starts_s[:-1])]
+    )
+    counts = np.diff(np.r_[bnd, n])
+    return pd.DataFrame(
+        {
+            key_col: uniques[keys_s[bnd]],
+            "window_start": (starts_s[bnd] * int(slide_seconds)).astype(
+                np.int64
+            ),
+            "n_events": counts.astype(np.int64),
+        }
+    )
 
 
 def sessionize(
@@ -26,33 +137,19 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
+    partitions: int = DEFAULT_PARTITIONS,
 ) -> ray.data.Dataset:
     """Session windows: a new session starts when the gap from the previous
     event of the same key exceeds ``gap_seconds``.
 
     Output: (key, session_id [1-based per key], n_events, start_ts, end_ts).
-    Key cardinality is the parallelism unit here; for high-cardinality keys
-    group by ``hash(key) % P`` instead (the engine's standard partition
-    pattern) — the windowing inside is unchanged.
     """
-
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].to_numpy()
-        gaps = np.diff(ts.astype("datetime64[ns]").astype(np.int64)) / 1e9
-        new_sess = np.concatenate([[1], (gaps > gap_seconds).astype(np.int64)])
-        sess = np.cumsum(new_sess)
-        g = g.assign(_sess=sess)
-        agg = g.groupby("_sess", sort=True).agg(
-            n_events=(ts_col, "size"),
-            start_ts=(ts_col, "min"),
-            end_ts=(ts_col, "max"),
-        )
-        agg = agg.reset_index().rename(columns={"_sess": "session_id"})
-        agg.insert(0, key_col, g[key_col].iloc[0])
-        return agg
-
-    return ds.groupby(key_col).map_groups(_sessions, batch_format="pandas")
+    parted = _add_part(ds, key_col, partitions)
+    out = parted.groupby("_part").map_groups(
+        lambda g: _sessions_partition(g, key_col, ts_col, gap_seconds),
+        batch_format="pandas",
+    )
+    return out
 
 
 def sliding_window_counts(
@@ -61,25 +158,15 @@ def sliding_window_counts(
     ts_col: str = "ts",
     window_seconds: float = 3600.0,
     slide_seconds: float = 1800.0,
+    partitions: int = DEFAULT_PARTITIONS,
 ) -> ray.data.Dataset:
     """Sliding windows: event counts per (key, window_start) where windows
-    advance by ``slide_seconds`` and span ``window_seconds``. An event in
+    advance by ``slide_seconds`` and span ``window_seconds``. An event is in
     k = window/slide consecutive windows. Output: (key, window_start
     [epoch-seconds], n_events)."""
     k = int(round(window_seconds / slide_seconds))
-
-    def _slide(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64) / 1e9
-        base = np.floor(ts / slide_seconds).astype(np.int64)
-        # event at slide-bucket b belongs to windows starting b-k+1 .. b
-        starts = np.concatenate([base - i for i in range(k)])
-        uniq, cnt = np.unique(starts, return_counts=True)
-        return pd.DataFrame(
-            {
-                key_col: g[key_col].iloc[0],
-                "window_start": (uniq * int(slide_seconds)).astype(np.int64),
-                "n_events": cnt.astype(np.int64),
-            }
-        )
-
-    return ds.groupby(key_col).map_groups(_slide, batch_format="pandas")
+    parted = _add_part(ds, key_col, partitions)
+    return parted.groupby("_part").map_groups(
+        lambda g: _slide_partition(g, key_col, ts_col, slide_seconds, k),
+        batch_format="pandas",
+    )
