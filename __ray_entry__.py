@@ -384,8 +384,11 @@ def q_embedding_near_dup(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     # the synthetic embeddings' max off-diagonal cosine is ~0.48; use a
-    # threshold that exercises the bucket-verify path on this corpus
-    return embedding_near_dup_pairs(ds, threshold=0.35, n_bits=4)
+    # threshold that exercises the banded-LSH verify path on this corpus
+    # (bands=32, r=4 gives ~0.99 collision prob at cosine 0.35)
+    return embedding_near_dup_pairs(
+        ds, threshold=0.35, bands=32, bits_per_band=4
+    )
 
 
 def q_knn_cosine_lsh(sf_dir: str):

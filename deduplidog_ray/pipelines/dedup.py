@@ -145,22 +145,30 @@ class NearDupPipeline:
         import glob
         import os
 
-        done = self.ckpt.done_partitions("signatures")
         for pid, group in enumerate(groups):
+            # lineage check: same config AND same input fragments
+            # (paths+sizes+mtimes) — added/removed/rewritten inputs
+            # invalidate the partition (ADVICE r1)
+            fh = self.ckpt.fragments_hash(group)
             # a manifest entry whose files were deleted self-heals
             have_files = bool(
                 glob.glob(
                     os.path.join(self.ckpt.partition_dir("signatures", pid), "*.parquet")
                 )
             )
-            if (pid in done and have_files) or not group:
+            if (self.ckpt.is_done("signatures", pid, fh) and have_files) or not group:
                 continue
             t0 = time.monotonic()
             ds = self.signatures(read_fragments(group))
-            self.ckpt.write_partition("signatures", pid, ds, group, t0)
+            self.ckpt.write_partition("signatures", pid, ds, group, t0,
+                                      input_hash=fh)
         import ray.data as rd
 
-        return rd.read_parquet(self.ckpt.stage_files("signatures"))
+        # read ONLY this run's pids — a previous run over a larger input
+        # may have left stale higher-numbered partitions behind
+        return rd.read_parquet(
+            self.ckpt.stage_files_for("signatures", range(len(groups)))
+        )
 
     # ------------------------------------------------------------ stage 2
     def pairs(self, sig_ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -196,7 +204,15 @@ class NearDupPipeline:
             zero_copy_batch=True,
         )
         if ex.exchange == "hive":
-            return self._pairs_hive_exchange(exploded)
+            if self._hive_exchange_safe():
+                return self._pairs_hive_exchange(exploded)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hive exchange needs a single node or shared storage "
+                "(set DEDUPLIDOG_SHARED_EXCHANGE=1 if the exchange dir is "
+                "on S3/NFS); falling back to the sort-based exchange"
+            )
         # groupby the HASH PARTITION id (P groups → P vectorized UDF calls),
         # never the raw band key (millions of per-group Python dispatches)
         mixed = exploded.groupby("part").map_groups(
@@ -235,6 +251,19 @@ class NearDupPipeline:
             make_rep_verifier(cfg), batch_format="pyarrow"
         )
         return pairs1.union(pairs2)
+
+    def _hive_exchange_safe(self) -> bool:
+        """The hive exchange writes band rows to a directory that every
+        verify task must be able to read. On one node that's trivially
+        true; on a multi-node cluster it is ONLY true when the directory
+        is on shared storage — band rows written by remote workers would
+        otherwise be invisible to the per-partition readers and their
+        duplicate pairs silently dropped (ADVICE r1). The operator asserts
+        shared storage with DEDUPLIDOG_SHARED_EXCHANGE=1."""
+        alive = [n for n in ray.nodes() if n.get("Alive", False)]
+        if len(alive) <= 1:
+            return True
+        return os.environ.get("DEDUPLIDOG_SHARED_EXCHANGE") == "1"
 
     def _pairs_hive_exchange(self, exploded: ray.data.Dataset) -> ray.data.Dataset:
         """MapReduce-style band-row exchange: map-side hive-partitioned
@@ -388,18 +417,10 @@ class NearDupPipeline:
         )
         # normalize to Arrow blocks so the union with the (Arrow) singleton
         # branch doesn't mix block types (iter_batches asserts homogeneity)
+        from deduplidog_ray.schema import RESULT_SCHEMA
+
         canon = canon.map_batches(
-            lambda t: t.cast(
-                pa.schema(
-                    [
-                        ("clip_id", pa.string()),
-                        ("cluster_id", pa.string()),
-                        ("is_canonical", pa.bool_()),
-                        ("action", pa.string()),
-                        ("reasons", pa.list_(pa.string())),
-                    ]
-                )
-            ),
+            lambda t: t.select(RESULT_SCHEMA.names).cast(RESULT_SCHEMA),
             batch_format="pyarrow",
         )
 
@@ -407,6 +428,7 @@ class NearDupPipeline:
             t = _split(t, False)
             ids = t["clip_id"].to_pylist()
             errs = t["decode_error"].to_pylist()
+            durs = t["dur_ms"].to_numpy(zero_copy_only=False)
             # explicitly typed (empty batches must not infer null/double
             # columns — Ray's union checks schema consistency)
             return pa.table(
@@ -424,6 +446,9 @@ class NearDupPipeline:
                             for e in errs
                         ],
                         type=pa.list_(pa.string()),
+                    ),
+                    "canonical_dur_ms": pa.array(
+                        durs.astype(np.int32), type=pa.int32()
                     ),
                 }
             )
@@ -467,7 +492,10 @@ class NearDupPipeline:
         policy["cluster_id"] = policy["clip_id"].map(clusters)
         canon_df = make_canonicalizer(cfg.canonical, reasons)(policy)
         result_map = {
-            r.clip_id: (r.cluster_id, r.is_canonical, r.action, r.reasons)
+            r.clip_id: (
+                r.cluster_id, r.is_canonical, r.action, r.reasons,
+                r.canonical_dur_ms,
+            )
             for r in canon_df.itertuples()
         }
         map_ref = ray.put(result_map)
@@ -476,9 +504,10 @@ class NearDupPipeline:
             m = ray.get(map_ref)
             ids = t["clip_id"].to_pylist()
             errs = t["decode_error"].to_pylist()
+            durs = t["dur_ms"].to_numpy(zero_copy_only=False)
             out = {"clip_id": [], "cluster_id": [], "is_canonical": [],
-                   "action": [], "reasons": []}
-            for cid, err in zip(ids, errs):
+                   "action": [], "reasons": [], "canonical_dur_ms": []}
+            for cid, err, dur in zip(ids, errs, durs):
                 ent = m.get(cid)
                 if ent is not None:
                     out["clip_id"].append(cid)
@@ -486,6 +515,7 @@ class NearDupPipeline:
                     out["is_canonical"].append(bool(ent[1]))
                     out["action"].append(ent[2])
                     out["reasons"].append(list(ent[3]))
+                    out["canonical_dur_ms"].append(int(ent[4]))
                 else:
                     out["clip_id"].append(cid)
                     out["cluster_id"].append(cid)
@@ -496,6 +526,7 @@ class NearDupPipeline:
                     out["reasons"].append(
                         [f"decode_error: {err}"] if err is not None else []
                     )
+                    out["canonical_dur_ms"].append(int(dur))
             return pa.table(
                 {
                     "clip_id": pa.array(out["clip_id"], type=pa.string()),
@@ -503,6 +534,9 @@ class NearDupPipeline:
                     "is_canonical": pa.array(out["is_canonical"], type=pa.bool_()),
                     "action": pa.array(out["action"], type=pa.string()),
                     "reasons": pa.array(out["reasons"], type=pa.list_(pa.string())),
+                    "canonical_dur_ms": pa.array(
+                        out["canonical_dur_ms"], type=pa.int32()
+                    ),
                 }
             )
 
@@ -538,7 +572,10 @@ class NearDupPipeline:
         stage the north rule names: a killed job that finished the band
         shuffle resumes from the pair table without re-shuffling."""
         assert self.ckpt is not None
-        if 0 in self.ckpt.done_partitions("pairs"):
+        # pairs lineage = the signature checkpoint files feeding this run;
+        # recomputed signatures (new input / config) invalidate the pairs
+        sig_hash = self.ckpt.fragments_hash(self.ckpt.stage_files("signatures"))
+        if self.ckpt.is_done("pairs", 0, sig_hash):
             files = self.ckpt.stage_files("pairs")
             if files:                      # manifest entry with deleted files
                 import ray.data as rd      # → fall through and recompute
@@ -547,7 +584,8 @@ class NearDupPipeline:
         t0 = time.monotonic()
         pairs_ds = self.pairs(sig_ds)
         # the pair table is small (pairs, not rows) → one partition
-        self.ckpt.write_partition("pairs", 0, pairs_ds, ["<signatures>"], t0)
+        self.ckpt.write_partition("pairs", 0, pairs_ds, ["<signatures>"], t0,
+                                  input_hash=sig_hash)
         import ray.data as rd
 
         return rd.read_parquet(self.ckpt.stage_files("pairs"))

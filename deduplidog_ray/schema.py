@@ -81,5 +81,9 @@ RESULT_SCHEMA = pa.schema(
         ("is_canonical", pa.bool_()),
         ("action", pa.string()),        # flag | drop | replace | link | keep
         ("reasons", pa.list_(pa.string())),
+        # A5 metadata propagation (≙ set_both_to_older_date,
+        # deduplidog.py:547-553): the canonical member's authoritative
+        # duration, adopted by every cluster member.
+        ("canonical_dur_ms", pa.int32()),
     ]
 )

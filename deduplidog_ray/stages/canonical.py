@@ -38,6 +38,7 @@ _EMPTY = pd.DataFrame(
         "is_canonical": pd.Series(dtype="bool"),
         "action": pd.Series(dtype="object"),
         "reasons": pd.Series(dtype="object"),
+        "canonical_dur_ms": pd.Series(dtype="int32"),
     }
 )
 
@@ -71,6 +72,21 @@ def make_canonicalizer(
             "first"
         )
         bigger = (df["n_bytes"] > canon_size) & ~is_canon
+        # A5 metadata propagation ≙ set_both_to_older_date /
+        # _change_file_date (reference deduplidog.py:547-553, :681-696):
+        # every member adopts the canonical's authoritative duration, and a
+        # member whose own metadata would SHRINK gets the warning the
+        # reference raises when a replace would lose the older timestamp.
+        canon_dur = (
+            df.groupby("cluster_id", sort=False)["dur_ms"].transform("first")
+            if "dur_ms" in df.columns
+            else pd.Series(np.zeros(len(df), dtype="int32"), index=df.index)
+        )
+        longer = (
+            (df["dur_ms"] > canon_dur) & ~is_canon
+            if "dur_ms" in df.columns
+            else pd.Series(False, index=df.index)
+        )
 
         action = np.full(len(df), policy.action, dtype=object)
         if policy.skip_bigger:
@@ -81,9 +97,18 @@ def make_canonicalizer(
 
         base_reasons = df["clip_id"].map(lambda c: list(reasons_by_clip.get(c, [])))
         delta = (df["n_bytes"] - canon_size).to_numpy()
+        ddur = (
+            (df["dur_ms"] - canon_dur).to_numpy()
+            if "dur_ms" in df.columns
+            else np.zeros(len(df), dtype=np.int64)
+        )
         reasons = [
-            (r + [f"SIZE WARNING {int(d)} B"]) if big else r
-            for r, big, d in zip(base_reasons, bigger.to_numpy(), delta)
+            r
+            + ([f"SIZE WARNING {int(d)} B"] if big else [])
+            + ([f"DUR WARNING +{int(dd)} ms"] if lng else [])
+            for r, big, d, lng, dd in zip(
+                base_reasons, bigger.to_numpy(), delta, longer.to_numpy(), ddur
+            )
         ]
         return pd.DataFrame(
             {
@@ -92,6 +117,7 @@ def make_canonicalizer(
                 "is_canonical": is_canon.to_numpy(),
                 "action": action,
                 "reasons": reasons,
+                "canonical_dur_ms": canon_dur.to_numpy().astype("int32"),
             }
         )
 

@@ -66,6 +66,50 @@ class CheckpointManager:
             if r["stage"] == stage and r["config"] == self.semantic_hash
         }
 
+    def fragments_hash(self, fragments: list[str]) -> str:
+        """Input-lineage hash: paths + sizes + mtimes of a partition's
+        fragments. Any added/removed/rewritten input fragment changes the
+        hash and invalidates the partition (ADVICE r1: config hash alone
+        let a changed data dir silently reuse stale checkpoints)."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=8)
+        for p in sorted(fragments):
+            try:
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(p.encode())
+        return h.hexdigest()
+
+    def is_done(self, stage: str, pid: int, input_hash: str | None = None) -> bool:
+        """True iff the LATEST manifest line for (stage, pid) matches the
+        current semantic config AND (when given) the input lineage hash."""
+        last: dict | None = None
+        for r in self._read_manifest():
+            if r["stage"] == stage and r["partition"] == pid:
+                last = r
+        if last is None or last["config"] != self.semantic_hash:
+            return False
+        return input_hash is None or last.get("input_hash") == input_hash
+
+    def stage_files_for(self, stage: str, pids) -> list[str]:
+        """Parquet files for an explicit pid list (the current run's
+        partitioning — excludes stale higher-numbered partitions left by a
+        previous run over a larger input)."""
+        import glob
+
+        out: list[str] = []
+        for p in sorted(pids):
+            out.extend(
+                sorted(
+                    glob.glob(
+                        os.path.join(self.partition_dir(stage, p), "*.parquet")
+                    )
+                )
+            )
+        return out
+
     def metrics(self) -> list[dict]:
         return self._read_manifest()
 
@@ -88,7 +132,7 @@ class CheckpointManager:
         return out
 
     def write_partition(self, stage: str, pid: int, ds, fragments: list[str],
-                        t_start: float) -> None:
+                        t_start: float, input_hash: str | None = None) -> None:
         """Atomically write one partition's output + manifest line.
 
         ``ds`` is a ray.data.Dataset — written to a tmp dir then renamed,
@@ -119,8 +163,17 @@ class CheckpointManager:
             rows=rows,
             seconds=time.monotonic() - t_start,
         )
+        line = {
+            **rec.__dict__,
+            "rows_per_sec": rec.rows_per_sec,
+            "input_hash": (
+                input_hash
+                if input_hash is not None
+                else self.fragments_hash(fragments)
+            ),
+        }
         with open(self.manifest_path, "a") as f:
-            f.write(json.dumps({**rec.__dict__, "rows_per_sec": rec.rows_per_sec}) + "\n")
+            f.write(json.dumps(line) + "\n")
 
     def write_skew_metrics(self, hot_keys: dict[int, int], cap: int) -> None:
         path = os.path.join(self.workdir, "skew_metrics.json")

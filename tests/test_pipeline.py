@@ -84,3 +84,29 @@ def test_determinism_two_runs(ray_session, corpus):
     m1 = dict(zip(r1["clip_id"], zip(r1["cluster_id"], r1["action"])))
     m2 = dict(zip(r2["clip_id"], zip(r2["cluster_id"], r2["action"])))
     assert m1 == m2
+
+
+def test_canonical_metadata_propagation():
+    """A5 analog (reference set_both_to_older_date / _change_file_date,
+    deduplidog.py:547-553, :681-696): every member adopts the canonical's
+    dur_ms, and members whose own duration exceeds it get a DUR WARNING."""
+    import pandas as pd
+
+    from deduplidog_ray.config import CanonicalPolicy
+    from deduplidog_ray.stages.canonical import make_canonicalizer
+
+    g = pd.DataFrame(
+        {
+            "clip_id": ["c1", "c2", "c3"],
+            "cluster_id": ["k", "k", "k"],
+            "n_bytes": [300, 200, 100],
+            "dur_ms": [1000, 1500, 900],
+        }
+    )
+    out = make_canonicalizer(CanonicalPolicy())(g).set_index("clip_id")
+    # c1 canonical (biggest) → everyone adopts dur 1000
+    assert bool(out.loc["c1", "is_canonical"])
+    assert list(out["canonical_dur_ms"]) == [1000, 1000, 1000]
+    assert any("DUR WARNING +500 ms" in r for r in out.loc["c2", "reasons"])
+    assert not any("DUR WARNING" in r for r in out.loc["c3", "reasons"])
+    assert not any("DUR WARNING" in r for r in out.loc["c1", "reasons"])

@@ -91,3 +91,36 @@ def test_config_change_invalidates_checkpoint(ray_session, tmp_path):
     cfg2 = replace(cfg1, signature=replace(cfg1.signature, shingle_k=4))
     pipe = NearDupPipeline(cfg2, workdir=work)
     assert pipe.ckpt.done_partitions("signatures") == set()   # stale → ignored
+
+
+def test_changed_input_invalidates_partition(ray_session, tmp_path):
+    """ADVICE r1: rerunning the same workdir after an input fragment
+    changed must recompute the affected partitions, not silently reuse
+    stale signature/pairs checkpoints."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    data_dir = str(tmp_path / "clips")
+    write_corpus(data_dir, n_clusters=3, n_singletons=2, seed=33)
+    work = str(tmp_path / "work")
+    cfg = DedupConfig()
+    res1 = NearDupPipeline(cfg, workdir=work).run(data_dir, partitions=2).to_pandas()
+
+    # rewrite one input fragment: drop its last row (size+mtime change)
+    frag = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))[0]
+    t = pq.read_table(frag)
+    removed = t["clip_id"][len(t) - 1].as_py()
+    pq.write_table(t.slice(0, len(t) - 1), frag)
+
+    res2 = NearDupPipeline(cfg, workdir=work).run(data_dir, partitions=2).to_pandas()
+    assert removed in set(res1["clip_id"])
+    assert removed not in set(res2["clip_id"])      # stale row NOT reused
+    assert len(res2) == len(res1) - 1
+
+    manifest = os.path.join(work, "manifest.jsonl")
+    recs = [json.loads(x) for x in open(manifest) if x.strip()]
+    sig_recs = [r for r in recs if r["stage"] == "signatures"]
+    # at least one signature partition recomputed (appended manifest line)
+    assert len(sig_recs) > 2
+    assert all("input_hash" in r for r in recs)

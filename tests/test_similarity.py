@@ -1,0 +1,73 @@
+"""Recall gates for the approximate similarity paths (VERDICT r1 #7).
+
+Both LSH operators are measured against exact in-repo oracles at
+sf0.001: banded near-dup vs the brute-force cosine pair set, multi-table
+kNN vs ``knn_cosine_bruteforce`` (itself SQL-oracle-verified).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+EMB = f"{SF_DIR}/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    from deduplidog_ray.pipelines.similarity import _normalize
+
+    m = _normalize(
+        np.stack([np.asarray(x) for x in t["embedding"].to_pylist()]).astype(
+            np.float64
+        )
+    )
+    return t["vec_id"].to_numpy(), m
+
+
+def test_embedding_near_dup_recall(ray_session, corpus):
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    ids, m = corpus
+    threshold = 0.35  # synthetic corpus: max off-diagonal cosine ~0.48
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), 1)
+    mask = sims[iu] >= threshold
+    want = set(zip(ids[iu[0][mask]], ids[iu[1][mask]]))
+    assert want, "oracle should produce pairs at this threshold"
+
+    ds = rd.read_parquet(EMB, columns=["vec_id", "embedding"])
+    got = embedding_near_dup_pairs(
+        ds, threshold=threshold, bands=32, bits_per_band=4
+    ).to_pandas()
+    gotset = set(zip(got["a"], got["b"]))
+    recall = len(gotset & want) / len(want)
+    assert recall >= 0.95, (recall, len(want))
+    # the verify stage is exact: no false positives, ever
+    assert not (gotset - want)
+
+
+def test_knn_lsh_recall(ray_session, corpus):
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.similarity import (
+        knn_cosine_bruteforce,
+        knn_cosine_lsh,
+    )
+
+    t = pq.read_table(EMB)
+    qdf = t.slice(0, 3).to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = rd.read_parquet(EMB, columns=["vec_id", "embedding"])
+    bf = knn_cosine_bruteforce(ds, queries, k=10, dtype=np.float64)
+    lsh = knn_cosine_lsh(ds, queries, k=10)
+    bfset = set(zip(bf["query_idx"], bf["vec_id"]))
+    lshset = set(zip(lsh["query_idx"], lsh["vec_id"]))
+    assert len(lsh) == len(bf)
+    recall = len(bfset & lshset) / len(bfset)
+    assert recall >= 0.8, recall
