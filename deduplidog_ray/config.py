@@ -130,15 +130,29 @@ class ExecutionConfig:
     decode_concurrency: int = 256          # UPPER BOUND on the decode actor
                                            # pool; the pipeline sizes the pool
                                            # to the cluster's CPUs at runtime
+    decode_actor_pool: bool = False        # True → fixed actor pool (use when
+                                           # codec/model state is expensive to
+                                           # build: real codec libs, ML models).
+                                           # False → task-pool map_batches that
+                                           # FUSES with the read (raw bytes
+                                           # never enter the object store) and
+                                           # never reserves CPUs from other
+                                           # stages — right when per-actor
+                                           # state is trivial (numpy codecs)
     hot_band_cap: int = 64                 # groups larger than this use star pairs
     verify_partitions: int = 64            # hash partitions for the band shuffle
                                            # (P ≈ 2-4× cluster cores; at scale,
                                            # data_size / target_partition_size)
-    exchange: str = "hive"                 # band-row exchange: "hive" = map-side
-                                           # partitioned parquet write + one read+
-                                           # verify task per partition (MapReduce-
-                                           # style, no sort barrier; measured 3x
-                                           # faster); "sort" = Ray groupby
+    exchange: str = "skinny"               # band-row exchange:
+                                           # "skinny" (default) = keys-only two-
+                                           # exchange routing + zero-copy plasma
+                                           # payload store (stages/pairgen.py) —
+                                           # ~10x fewer shuffled bytes;
+                                           # "hive" = map-side partitioned write
+                                           # of FULL payload rows + one verify
+                                           # task per partition;
+                                           # "sort" = Ray groupby (multi-node
+                                           # fallback without shared storage)
     pair_block_rows: int = 65536
     target_max_block_size: int | None = None  # DataContext override if set
 

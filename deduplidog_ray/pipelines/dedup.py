@@ -90,20 +90,35 @@ class NearDupPipeline:
     def signatures(self, clips: ray.data.Dataset) -> ray.data.Dataset:
         """decode → normalize → signature columns; drops ``bytes``."""
         ex = self.cfg.execution
-        # fixed-size pool sized to ~60% of the cluster: an autoscaling
-        # (1, N) pool ramps too slowly for short jobs; a pool taking every
-        # CPU starves the read and signature stages and serializes the
-        # pipeline (decode is ~60% of this stage's core-seconds)
-        avail = int(ray.cluster_resources().get("CPU", 8))
-        pool = max(1, min(ex.decode_concurrency, int(avail * 0.6)))
-        ds = clips.map_batches(
-            DecodeFingerprint,
-            batch_format="pyarrow",
-            batch_size=ex.decode_batch_size,
-            concurrency=pool,
-            num_cpus=1,
-            zero_copy_batch=True,
-        )
+        if ex.decode_actor_pool:
+            # fixed-size pool sized to ~60% of the cluster: an autoscaling
+            # (1, N) pool ramps too slowly for short jobs; a pool taking
+            # every CPU starves the read stage (actor CPU reservations are
+            # held while idle) and serializes the pipeline
+            avail = int(ray.cluster_resources().get("CPU", 8))
+            pool = max(1, min(ex.decode_concurrency, int(avail * 0.6)))
+            ds = clips.map_batches(
+                DecodeFingerprint,
+                batch_format="pyarrow",
+                batch_size=ex.decode_batch_size,
+                concurrency=pool,
+                num_cpus=1,
+                zero_copy_batch=True,
+            )
+        else:
+            # task-pool decode (default for the numpy codecs, whose per-
+            # actor state is a dict): FUSES with the read, so the raw
+            # ``bytes`` column never enters the object store, and no CPUs
+            # are reserved away from the read/signature stages. Measured:
+            # the 19-actor pool left the 32-CPU side ~2x under-utilized
+            # (pool idle waiting on a read constrained to the leftover
+            # cores) — the single biggest N→4N scaling cost of round 1.
+            ds = clips.map_batches(
+                DecodeFingerprint(),
+                batch_format="pyarrow",
+                batch_size=ex.decode_batch_size,
+                zero_copy_batch=True,
+            )
         # batch_size=None → one task per block: parallelism follows the
         # block layout instead of serializing into a few 4096-row batches
         ds = ds.map_batches(
@@ -159,7 +174,11 @@ class NearDupPipeline:
             if (self.ckpt.is_done("signatures", pid, fh) and have_files) or not group:
                 continue
             t0 = time.monotonic()
-            ds = self.signatures(read_fragments(group))
+            total = sum(os.path.getsize(f) for f in group if os.path.exists(f))
+            avail = int(ray.cluster_resources().get("CPU", 8))
+            want = max(avail * 2, total // (128 << 20))
+            nb = int(want) if len(group) < want else None
+            ds = self.signatures(read_fragments(group, override_num_blocks=nb))
             self.ckpt.write_partition("signatures", pid, ds, group, t0,
                                       input_hash=fh)
         import ray.data as rd
@@ -197,19 +216,22 @@ class NearDupPipeline:
         explode_batch = (
             max(512, n_rows // (2 * avail)) if n_rows else ex.batch_size
         )
+        use_skinny = ex.exchange == "skinny" and self._hive_exchange_safe()
         exploded = sig_ds.map_batches(                        # pass 2
-            make_explode_stage(cfg, hot_ref, active_ref),
+            make_explode_stage(cfg, hot_ref, active_ref, skinny=use_skinny),
             batch_format="pyarrow",
             batch_size=explode_batch,
             zero_copy_batch=True,
         )
-        if ex.exchange == "hive":
+        if use_skinny:
+            return self._pairs_skinny_exchange(sig_ds, exploded)
+        if ex.exchange in ("hive", "skinny"):
             if self._hive_exchange_safe():
                 return self._pairs_hive_exchange(exploded)
             import logging
 
             logging.getLogger(__name__).warning(
-                "hive exchange needs a single node or shared storage "
+                "hive/skinny exchange needs a single node or shared storage "
                 "(set DEDUPLIDOG_SHARED_EXCHANGE=1 if the exchange dir is "
                 "on S3/NFS); falling back to the sort-based exchange"
             )
@@ -334,6 +356,89 @@ class NearDupPipeline:
 
             return rd.from_arrow(PAIRS_EMPTY)
         return rd.from_arrow(pa.concat_tables(pair_tables))
+
+    def _pairs_skinny_exchange(
+        self, sig_ds: ray.data.Dataset, exploded: ray.data.Dataset
+    ) -> ray.data.Dataset:
+        """Two-exchange keys-only candidate routing (stages/pairgen.py).
+
+        Band rows ship ~40 B (vs ~450 B with the payload exchange); the
+        verify payload ships exactly ONCE into a plasma store that every
+        verify task maps zero-copy. Segment-level routing by member-set
+        hash collapses the ~20x duplicate-pair generation of near-identical
+        families before any pair is built — the job the rank filter did in
+        the payload design, without payload in the exchange.
+        """
+        import glob
+        import shutil
+        import uuid
+
+        from deduplidog_ray.stages.pairgen import REP_SCHEMA, STORE_COLUMNS
+
+        cfg = self.cfg
+        run_id = uuid.uuid4().hex[:8]
+        base = self.workdir or "/tmp/deduplidog_ray_exchange"
+        x1 = os.path.join(base, f"x1-{run_id}")
+        x2 = os.path.join(base, f"x2-{run_id}")
+
+        # payload store: one pass over the (materialized/checkpointed)
+        # signature table → ONE sorted plasma object; built concurrently
+        # with the exchange-1 write. At per-node-RAM-exceeding corpus
+        # sizes, shard by clip_h % S and route pair chunks per shard.
+        def _sel(t: pa.Table) -> pa.Table:
+            return t.select([c for c in STORE_COLUMNS if c in t.column_names])
+
+        t0 = time.monotonic()
+        payload_refs = sig_ds.map_batches(
+            _sel, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+        store_ref = _build_store_task.remote(payload_refs, cfg.signature.num_perm)
+        self.metrics["sec_store_launch"] = round(time.monotonic() - t0, 2)
+
+        try:
+            t1 = time.monotonic()
+            exploded.write_parquet(x1, partition_cols=["part"])
+            self.metrics["sec_x1_write"] = round(time.monotonic() - t1, 2)
+            t1 = time.monotonic()
+            part_dirs = sorted(glob.glob(os.path.join(x1, "part=*")))
+            seg_futs = [_seg_task.remote(d, x2, i, cfg) for i, d in enumerate(part_dirs)]
+            seg_out = ray.get(seg_futs)
+            rep_tables = [r for r, _ in seg_out if len(r)]
+            self.metrics["seg_member_rows"] = int(sum(n for _, n in seg_out))
+            self.metrics["sec_seg"] = round(time.monotonic() - t1, 2)
+
+            t1 = time.monotonic()
+            q_dirs = sorted(glob.glob(os.path.join(x2, "q=*")))
+            vfuts = [_verify_q_task.remote(d, store_ref, cfg) for d in q_dirs]
+            pair_tables = [p for p in ray.get(vfuts) if len(p)]
+            self.metrics["sec_qverify"] = round(time.monotonic() - t1, 2)
+
+            t1 = time.monotonic()
+            if rep_tables:
+                reps = pa.concat_tables(rep_tables)
+                rp = ray.get(_rep_round_task.remote(reps, store_ref, cfg))
+                if len(rp):
+                    pair_tables.append(rp)
+            else:
+                reps = REP_SCHEMA.empty_table()
+            self.metrics["sec_rep_round"] = round(time.monotonic() - t1, 2)
+        finally:
+            shutil.rmtree(x1, ignore_errors=True)
+            shutil.rmtree(x2, ignore_errors=True)
+
+        import ray.data as rd
+
+        from deduplidog_ray.stages.verify import PAIRS_EMPTY
+
+        if not pair_tables:
+            return rd.from_arrow(PAIRS_EMPTY)
+        allp = pa.concat_tables(pair_tables).combine_chunks()
+        # a pair contained in two OVERLAPPING (non-identical) segments can
+        # verify in two q-partitions — identical rows; drop duplicates on
+        # the (small) verified stream
+        df = allp.to_pandas().drop_duplicates(["a", "b"], ignore_index=True)
+        return rd.from_arrow(pa.Table.from_pandas(df, schema=allp.schema,
+                                                  preserve_index=False))
 
     # ------------------------------------------------------------ stage 3
     def cluster(
@@ -475,72 +580,89 @@ class NearDupPipeline:
         """Small-cluster-set fast path: canonicalize on the driver, emit
         results in one broadcast map pass (see ``results`` docstring)."""
         cfg = self.cfg
-        clusters_ref = ray.put(set(clusters))
+        clustered_ids = pa.array(sorted(clusters), type=pa.string())
+        clusters_ref = ray.put(clustered_ids)
 
         def _collect_policy(t: pa.Table) -> pa.Table:
-            cl = ray.get(clusters_ref)
-            ids = t["clip_id"].to_pylist()
-            sel = np.nonzero(np.array([i in cl for i in ids], dtype=bool))[0]
+            import pyarrow.compute as pc
+
+            cl = ray.get(clusters_ref)            # plasma-local Arrow array
             cols = ["clip_id", "n_bytes", "dur_ms"]
             if "role" in t.column_names:
                 cols.append("role")
-            return t.select(cols).take(pa.array(sel))
+            return t.select(cols).filter(pc.is_in(t["clip_id"], value_set=cl))
 
         policy = sig_ds.map_batches(
             _collect_policy, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
         policy["cluster_id"] = policy["clip_id"].map(clusters)
         canon_df = make_canonicalizer(cfg.canonical, reasons)(policy)
-        result_map = {
-            r.clip_id: (
-                r.cluster_id, r.is_canonical, r.action, r.reasons,
-                r.canonical_dur_ms,
-            )
-            for r in canon_df.itertuples()
-        }
-        map_ref = ray.put(result_map)
 
-        def _emit(t: pa.Table) -> pa.Table:
-            m = ray.get(map_ref)
-            ids = t["clip_id"].to_pylist()
-            errs = t["decode_error"].to_pylist()
-            durs = t["dur_ms"].to_numpy(zero_copy_only=False)
-            out = {"clip_id": [], "cluster_id": [], "is_canonical": [],
-                   "action": [], "reasons": [], "canonical_dur_ms": []}
-            for cid, err, dur in zip(ids, errs, durs):
-                ent = m.get(cid)
-                if ent is not None:
-                    out["clip_id"].append(cid)
-                    out["cluster_id"].append(ent[0])
-                    out["is_canonical"].append(bool(ent[1]))
-                    out["action"].append(ent[2])
-                    out["reasons"].append(list(ent[3]))
-                    out["canonical_dur_ms"].append(int(ent[4]))
-                else:
-                    out["clip_id"].append(cid)
-                    out["cluster_id"].append(cid)
-                    out["is_canonical"].append(True)
-                    out["action"].append(
-                        "quarantine" if err is not None else "keep"
-                    )
-                    out["reasons"].append(
-                        [f"decode_error: {err}"] if err is not None else []
-                    )
-                    out["canonical_dur_ms"].append(int(dur))
+        from deduplidog_ray.schema import RESULT_SCHEMA
+
+        canon_tbl = pa.table(
+            {
+                "clip_id": pa.array(canon_df["clip_id"], type=pa.string()),
+                "cluster_id": pa.array(canon_df["cluster_id"], type=pa.string()),
+                "is_canonical": pa.array(
+                    canon_df["is_canonical"].astype(bool), type=pa.bool_()
+                ),
+                "action": pa.array(canon_df["action"], type=pa.string()),
+                "reasons": pa.array(
+                    [list(r) for r in canon_df["reasons"]],
+                    type=pa.list_(pa.string()),
+                ),
+                "canonical_dur_ms": pa.array(
+                    canon_df["canonical_dur_ms"].astype("int32"),
+                    type=pa.int32(),
+                ),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+        def _singles(t: pa.Table) -> pa.Table:
+            # clustered rows already materialized driver-side (canon_tbl);
+            # here only the singleton complement streams — one Arrow C++
+            # anti-semi filter per batch, no per-row Python, no joins
+            import pyarrow.compute as pc
+
+            cl = ray.get(clusters_ref)
+            s = t.filter(
+                pc.invert(pc.is_in(t["clip_id"], value_set=cl))
+            )
+            ids = s["clip_id"].to_pylist()
+            errs = s["decode_error"].to_pylist()
+            durs = s["dur_ms"].to_numpy(zero_copy_only=False)
             return pa.table(
                 {
-                    "clip_id": pa.array(out["clip_id"], type=pa.string()),
-                    "cluster_id": pa.array(out["cluster_id"], type=pa.string()),
-                    "is_canonical": pa.array(out["is_canonical"], type=pa.bool_()),
-                    "action": pa.array(out["action"], type=pa.string()),
-                    "reasons": pa.array(out["reasons"], type=pa.list_(pa.string())),
-                    "canonical_dur_ms": pa.array(
-                        out["canonical_dur_ms"], type=pa.int32()
+                    "clip_id": pa.array(ids, type=pa.string()),
+                    "cluster_id": pa.array(ids, type=pa.string()),
+                    "is_canonical": pa.array([True] * len(ids), type=pa.bool_()),
+                    "action": pa.array(
+                        ["quarantine" if e is not None else "keep" for e in errs],
+                        type=pa.string(),
                     ),
-                }
+                    "reasons": pa.array(
+                        [
+                            [f"decode_error: {e}"] if e is not None else []
+                            for e in errs
+                        ],
+                        type=pa.list_(pa.string()),
+                    ),
+                    "canonical_dur_ms": pa.array(
+                        durs.astype(np.int32), type=pa.int32()
+                    ),
+                },
+                schema=RESULT_SCHEMA,
             )
 
-        out = sig_ds.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
+        import ray.data as rd
+
+        singles = sig_ds.map_batches(
+            _singles, batch_format="pyarrow", batch_size=16384,
+            zero_copy_batch=True,
+        )
+        out = rd.from_arrow(canon_tbl).union(singles)
         if cfg.canonical.invert_selection:
             import pyarrow.compute as pc
 
@@ -555,16 +677,24 @@ class NearDupPipeline:
         """Read the clips table with a sane block layout.
 
         Small inputs (< ~2 GB) are split to ~3 blocks per core so every
-        stage parallelizes; large inputs keep Ray's size-based layout
-        (a fixed block count would be wrong at scale).
+        stage parallelizes. Larger inputs target ~128 MB read splits
+        (the classic exchange/split size): Ray's default derives read
+        parallelism from the FILE count, so a 7.6 GB table in 16 fat
+        files would decompress on only 16 cores no matter the cluster
+        width — measured as the signature phase's scaling cap. The rule
+        grows with bytes, so at 100 TB it converges to Ray's own layout
+        instead of fighting it.
         """
         import os
 
         frags = list_fragments(path)
         total = sum(os.path.getsize(f) for f in frags if os.path.exists(f))
+        avail = int(ray.cluster_resources().get("CPU", 8))
         if total < 2 << 30:
-            avail = int(ray.cluster_resources().get("CPU", 8))
             return read_fragments(frags, override_num_blocks=avail * 3)
+        want = max(avail * 2, total // (128 << 20))
+        if len(frags) < want:
+            return read_fragments(frags, override_num_blocks=int(want))
         return read_fragments(frags)
 
     def _pairs_checkpointed(self, sig_ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -612,4 +742,69 @@ class NearDupPipeline:
         t2 = time.monotonic()
         clusters, reasons = self.cluster(pairs_ds)
         self.metrics["sec_verify_cluster"] = round(time.monotonic() - t2, 2)
-        return self.results(sig_ds, clusters, reasons)
+        t3 = time.monotonic()
+        out = self.results(sig_ds, clusters, reasons)
+        self.metrics["sec_results_build"] = round(time.monotonic() - t3, 2)
+        return out
+
+
+# ---------------------------------------------------------------- skinny
+# exchange remote tasks (module scope so Ray pickles the function once)
+
+@ray.remote
+def _build_store_task(block_refs: list, num_perm: int) -> dict:
+    from deduplidog_ray.stages.pairgen import build_payload_store
+
+    tables = ray.get(block_refs)
+    return build_payload_store([t for t in tables if len(t)], num_perm)
+
+
+@ray.remote
+def _seg_task(part_dir: str, x2: str, tag: int, cfg: DedupConfig):
+    """Exchange-1 reducer: band rows of one partition → member rows hive-
+    written by q (exchange 2) + rep rows returned (tiny)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from deduplidog_ray.stages.pairgen import segments_from_band_rows
+
+    files = _glob.glob(os.path.join(part_dir, "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    members, reps = segments_from_band_rows(t, cfg)
+    n = len(members)
+    if n:
+        q = members["q"].to_numpy()
+        order = np.argsort(q, kind="stable")
+        members = members.take(pa.array(order)).drop_columns(["q"])
+        q = q[order]
+        starts = np.nonzero(np.concatenate([[True], q[1:] != q[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [n]])
+        for s, e in zip(starts, ends):
+            qdir = os.path.join(x2, f"q={int(q[s])}")
+            os.makedirs(qdir, exist_ok=True)
+            pq.write_table(
+                members.slice(int(s), int(e - s)),
+                os.path.join(qdir, f"part-{tag}.parquet"),
+            )
+    return reps, n
+
+
+@ray.remote
+def _verify_q_task(q_dir: str, store: dict, cfg: DedupConfig) -> pa.Table:
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from deduplidog_ray.stages.pairgen import pairs_from_member_rows
+
+    files = _glob.glob(os.path.join(q_dir, "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    return pairs_from_member_rows(t, store, cfg)
+
+
+@ray.remote
+def _rep_round_task(reps: pa.Table, store: dict, cfg: DedupConfig) -> pa.Table:
+    from deduplidog_ray.stages.pairgen import rep_round_pairs
+
+    return rep_round_pairs(reps, store, cfg)

