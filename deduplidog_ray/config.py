@@ -174,7 +174,8 @@ class DedupConfig:
         d = asdict(self)
         d.pop("execution", None)
         # engine format version: bumped when checkpoint column encodings
-        # change (e.g. minhash width), invalidating old checkpoints
-        d["_engine_format"] = 2
+        # or candidate-key schemes change (e.g. minhash width, simhash
+        # combination blocks), invalidating old checkpoints
+        d["_engine_format"] = 3
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.blake2b(blob, digest_size=8).hexdigest()

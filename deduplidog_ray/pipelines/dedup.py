@@ -453,7 +453,7 @@ class NearDupPipeline:
         uf = UnionFind()
         reasons: dict[str, set[str]] = {}
         n_pairs = 0
-        for b in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for b in ray.get(pairs_ds.to_arrow_refs()):
             aa = b["a"].to_pylist()
             bb = b["b"].to_pylist()
             rr = b["reason"].to_pylist()

