@@ -154,6 +154,11 @@ class ExecutionConfig:
                                            # "sort" = Ray groupby (multi-node
                                            # fallback without shared storage)
     pair_block_rows: int = 65536
+    driver_results_max: int = 2_000_000    # clustered-row count up to which
+                                           # canonicalization runs on the
+                                           # driver (one broadcast pass, no
+                                           # shuffle); above it the cluster-id
+                                           # hash-partition plan runs
     target_max_block_size: int | None = None  # DataContext override if set
 
 

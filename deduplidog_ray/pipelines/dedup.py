@@ -484,18 +484,30 @@ class NearDupPipeline:
           groupby(hash(cluster_id)) shuffle; singletons never shuffle.
         """
         cfg = self.cfg
-        if 0 < len(clusters) <= 2_000_000:
+        if 0 < len(clusters) <= cfg.execution.driver_results_max:
             return self._results_driver_path(sig_ds, clusters, reasons)
-        clusters_ref = ray.put(clusters)
+        import pandas as pd
+
+        cluster_df = pd.DataFrame(
+            {"clip_id": list(clusters), "cluster_id": list(clusters.values())}
+        )
+        clusters_ref = ray.put(
+            (pa.array(cluster_df["clip_id"], type=pa.string()), cluster_df)
+        )
 
         def _split(t: pa.Table, want_clustered: bool) -> pa.Table:
-            cl = ray.get(clusters_ref)
-            ids = t["clip_id"].to_pylist()
-            mask = np.array([i in cl for i in ids], dtype=bool)
-            sel = np.nonzero(mask if want_clustered else ~mask)[0]
-            out = t.take(pa.array(sel))
+            # broadcast-frame probe: Arrow is_in for membership, one pandas
+            # hash-merge for the cluster-id attach — no per-row Python
+            import pyarrow.compute as pc
+
+            id_set, cl = ray.get(clusters_ref)
+            mask = pc.is_in(t["clip_id"], value_set=id_set)
+            out = t.filter(mask if want_clustered else pc.invert(mask))
             if want_clustered:
-                cid = [cl[i] for i in out["clip_id"].to_pylist()]
+                left = pd.DataFrame({"clip_id": out["clip_id"].to_pylist()})
+                cid = left.merge(cl, on="clip_id", how="left")[
+                    "cluster_id"
+                ].tolist()
                 out = out.append_column("cluster_id", pa.array(cid, type=pa.string()))
                 from deduplidog_ray.stages.hashing import hash_strings_u64
 
