@@ -80,13 +80,22 @@ def encode_pcm_s16le(pcm: np.ndarray, sr_hz: int) -> bytes:
 
 
 def decode_pcm_s16le(buf: bytes) -> tuple[np.ndarray, int]:
+    pcm, sr, _ = decode_pcm_s16le_full(buf)
+    return pcm, sr
+
+
+def decode_pcm_s16le_full(buf) -> tuple[np.ndarray, int, np.ndarray]:
+    """(pcm_f32, sr, i16 samples). The i16 view aliases ``buf`` (zero-copy);
+    hashing it directly skips the float→int16 re-quantization round-trip."""
     fmt, sr, data = _parse_wav(buf)
     if fmt != 1:
         raise CodecError(f"expected PCM format 1, got {fmt}")
     if len(data) % 2:
         raise CodecError("odd PCM payload length")
     i16 = np.frombuffer(data, dtype="<i2")
-    return i16.astype(np.float32) / 32767.0, sr
+    pcm = i16.astype(np.float32)
+    pcm /= 32767.0                      # in place: one allocation, not two
+    return pcm, sr, i16
 
 
 # ------------------------------------------------------------- G.711 µ-law
@@ -177,13 +186,35 @@ def encode(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
 
 def decode(buf: bytes, codec: str) -> tuple[np.ndarray, int]:
     """Decode to (float32 PCM in [-1,1], sample rate). Raises CodecError."""
+    pcm, sr, _ = decode_full(buf, codec)
+    return pcm, sr
+
+
+def decode_full(buf, codec: str) -> tuple[np.ndarray, int, np.ndarray | None]:
+    """(pcm_f32, sr, int16 quantization or None). Accepts any buffer-protocol
+    object (bytes / memoryview over an Arrow data buffer) WITHOUT copying.
+
+    The i16 array, when present, is bit-identical to
+    ``round(clip(pcm)*32767)`` — the exact payload ``hash_pcm_u64`` would
+    re-derive — so callers can hash it directly and skip four full-clip
+    passes (clip/round/astype/tobytes) per row. (Sole divergence: a raw
+    sample of -32768, which clip() would fold to -32767; our encoder never
+    emits it, and a hash miss only demotes an exact match to the near-dup
+    path.)
+    """
     try:
         _, dec, _ = CODECS[codec]
     except KeyError:
         raise CodecError(f"unknown codec {codec!r}") from None
     if not isinstance(buf, (bytes, bytearray, memoryview)):
         raise CodecError("bytes column is not binary")
-    return dec(bytes(buf))
+    if codec == "pcm_s16le":
+        return decode_pcm_s16le_full(buf)
+    if codec == "ulaw":                  # buffer-generic WAV walk: no copy
+        pcm, sr = decode_ulaw(buf)
+        return pcm, sr, None
+    pcm, sr = dec(bytes(buf))
+    return pcm, sr, None
 
 
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:

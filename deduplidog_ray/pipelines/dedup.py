@@ -139,7 +139,11 @@ class NearDupPipeline:
 
         def _project(t: pa.Table) -> pa.Table:
             keep = [c for c in SIG_COLUMNS if c in t.column_names]
-            return t.select(keep)
+            # combine_chunks: the decode/normalize/signature stages leave one
+            # chunk per upstream batch; fragmented columns tax every
+            # downstream to_numpy/filter pass (measured: the pass-1 count
+            # merge alone lost ~7 s at 416k rows on chunked blocks)
+            return t.select(keep).combine_chunks()
 
         return ds.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -702,12 +706,18 @@ class NearDupPipeline:
         frags = list_fragments(path)
         total = sum(os.path.getsize(f) for f in frags if os.path.exists(f))
         avail = int(ray.cluster_resources().get("CPU", 8))
+        if len(frags) >= avail * 2:
+            # the file layout alone keeps every core busy: do NOT override.
+            # An override inserts a SplitBlocks op between ReadParquet and
+            # the decode map_batches, breaking their fusion — the raw
+            # ``bytes`` column then round-trips the object store (measured:
+            # 17 GB of plasma traffic on the 416k-clip corpus, and the
+            # signature phase's scaling cap).
+            return read_fragments(frags)
         if total < 2 << 30:
             return read_fragments(frags, override_num_blocks=avail * 3)
         want = max(avail * 2, total // (128 << 20))
-        if len(frags) < want:
-            return read_fragments(frags, override_num_blocks=int(want))
-        return read_fragments(frags)
+        return read_fragments(frags, override_num_blocks=int(want))
 
     def _pairs_checkpointed(self, sig_ds: ray.data.Dataset) -> ray.data.Dataset:
         """Verified-pair (cluster state) checkpoint — the second lineage

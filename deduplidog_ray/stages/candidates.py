@@ -300,44 +300,8 @@ def make_key_count_stage(cfg: DedupConfig):
     return _count
 
 
-def find_hot_keys(sig_ds, cfg: DedupConfig) -> tuple[dict[int, int], np.ndarray]:
-    """Pass 1: returns ({hot key: n_salts}, sorted ACTIVE keys array).
-
-    Active = member count >= 2. A key seen once can never produce a pair,
-    so pass 2 skips emitting its row entirely — a semi-join reduction that
-    removes the (majority) singleton fraction of the band-row shuffle.
-    At 10^12 scale the active set becomes a Bloom filter per executor;
-    here it is a sorted int64 array probed with searchsorted.
-
-    Shuffle shape: per-batch partial counts (combiner) stream to the
-    driver, which merges them with one vectorized np.unique pass. No
-    groupby/sort barrier: the merged ACTIVE set is broadcast from the
-    driver via ``ray.put`` anyway, so merging it there adds no driver-
-    memory dependence the design didn't already have — and it removes a
-    Ray sort whose fixed barrier cost measured ~7 s at 32 CPUs (worse
-    than at 8). Never a groupby on the raw key (one Python group per
-    distinct key). At 10^12 rows the active set outgrows one machine and
-    becomes a per-executor Bloom filter fed by a tree-merge — the same
-    point at which the ``ray.put`` broadcast must change, not earlier.
-    """
-    cap = cfg.execution.hot_band_cap
-
-    counts = sig_ds.map_batches(
-        make_key_count_stage(cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.execution.batch_size,
-    )
-    # to_arrow_refs + one parallel ray.get: zero-copy plasma reads of all
-    # partial blocks at once (iter_batches fetches serially — measured
-    # ~6 s of pure driver-side latency on a 50-block partial stream)
-    tables = ray.get(counts.to_arrow_refs())
-    tables = [t for t in tables if len(t)]
-    if not tables:
-        return {}, np.empty(0, dtype=np.int64)
-    k = np.concatenate(
-        [t["band_key"].to_numpy(zero_copy_only=False) for t in tables]
-    )
-    c = np.concatenate([t["cnt"].to_numpy(zero_copy_only=False) for t in tables])
+def _merge_counts(k: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (key, partial-count) → (uniq key, total) keeping totals >= 2."""
     try:
         # Rust hash groupby: ~5x the sort-based np.unique on this merge
         # (measured 2.7 s vs 13 s at 8.6M partial rows)
@@ -349,13 +313,78 @@ def find_hot_keys(sig_ds, cfg: DedupConfig) -> tuple[dict[int, int], np.ndarray]
             .agg(pl.col("c").sum())
             .filter(pl.col("c") >= 2)
         )
-        uniq = g["k"].to_numpy()
-        tot = g["c"].to_numpy()
+        return g["k"].to_numpy(), g["c"].to_numpy()
     except ImportError:  # pragma: no cover
         uniq, inv = np.unique(k, return_inverse=True)
         tot = np.bincount(inv, weights=c).astype(np.int64)
         mask = tot >= 2
-        uniq, tot = uniq[mask], tot[mask]
+        return uniq[mask], tot[mask]
+
+
+@ray.remote
+def _merge_range_task(
+    refs: list, r: int, n_ranges: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge the key range {k : k % n_ranges == r} of every partial-count
+    block. Blocks are read zero-copy from plasma (same-node mmap); the
+    scan is one vectorized mod+mask per block."""
+    ks, cs = [], []
+    for t in ray.get(refs):
+        if not len(t):
+            continue
+        t = t.combine_chunks()
+        k = t["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        m = (k % np.uint64(n_ranges)) == np.uint64(r)
+        if m.any():
+            ks.append(k[m].view(np.int64))
+            cs.append(t["cnt"].to_numpy(zero_copy_only=False)[m])
+    if not ks:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return _merge_counts(np.concatenate(ks), np.concatenate(cs))
+
+
+def find_hot_keys(sig_ds, cfg: DedupConfig) -> tuple[dict[int, int], np.ndarray]:
+    """Pass 1: returns ({hot key: n_salts}, sorted ACTIVE keys array).
+
+    Active = member count >= 2. A key seen once can never produce a pair,
+    so pass 2 skips emitting its row entirely — a semi-join reduction that
+    removes the (majority) singleton fraction of the band-row shuffle.
+    At 10^12 scale the active set becomes a Bloom filter per executor;
+    here it is a sorted int64 array probed with searchsorted.
+
+    Shuffle shape: per-batch partial counts (combiner pattern) land in
+    plasma; R range-merge TASKS each scan all partial blocks zero-copy
+    and hash-merge their `key % R` slice in parallel — the driver only
+    concatenates R pre-merged (small) active slices. No groupby/sort
+    barrier (a Ray sort's fixed barrier cost measured ~7 s at 32 CPUs),
+    and no driver-serial 14M-row merge (measured ~10 s). Single-node the
+    range scan is free (plasma mmap); on a multi-node cluster the partial
+    counts would ride the same hive exchange as the band rows so each
+    range task reads only its slice. At 10^12 rows the active set
+    outgrows one machine and becomes a per-executor Bloom filter — the
+    same point at which the ``ray.put`` broadcast must change.
+    """
+    cap = cfg.execution.hot_band_cap
+
+    counts = sig_ds.map_batches(
+        make_key_count_stage(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.execution.batch_size,
+    )
+    # to_arrow_refs: zero-copy plasma refs of all partial blocks
+    refs = counts.to_arrow_refs()
+    if not refs:
+        return {}, np.empty(0, dtype=np.int64)
+    avail = int(ray.cluster_resources().get("CPU", 8))
+    n_ranges = max(4, min(32, avail))
+    outs = ray.get(
+        [_merge_range_task.remote(refs, r, n_ranges) for r in range(n_ranges)]
+    )
+    uniqs = [u for u, _ in outs if len(u)]
+    if not uniqs:
+        return {}, np.empty(0, dtype=np.int64)
+    uniq = np.concatenate(uniqs)
+    tot = np.concatenate([t for _, t in outs if len(t)])
     active = np.sort(uniq)
     hot: dict[int, int] = {
         int(key): int(np.ceil(cnt / cap))

@@ -25,9 +25,36 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from deduplidog_ray.audio.codecs import CODEC_CLASS, CodecError, decode
-from deduplidog_ray.audio.fingerprint import FP_BYTES, fingerprint
-from deduplidog_ray.stages.hashing import hash_binary_u64, hash_pcm_u64
+from deduplidog_ray.audio.codecs import CODEC_CLASS, CodecError, decode_full
+from deduplidog_ray.audio.fingerprint import FP_BYTES, fingerprint_batch
+
+#: rows whose decoded PCM coexists during one vectorized fingerprint pass
+FP_CHUNK = 32
+from deduplidog_ray.stages.hashing import (
+    hash_binary_u64,
+    hash_i16_u64,
+    hash_pcm_u64,
+)
+
+
+def _buffer_views(arr: pa.BinaryArray) -> list:
+    """Per-row memoryviews into the Arrow data buffer — no bytes copies.
+
+    Falls back to ``to_pylist`` for arrays with nulls or a non-standard
+    layout (the hot path — dense non-null binary — stays zero-copy).
+    """
+    try:
+        if arr.null_count or not isinstance(arr, pa.BinaryArray):
+            return arr.to_pylist()
+        import numpy as np
+
+        bufs = arr.buffers()                      # [validity, offsets, data]
+        o = arr.offset
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[o: o + len(arr) + 1]
+        data = memoryview(bufs[2])
+        return [data[offs[i]: offs[i + 1]] for i in range(len(arr))]
+    except Exception:  # pragma: no cover — layout surprise → safe copy path
+        return arr.to_pylist()
 
 
 class DecodeFingerprint:
@@ -56,22 +83,42 @@ class DecodeFingerprint:
         errors: list[str | None] = [None] * n
 
         buf_view = byts.combine_chunks() if isinstance(byts, pa.ChunkedArray) else byts
-        bufs = buf_view.to_pylist()          # ONE Arrow→Python pass, reused below
-        for i in range(n):
-            v = bufs[i]
-            n_bytes[i] = 0 if v is None else len(v)
-            try:
-                if v is None or len(v) == 0:
-                    raise CodecError("empty bytes")
-                pcm, sr = decode(v, codecs[i])
-                sr = sr or srs[i]
-                pcm_hash[i] = hash_pcm_u64(pcm)
-                dur_actual[i] = int(round(len(pcm) * 1000 / max(1, sr)))
-                fps[i], n_frames[i] = fingerprint(pcm, sr)
-                del pcm  # decoded PCM never outlives the row
-            except CodecError as e:
-                errors[i] = str(e)
-                fps[i] = b"\x00" * FP_BYTES
+        bufs = _buffer_views(buf_view)       # zero-copy views into Arrow data
+        # decode in sub-chunks: decoded PCM for at most FP_CHUNK rows is
+        # alive at once (bounds worker heap at ~chunk × clip_pcm bytes),
+        # while the fingerprint math runs batch-vectorized per chunk
+        for c0 in range(0, n, FP_CHUNK):
+            c1 = min(n, c0 + FP_CHUNK)
+            pcms: list[np.ndarray] = []
+            pcm_srs: list[int] = []
+            pcm_rows: list[int] = []
+            for i in range(c0, c1):
+                v = bufs[i]
+                n_bytes[i] = 0 if v is None else len(v)
+                try:
+                    if v is None or len(v) == 0:
+                        raise CodecError("empty bytes")
+                    pcm, sr, i16 = decode_full(v, codecs[i])
+                    sr = sr or srs[i]
+                    # hash the int16 payload directly when the codec exposes
+                    # it (bit-identical to re-quantizing the float PCM,
+                    # minus four full-clip passes per row)
+                    pcm_hash[i] = (
+                        hash_i16_u64(i16) if i16 is not None else hash_pcm_u64(pcm)
+                    )
+                    dur_actual[i] = int(round(len(pcm) * 1000 / max(1, sr)))
+                    pcms.append(pcm)
+                    pcm_srs.append(sr)
+                    pcm_rows.append(i)
+                except CodecError as e:
+                    errors[i] = str(e)
+                    fps[i] = b"\x00" * FP_BYTES
+            if pcm_rows:
+                chunk_fps, chunk_nf = fingerprint_batch(pcms, pcm_srs)
+                for j, i in enumerate(pcm_rows):
+                    fps[i] = chunk_fps[j]
+                    n_frames[i] = chunk_nf[j]
+            del pcms  # decoded PCM never outlives the chunk
 
         content_hash = hash_binary_u64(bufs)
         cls = [self.codec_class.get(c, "unknown") for c in codecs]

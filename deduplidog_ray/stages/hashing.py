@@ -83,7 +83,8 @@ def hash_binary_u64(values, seed: int = 0) -> np.ndarray:
         if v is None:
             out[i] = 0
             continue
-        d = hashlib.blake2b(bytes(v), digest_size=8, salt=sd[:8]).digest()
+        # blake2b takes any buffer-protocol object — no bytes() copy
+        d = hashlib.blake2b(v, digest_size=8, salt=sd[:8]).digest()
         out[i] = int.from_bytes(d, "little")
     return out
 
@@ -96,5 +97,13 @@ def hash_pcm_u64(pcm: np.ndarray) -> int:
     "same content, different file" CRC equality (deduplidog.py:714).
     """
     i16 = np.round(np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2")
-    d = hashlib.blake2b(i16.tobytes(), digest_size=8).digest()
+    return hash_i16_u64(i16)
+
+
+def hash_i16_u64(i16: np.ndarray) -> int:
+    """``hash_pcm_u64`` for callers that already hold the int16 samples
+    (e.g. a zero-copy view of a WAV data chunk) — same digest, no
+    re-quantization passes."""
+    i16 = np.ascontiguousarray(i16, dtype="<i2")
+    d = hashlib.blake2b(i16, digest_size=8).digest()
     return int.from_bytes(d, "little")
