@@ -205,14 +205,18 @@ def main() -> None:
             env = dict(
                 os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
             )
-            out = subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
                 capture_output=True,
                 text=True,
-                check=True,
-            ).stdout
-            return json.loads(out.strip().splitlines()[-1])
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(
+                    f"bench subprocess (cpus={ncpu}) failed rc={proc.returncode}"
+                )
+            return json.loads(proc.stdout.strip().splitlines()[-1])
 
         def run(ncpu: int) -> dict:
             # two runs, keep the faster: back-to-back Ray sessions leave
