@@ -225,27 +225,34 @@ def main() -> None:
                 v = list(map(int, f.readline().split()[1:]))
             return (v[7] if len(v) > 7 else 0), sum(v)
 
-        def run_once(ncpu: int) -> dict:
+        def run_once(ncpu: int, attempts: int = 2) -> dict:
             env = dict(
                 os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
             )
-            s0, t0 = _stat()
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-            )
-            if proc.returncode != 0:
-                sys.stderr.write(proc.stderr[-4000:])
-                raise RuntimeError(
-                    f"bench subprocess (cpus={ncpu}) failed rc={proc.returncode}"
+            for attempt in range(attempts):
+                s0, t0 = _stat()
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
                 )
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            s1, t1 = _stat()
-            # hypervisor steal during the run — context for noisy trials
-            r["steal_pct"] = round(100 * (s1 - s0) / max(1, t1 - t0), 1)
-            return r
+                if proc.returncode != 0:
+                    # intermittent Ray-internal task-manager race (core
+                    # worker check failure) — retry the trial
+                    sys.stderr.write(proc.stderr[-4000:])
+                    if attempt + 1 == attempts:
+                        raise RuntimeError(
+                            f"bench subprocess (cpus={ncpu}) failed "
+                            f"rc={proc.returncode}"
+                        )
+                    time.sleep(15)
+                    continue
+                r = json.loads(proc.stdout.strip().splitlines()[-1])
+                s1, t1 = _stat()
+                # hypervisor steal during the run — context for noisy trials
+                r["steal_pct"] = round(100 * (s1 - s0) / max(1, t1 - t0), 1)
+                return r
 
         # INTERLEAVED trials: hypervisor steal on this VM drifts on a
         # minutes timescale (the identical no-Ray control measured
