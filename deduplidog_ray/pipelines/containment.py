@@ -185,6 +185,89 @@ def _prefilter(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+@ray.remote
+def _survivors_small_task(
+    refs: list, partitions: int, max_key_group: int | None
+) -> pd.DataFrame:
+    """Small-key-table fast path: rarest-fingerprint candidates in one
+    off-driver task (blocks read zero-copy from plasma).
+
+    If ``bytes(a)`` occurs in ``bytes(b)`` then selected(a) ⊆ selected(b)
+    (winnowing inclusion), so every container of ``a`` appears in the
+    posting list of a's LEAST FREQUENT fingerprint. Candidates =
+    Σ_a freq(rarest_a) — explosion-proof where the all-pairs-per-bucket
+    scheme is m²-quadratic on hot fingerprints (measured: 80k key rows →
+    9.5M bucket pairs vs ~100k rarest-key candidates on the same corpus).
+    The ``nk_a <= nk_b`` gate is the same set-inclusion bound the
+    partitioned path counts out; char-exact verification downstream makes
+    the result identical either way.
+    """
+    tables = [t for t in ray.get(refs) if len(t)]
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "dir_ab": pd.Series(dtype="bool"),
+            "dir_ba": pd.Series(dtype="bool"),
+        }
+    )
+    if not tables:
+        return empty
+    df = pa.concat_tables(tables).combine_chunks()
+    nk_col = df["nk"].to_numpy(zero_copy_only=False)
+    a_col = df["a"].to_numpy(zero_copy_only=False)
+    wk_col = df["wkey"].to_numpy(zero_copy_only=False)
+    metam = nk_col >= 0
+    nk_map = pd.Series(nk_col[metam], index=a_col[metam])
+    ida, wk = a_col[~metam], wk_col[~metam]
+    if not len(ida):
+        return empty
+    # distinct (doc, key): winnowing can select the same fingerprint at
+    # several positions
+    dk = np.unique(np.stack([ida, wk], axis=1), axis=0)
+    ida, wk = dk[:, 0], dk[:, 1]
+    uniqk, inv, cnts = np.unique(wk, return_inverse=True, return_counts=True)
+    freq = cnts[inv]
+    # rarest key per doc (ties → smallest key, deterministic)
+    order = np.lexsort((wk, freq, ida))
+    ida_s, wk_s, freq_s = ida[order], wk[order], freq[order]
+    first = np.r_[True, ida_s[1:] != ida_s[:-1]]
+    rare_a, rare_k, rare_f = ida_s[first], wk_s[first], freq_s[first]
+    if max_key_group is not None:
+        keep = rare_f <= max_key_group   # documented recall trade-off
+        rare_a, rare_k = rare_a[keep], rare_k[keep]
+    # posting lists via one sort + searchsorted bucket expansion
+    korder = np.argsort(wk, kind="stable")
+    wk_sorted, id_sorted = wk[korder], ida[korder]
+    lo = np.searchsorted(wk_sorted, rare_k, "left")
+    hi = np.searchsorted(wk_sorted, rare_k, "right")
+    counts = hi - lo
+    tot = int(counts.sum())
+    if tot == 0:
+        return empty
+    idx = (
+        np.arange(tot)
+        - np.repeat(np.cumsum(counts) - counts, counts)
+        + np.repeat(lo, counts)
+    )
+    cand_a = np.repeat(rare_a, counts)
+    cand_b = id_sorted[idx]
+    m = cand_a != cand_b
+    cand_a, cand_b = cand_a[m], cand_b[m]
+    nk_a = pd.Series(cand_a).map(nk_map).to_numpy()
+    nk_b = pd.Series(cand_b).map(nk_map).to_numpy()
+    dir_ab = nk_a <= nk_b                # selected(a) ⊆ selected(b) bound
+    out = pd.DataFrame(
+        {
+            "a": cand_a[dir_ab],
+            "b": cand_b[dir_ab],
+            "dir_ab": np.ones(int(dir_ab.sum()), dtype=bool),
+            "dir_ba": np.zeros(int(dir_ab.sum()), dtype=bool),
+        }
+    )
+    return out.drop_duplicates(["a", "b"], ignore_index=True)
+
+
 def contained_doc_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -194,6 +277,7 @@ def contained_doc_pairs(
     partitions: int = 64,
     seed: int = 0x5EED,
     max_key_group: int | None = None,
+    small_threshold: int = 20_000_000,
 ) -> pd.DataFrame:
     """All ordered (contained_id, container_id) exact-substring pairs.
 
@@ -244,19 +328,36 @@ def contained_doc_pairs(
             }
         )
 
-    keyed = ds.map_batches(_keys, batch_format="pyarrow", zero_copy_batch=True)
-    cand = keyed.groupby("part").map_groups(
-        lambda g: _pairs_from_partition(g, partitions, max_key_group),
-        batch_format="pandas",
-    )
-    with_nka = cand.groupby("part").map_groups(
-        lambda g: _attach_nk_a(g, partitions), batch_format="pandas"
-    )
-    survivors = (
-        with_nka.groupby("part")
-        .map_groups(_prefilter, batch_format="pandas")
-        .to_pandas()
-    )
+    keyed = ds.map_batches(
+        _keys, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    # adaptive execution: the three count/attach/prefilter rounds are each
+    # a Ray sort shuffle with a fixed barrier (~5-8 s at 32 CPUs) — over a
+    # key table that is TINY relative to the corpus (24 B/row, never
+    # text). Below the threshold they collapse into ONE off-driver task
+    # applying the identical per-partition functions globally (one
+    # partition = everything); above it the hash-partitioned exchange
+    # runs. Semantics identical — gated by
+    # tests/test_containment_paths.py.
+    if keyed.count() <= small_threshold:
+        survivors = ray.get(
+            _survivors_small_task.remote(
+                keyed.to_arrow_refs(), partitions, max_key_group
+            )
+        )
+    else:
+        cand = keyed.groupby("part").map_groups(
+            lambda g: _pairs_from_partition(g, partitions, max_key_group),
+            batch_format="pandas",
+        )
+        with_nka = cand.groupby("part").map_groups(
+            lambda g: _attach_nk_a(g, partitions), batch_format="pandas"
+        )
+        survivors = (
+            with_nka.groupby("part")
+            .map_groups(_prefilter, batch_format="pandas")
+            .to_pandas()
+        )
 
     # ---- verify survivors: broadcast id-set semi-join fetches only the
     # texts actually needed (∝ survivors, not corpus) ----
@@ -334,7 +435,8 @@ def contained_doc_pairs(
         sb = ds.map_batches(
             _scan, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
-        results.extend(zip(sb["contained_id"], sb["container_id"]))
+        if len(sb):      # all-empty blocks → to_pandas drops the columns
+            results.extend(zip(sb["contained_id"], sb["container_id"]))
 
     if not results:
         return pd.DataFrame(_EMPTY_PAIRS)
