@@ -72,6 +72,9 @@ class NearDupPipeline:
             CheckpointManager(workdir, self.cfg.semantic_hash()) if workdir else None
         )
         self.metrics: dict = {}
+        # payload-store ref from the skinny exchange — lets the results
+        # stage read policy columns without a second signature-table pass
+        self._store_ref = None
         # polars-backed sort blocks: measured ~35% faster on the wide
         # (minhash/fp binary) band-row exchange than the Arrow sort path.
         # Enabled ONLY when the polars thread pin was exported before
@@ -397,18 +400,30 @@ class NearDupPipeline:
         x1 = os.path.join(base, f"x1-{run_id}")
         x2 = os.path.join(base, f"x2-{run_id}")
 
-        # payload store: one pass over the (materialized/checkpointed)
-        # signature table → ONE sorted plasma object; built concurrently
-        # with the exchange-1 write. At per-node-RAM-exceeding corpus
-        # sizes, shard by clip_h % S and route pair chunks per shard.
-        def _sel(t: pa.Table) -> pa.Table:
-            return t.select([c for c in STORE_COLUMNS if c in t.column_names])
-
+        # payload store: ONE sorted plasma object; built concurrently with
+        # the exchange-1 write. A materialized sig table hands over its
+        # existing block refs with no execution at all (the column select
+        # happens inside the store task, zero-copy on-node); the
+        # checkpoint-read path still needs one projected pass. At
+        # per-node-RAM-exceeding corpus sizes, shard by clip_h % S and
+        # route pair chunks per shard.
         t0 = time.monotonic()
-        payload_refs = sig_ds.map_batches(
-            _sel, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(sig_ds, MaterializedDataset):
+            payload_refs = sig_ds.to_arrow_refs()   # blocks already exist
+        else:
+
+            def _sel(t: pa.Table) -> pa.Table:
+                return t.select(
+                    [c for c in STORE_COLUMNS if c in t.column_names]
+                )
+
+            payload_refs = sig_ds.map_batches(
+                _sel, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
         store_ref = _build_store_task.remote(payload_refs, cfg.signature.num_perm)
+        self._store_ref = store_ref
         self.metrics["sec_store_launch"] = round(time.monotonic() - t0, 2)
 
         try:
@@ -596,33 +611,9 @@ class NearDupPipeline:
         )
 
         def _singleton_results(t: pa.Table) -> pa.Table:
-            t = _split(t, False)
-            ids = t["clip_id"].to_pylist()
-            errs = t["decode_error"].to_pylist()
-            durs = t["dur_ms"].to_numpy(zero_copy_only=False)
-            # explicitly typed (empty batches must not infer null/double
-            # columns — Ray's union checks schema consistency)
-            return pa.table(
-                {
-                    "clip_id": pa.array(ids, type=pa.string()),
-                    "cluster_id": pa.array(ids, type=pa.string()),
-                    "is_canonical": pa.array([True] * len(ids), type=pa.bool_()),
-                    "action": pa.array(
-                        ["quarantine" if e is not None else "keep" for e in errs],
-                        type=pa.string(),
-                    ),
-                    "reasons": pa.array(
-                        [
-                            [f"decode_error: {e}"] if e is not None else []
-                            for e in errs
-                        ],
-                        type=pa.list_(pa.string()),
-                    ),
-                    "canonical_dur_ms": pa.array(
-                        durs.astype(np.int32), type=pa.int32()
-                    ),
-                }
-            )
+            from deduplidog_ray.schema import singleton_results_block
+
+            return singleton_results_block(_split(t, False))
 
         singles = sig_ds.map_batches(_singleton_results, batch_format="pyarrow")
         out = canon.union(singles)
@@ -651,24 +642,36 @@ class NearDupPipeline:
         clustered_ids = pa.array(sorted(clusters), type=pa.string())
         clusters_ref = ray.put(clustered_ids)
 
-        def _collect_policy(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            cl = ray.get(clusters_ref)            # plasma-local Arrow array
-            cols = ["clip_id", "n_bytes", "dur_ms"]
-            if "role" in t.column_names:
-                cols.append("role")
-            return t.select(cols).filter(pc.is_in(t["clip_id"], value_set=cl))
-
         # canonicalization runs in ONE off-driver task, concurrently with
         # the singleton pass below (the driver only holds the result ref —
-        # the policy blocks never surface on the driver at all)
-        policy_refs = sig_ds.map_batches(
-            _collect_policy, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()
-        canon_ref = _canonicalize_task.remote(
-            policy_refs, clusters, reasons, cfg.canonical
-        )
+        # the policy blocks never surface on the driver at all). When the
+        # skinny exchange ran, its payload store already holds the policy
+        # columns for every clip — read the clustered rows from it instead
+        # of a second full pass over the signature table (that pass was a
+        # ~5 s fixed barrier that scaled 1.2x at 4x CPUs).
+        if self._store_ref is not None:
+            canon_ref = _canonicalize_from_store_task.remote(
+                self._store_ref, clusters, reasons, cfg.canonical
+            )
+        else:
+
+            def _collect_policy(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                cl = ray.get(clusters_ref)        # plasma-local Arrow array
+                cols = ["clip_id", "n_bytes", "dur_ms"]
+                if "role" in t.column_names:
+                    cols.append("role")
+                return t.select(cols).filter(
+                    pc.is_in(t["clip_id"], value_set=cl)
+                )
+
+            policy_refs = sig_ds.map_batches(
+                _collect_policy, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+            canon_ref = _canonicalize_task.remote(
+                policy_refs, clusters, reasons, cfg.canonical
+            )
 
         def _singles(t: pa.Table) -> pa.Table:
             # clustered rows already materialized driver-side (canon_tbl);
@@ -676,34 +679,11 @@ class NearDupPipeline:
             # anti-semi filter per batch, no per-row Python, no joins
             import pyarrow.compute as pc
 
+            from deduplidog_ray.schema import singleton_results_block
+
             cl = ray.get(clusters_ref)
-            s = t.filter(
-                pc.invert(pc.is_in(t["clip_id"], value_set=cl))
-            )
-            ids = s["clip_id"].to_pylist()
-            errs = s["decode_error"].to_pylist()
-            durs = s["dur_ms"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "clip_id": pa.array(ids, type=pa.string()),
-                    "cluster_id": pa.array(ids, type=pa.string()),
-                    "is_canonical": pa.array([True] * len(ids), type=pa.bool_()),
-                    "action": pa.array(
-                        ["quarantine" if e is not None else "keep" for e in errs],
-                        type=pa.string(),
-                    ),
-                    "reasons": pa.array(
-                        [
-                            [f"decode_error: {e}"] if e is not None else []
-                            for e in errs
-                        ],
-                        type=pa.list_(pa.string()),
-                    ),
-                    "canonical_dur_ms": pa.array(
-                        durs.astype(np.int32), type=pa.int32()
-                    ),
-                },
-                schema=RESULT_SCHEMA,
+            return singleton_results_block(
+                t.filter(pc.invert(pc.is_in(t["clip_id"], value_set=cl)))
             )
 
         import ray.data as rd
@@ -779,6 +759,7 @@ class NearDupPipeline:
     def run(
         self, clips: ray.data.Dataset | str, partitions: int | None = None
     ) -> ray.data.Dataset:
+        self._store_ref = None            # never reuse across runs
         if isinstance(clips, str) and self.ckpt is not None:
             sig_ds = self.signatures_checkpointed(clips, partitions)
         else:
@@ -845,11 +826,71 @@ def _canonicalize_task(
 
 
 @ray.remote
-def _build_store_task(block_refs: list, num_perm: int) -> dict:
-    from deduplidog_ray.stages.pairgen import build_payload_store
+def _canonicalize_from_store_task(
+    store: dict, clusters: dict, reasons: dict, policy_cfg
+) -> pa.Table:
+    """Driver-path canonicalization fed by the skinny exchange's payload
+    store (zero-copy plasma): the clustered clips' policy columns are
+    looked up by (clip_h, clip_id) instead of re-scanning the signature
+    table. Semantics identical to ``_canonicalize_task``."""
+    import pandas as pd
 
-    tables = ray.get(block_refs)
-    return build_payload_store([t for t in tables if len(t)], num_perm)
+    from deduplidog_ray.schema import RESULT_SCHEMA
+    from deduplidog_ray.stages.canonical import make_canonicalizer
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+    from deduplidog_ray.stages.pairgen import CLIP_H_SEED, store_lookup
+
+    if not clusters:
+        return RESULT_SCHEMA.empty_table()
+    ids = np.asarray(list(clusters), dtype=object)
+    ch = hash_strings_u64(ids.tolist(), seed=CLIP_H_SEED)
+    pos, ok = store_lookup(store, ch, ids)
+    if not ok.all():                      # pragma: no cover — clustered
+        missing = ids[~ok][:3]            # clips always entered the store
+        raise RuntimeError(f"clips missing from payload store: {missing}")
+    policy = pd.DataFrame(
+        {
+            "clip_id": ids,
+            "cluster_id": np.asarray(list(clusters.values()), dtype=object),
+            "n_bytes": store["n_bytes"][pos],
+            "dur_ms": store["dur_ms"][pos],
+        }
+    )
+    if "role_codes" in store:
+        lut = np.asarray(store["role_dict"] + [None], dtype=object)
+        policy["role"] = lut[store["role_codes"][pos]]
+    canon_df = make_canonicalizer(policy_cfg, reasons)(policy)
+    return pa.table(
+        {
+            "clip_id": pa.array(canon_df["clip_id"], type=pa.string()),
+            "cluster_id": pa.array(canon_df["cluster_id"], type=pa.string()),
+            "is_canonical": pa.array(
+                canon_df["is_canonical"].astype(bool), type=pa.bool_()
+            ),
+            "action": pa.array(canon_df["action"], type=pa.string()),
+            "reasons": pa.array(
+                [list(r) for r in canon_df["reasons"]],
+                type=pa.list_(pa.string()),
+            ),
+            "canonical_dur_ms": pa.array(
+                canon_df["canonical_dur_ms"].astype("int32"), type=pa.int32()
+            ),
+        },
+        schema=RESULT_SCHEMA,
+    )
+
+
+@ray.remote
+def _build_store_task(block_refs: list, num_perm: int) -> dict:
+    from deduplidog_ray.stages.pairgen import STORE_COLUMNS, build_payload_store
+
+    tables = ray.get(block_refs)          # zero-copy plasma reads
+    tables = [
+        t.select([c for c in STORE_COLUMNS if c in t.column_names])
+        for t in tables
+        if len(t)
+    ]
+    return build_payload_store(tables, num_perm)
 
 
 @ray.remote

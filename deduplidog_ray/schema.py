@@ -9,6 +9,7 @@ cached per path.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 #: BASELINE.json input_hint schema, verbatim.
@@ -87,3 +88,49 @@ RESULT_SCHEMA = pa.schema(
         ("canonical_dur_ms", pa.int32()),
     ]
 )
+
+
+def singleton_results_block(s: pa.Table) -> pa.Table:
+    """RESULT_SCHEMA rows for singleton clips — fully vectorized.
+
+    A singleton is its own cluster and canonical; its only possible reason
+    is a decode-error quarantine. Hot path of the results stage (runs over
+    every non-clustered row of the corpus), so: zero-copy column reuse for
+    the id columns, Arrow ``if_else`` for the action, and the reasons
+    list<string> column built from offsets (Python only for the rare
+    error rows).
+    """
+    import pyarrow.compute as pc
+
+    s = s.combine_chunks()
+    n = len(s)
+    ids = s["clip_id"]
+    errs = s["decode_error"]
+    ok = pc.is_null(errs)
+    action = pc.if_else(
+        ok,
+        pa.scalar("keep", type=pa.string()),
+        pa.scalar("quarantine", type=pa.string()),
+    )
+    ok_np = ok.to_numpy(zero_copy_only=False)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(~ok_np, out=offsets[1:])
+    if offsets[-1]:
+        msgs = [f"decode_error: {e}" for e in pc.drop_null(errs).to_pylist()]
+    else:
+        msgs = []
+    reasons = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(msgs, type=pa.string()),
+    )
+    return pa.table(
+        {
+            "clip_id": ids,
+            "cluster_id": ids,
+            "is_canonical": pa.array(np.ones(n, dtype=bool)),
+            "action": action,
+            "reasons": reasons,
+            "canonical_dur_ms": pc.cast(s["dur_ms"], pa.int32()),
+        },
+        schema=RESULT_SCHEMA,
+    )

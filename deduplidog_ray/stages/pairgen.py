@@ -69,6 +69,12 @@ _SEG_SEED2 = 0x5E62
 STORE_COLUMNS = [
     "clip_id", "dur_ms", "content_hash", "pcm_hash", "simhash",
     "fp", "n_frames", "minhash", "n_shingles",
+    # canonicalization policy columns: carrying them in the store lets the
+    # results stage read policy data for clustered clips straight from the
+    # (already-broadcast) store instead of a second full pass over the
+    # signature table (measured: that pass was ~5 s of the results phase
+    # and scaled 1.2x at 4x CPUs — a fixed barrier)
+    "n_bytes", "role",
 ]
 
 MEMBER_SCHEMA = pa.schema(
@@ -201,6 +207,22 @@ def build_payload_store(tables: list[pa.Table], num_perm: int) -> dict:
     t = t.take(pa.array(order))
     P = payload_from_table(t, num_perm)
     P["clip_h"] = ch[order]
+    # policy columns for the results stage (see STORE_COLUMNS note)
+    if "n_bytes" in t.column_names:
+        P["n_bytes"] = t["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if "role" in t.column_names:
+        # dictionary-encoded: an object array would be pickled (not
+        # zero-copy) through plasma and re-deserialized in every task
+        # that maps the store
+        import pyarrow.compute as pc
+
+        enc = t["role"].combine_chunks().dictionary_encode()
+        P["role_codes"] = (
+            pc.fill_null(enc.indices, -1)      # null role → code -1
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int32)
+        )
+        P["role_dict"] = enc.dictionary.to_pylist()
     return P
 
 
