@@ -212,6 +212,95 @@ def _gather_emb(
     return col.take(pa.array(order[pos]))
 
 
+@ray.remote
+def _emb_neardup_small_task(
+    refs: list,
+    threshold: float,
+    bands: int,
+    bits_per_band: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> pa.Table:
+    """Small-corpus fast path: the whole banded-LSH near-dup in ONE
+    off-driver task (blocks read zero-copy from plasma).
+
+    The partitioned path's four chained ``groupby().map_groups`` rounds
+    are four Ray sort shuffles, each with a fixed barrier — over a corpus
+    whose embedding matrix fits one worker's memory the barriers dominate
+    by ~5x. Same hyperplanes, same band keys, same candidate set, same
+    cosine check ⇒ byte-identical pairs (gated by
+    tests/test_similarity.py path-parity).
+    """
+    from deduplidog_ray.stages.hashing import mix64
+
+    empty = _pairs_out_schema().empty_table()
+    tables = [t for t in ray.get(refs) if len(t)]
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables).combine_chunks()
+    n = len(t)
+    ids64 = t[id_col].to_numpy().astype(np.int64)
+    m = _normalize(_mat_from_list_col(t[vec_col]))
+    nbits = bands * bits_per_band
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(m.shape[1], nbits)).astype(np.float32)
+    pw = np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64)
+    band_salt = mix64(
+        np.arange(bands, dtype=np.uint64) + np.uint64(0xBA2D), seed=seed
+    )
+    bits = (m @ planes > 0).astype(np.uint64)
+    packed = (bits.reshape(n, bands, bits_per_band) * pw).sum(axis=2)
+    with np.errstate(over="ignore"):
+        key = packed * np.uint64(0x9E3779B97F4A7C15) + band_salt[None, :]
+    wk = key.reshape(-1)
+    ids = np.repeat(ids64, bands)
+    order = np.argsort(wk, kind="stable")
+    wk, fids = wk[order], ids[order]
+    seg_start = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
+    sizes = np.diff(np.r_[seg_start, len(wk)])
+    a_parts, b_parts = [], []
+    for s, sz in zip(seg_start[sizes >= 2], sizes[sizes >= 2]):
+        seg = np.unique(fids[s : s + sz])
+        if len(seg) < 2:
+            continue
+        i, j = np.triu_indices(len(seg), 1)
+        a_parts.append(seg[i])
+        b_parts.append(seg[j])
+    if not a_parts:
+        return empty
+    # dedup on SCALAR position-pair keys (np.unique with axis= is a void-
+    # view sort, ~10x slower) and verify without materializing a
+    # (n_pairs, dim) gather: tiny corpora take one (n, n) matmul, larger
+    # ones a chunked row-gather einsum
+    sidx = np.argsort(ids64, kind="stable")
+    ca = np.concatenate(a_parts)
+    cb = np.concatenate(b_parts)
+    pos_a = sidx[np.searchsorted(ids64, ca, sorter=sidx)]
+    pos_b = sidx[np.searchsorted(ids64, cb, sorter=sidx)]
+    pk = np.unique(pos_a.astype(np.int64) * n + pos_b)
+    pos_a, pos_b = pk // n, pk % n
+    if n <= 16384:
+        sims = m @ m.T
+        cos = sims[pos_a, pos_b].astype(np.float64)
+    else:
+        cos = np.empty(len(pk), dtype=np.float64)
+        for c0 in range(0, len(pk), 1 << 20):
+            c1 = min(len(pk), c0 + (1 << 20))
+            cos[c0:c1] = np.einsum(
+                "ij,ij->i", m[pos_a[c0:c1]], m[pos_b[c0:c1]]
+            )
+    keep = cos >= threshold
+    return pa.table(
+        {
+            "a": pa.array(ids64[pos_a[keep]]),
+            "b": pa.array(ids64[pos_b[keep]]),
+            "cos": pa.array(cos[keep]),
+        },
+        schema=_pairs_out_schema(),
+    )
+
+
 def embedding_near_dup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
@@ -221,6 +310,7 @@ def embedding_near_dup_pairs(
     seed: int = 0xE5B,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    small_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs (a < b, cos >= threshold).
 
@@ -396,6 +486,23 @@ def embedding_near_dup_pairs(
             },
             schema=_pairs_out_schema(),
         )
+
+    # adaptive execution (same rationale as pipelines/containment.py): the
+    # four chained part-groupbys are four sort shuffles with fixed
+    # barriers; below the threshold the whole job runs in ONE off-driver
+    # task with identical keys/candidates/semantics
+    if ds.count() <= small_threshold:
+        refs = ds.map_batches(
+            lambda t: t.select([id_col, vec_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_arrow_refs()
+        out = ray.get(
+            _emb_neardup_small_task.remote(
+                refs, threshold, bands, bits_per_band, seed, id_col, vec_col
+            )
+        )
+        return ray.data.from_arrow(out)
 
     band_rows = ds.map_batches(
         _band_rows, batch_format="pyarrow", zero_copy_batch=True

@@ -71,3 +71,34 @@ def test_knn_lsh_recall(ray_session, corpus):
     assert len(lsh) == len(bf)
     recall = len(bfset & lshset) / len(bfset)
     assert recall >= 0.8, recall
+
+
+def test_embedding_near_dup_path_parity(ray_session):
+    """Small-path (one task) and partitioned-path results are identical."""
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    kw = dict(threshold=0.35, bands=32, bits_per_band=4)
+    small = (
+        embedding_near_dup_pairs(
+            rd.read_parquet(EMB, columns=["vec_id", "embedding"]), **kw
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    parted = (
+        embedding_near_dup_pairs(
+            rd.read_parquet(EMB, columns=["vec_id", "embedding"]),
+            small_threshold=0,
+            **kw,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(small) == len(parted) and len(small) > 0
+    assert (small["a"] == parted["a"]).all()
+    assert (small["b"] == parted["b"]).all()
+    assert np.allclose(small["cos"], parted["cos"])
