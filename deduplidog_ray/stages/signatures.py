@@ -181,12 +181,18 @@ def minhash_signatures(
     if ndocs == 0:
         return sig
     starts = offsets[:-1]
-    chunk = 16                                  # bound temp memory to N*16*8 bytes
+    # One 1-D contiguous pass per permutation: ufunc.reduceat along axis 0 of
+    # a 2-D array walks a strided column per segment (~45x slower than the
+    # contiguous 1-D form measured at 660k shingles); in-place multiply/add/
+    # shift reuse one N-word temp so the loop stays allocation-free.
+    y = np.empty(len(flat), dtype=np.uint64)
+    shift = np.uint64(48)
     with np.errstate(over="ignore"):
-        for c0 in range(0, cfg.num_perm, chunk):
-            c1 = min(c0 + chunk, cfg.num_perm)
-            y = (flat[:, None] * a[None, c0:c1] + b[None, c0:c1]) >> np.uint64(48)
-            sig[:, c0:c1] = np.minimum.reduceat(y, starts, axis=0).astype(np.uint16)
+        for p in range(cfg.num_perm):
+            np.multiply(flat, a[p], out=y)
+            np.add(y, b[p], out=y)
+            np.right_shift(y, shift, out=y)
+            sig[:, p] = np.minimum.reduceat(y, starts)
     return sig
 
 
@@ -195,14 +201,24 @@ def simhash_signatures(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     ndocs = len(offsets) - 1
     if ndocs == 0:
         return np.empty(0, dtype=np.uint64)
-    bits = np.unpackbits(
-        flat.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
-    ).astype(np.int32)                                        # (N, 64), MSB-first
-    counts = np.add.reduceat(bits, offsets[:-1], axis=0)      # (D, 64)
-    n = (offsets[1:] - offsets[:-1])[:, None]
-    maj = (counts * 2 > n).astype(np.uint8)                   # (D, 64)
-    packed = np.packbits(maj, axis=1)                         # (D, 8) MSB-first
-    return packed[:, ::-1].copy().view(np.uint64).reshape(-1)
+    starts = offsets[:-1]
+    n = offsets[1:] - offsets[:-1]
+    # Per-bit extraction straight from the uint64 words (64 contiguous 1-D
+    # reduceat passes) instead of unpackbits + a 2-D axis-0 reduceat — the
+    # strided 2-D reduceat was ~75x slower at 660k shingles. Bit j of the
+    # output is the majority of bit j across the doc's shingles; bitwise
+    # identical to the unpackbits formulation.
+    out = np.zeros(ndocs, dtype=np.uint64)
+    one = np.uint64(1)
+    two = np.uint64(2)
+    bit = np.empty(len(flat), dtype=np.uint64)
+    for j in range(64):
+        sj = np.uint64(j)
+        np.right_shift(flat, sj, out=bit)
+        np.bitwise_and(bit, one, out=bit)
+        counts = np.add.reduceat(bit, starts)
+        out |= (counts * two > n).astype(np.uint64) << sj
+    return out
 
 
 def winnow_keys(
