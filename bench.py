@@ -22,6 +22,15 @@ import sys
 import time
 
 
+# Heap-retention malloc tuning for every Ray child process (raylet, plasma,
+# workers running ray.data internals that never import deduplidog_ray):
+# fresh-mmap first-touch faults are pathologically slow on virtualized hosts
+# (see deduplidog_ray.__init__._tune_malloc) — inherited via the environment,
+# so it must be set before ray.init() forks the cluster.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
+
 def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
     import ray
 

@@ -90,14 +90,38 @@ def payload_from_table(t: pa.Table, num_perm: int) -> dict[str, np.ndarray]:
     }
 
 
+#: pairs per kernel chunk: the (chunk, 128) signature temporaries stay ~2 MB
+#: each so a worker's retained heap recycles them after the first chunk —
+#: an unchunked 100k-pair call allocates >100 MB of fresh pages, and on
+#: virtualized hosts with slow fault servicing that first touch dominated
+#: the verify phase (measured: 5 s median first task vs 0.12 s warm).
+_CONFIRM_CHUNK = 16384
+
+
 def confirm_pairs_1d(
     P: dict[str, np.ndarray], ii: np.ndarray, jj: np.ndarray, cfg: DedupConfig
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Evaluate the duplicate predicate for the pair list (ii, jj).
 
     Returns (dup bool (M,), reason int8 (M,), score float32 (M,)).
-    One numpy pass over all M pairs — no per-pair or per-group Python.
+    Vectorized in bounded chunks — no per-pair or per-group Python.
     """
+    M = len(ii)
+    if M <= _CONFIRM_CHUNK:
+        return _confirm_chunk_1d(P, ii, jj, cfg)
+    dup = np.empty(M, dtype=bool)
+    reason = np.empty(M, dtype=np.int8)
+    score = np.empty(M, dtype=np.float32)
+    for c0 in range(0, M, _CONFIRM_CHUNK):
+        c1 = min(M, c0 + _CONFIRM_CHUNK)
+        d, r, sc = _confirm_chunk_1d(P, ii[c0:c1], jj[c0:c1], cfg)
+        dup[c0:c1], reason[c0:c1], score[c0:c1] = d, r, sc
+    return dup, reason, score
+
+
+def _confirm_chunk_1d(
+    P: dict[str, np.ndarray], ii: np.ndarray, jj: np.ndarray, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     m, s = cfg.match, cfg.signature
     M = len(ii)
     if M == 0:

@@ -10,6 +10,10 @@ def ray_session():
     import os
 
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    # heap-retention malloc tuning for Ray child processes (see
+    # deduplidog_ray.__init__._tune_malloc) — must precede ray.init()
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     import ray
 
     if not ray.is_initialized():
