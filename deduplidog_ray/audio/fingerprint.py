@@ -63,7 +63,10 @@ def fingerprint(pcm: np.ndarray, sr_hz: int) -> tuple[bytes, int]:
     n_frames = min(MAX_FRAMES, max(1, -(-len(x) // hop)))
     need = n_frames * hop
     if len(x) < need:
-        x = np.pad(x, (0, need - len(x)))
+        # np.pad's generic machinery costs ~4x a direct copy at clip sizes
+        y = np.zeros(need, dtype=np.float32)
+        y[: len(x)] = x
+        x = y
     window, edges = _frame_params(hop)
     frames = x[:need].reshape(n_frames, hop) * window
     sp = np.fft.rfft(frames, axis=1)                       # (F, hop//2+1)
