@@ -408,6 +408,24 @@ def q_knn_cosine_lsh(sf_dir: str):
     return knn_cosine_lsh(ds, queries, k=10)
 
 
+def q_knn_cosine_ivf(sf_dir: str):
+    """Approximate top-10 via an IVF coarse quantizer — the classic ANN
+    scale path (train on a sample, probe nprobe/nlist of the corpus)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.similarity import knn_cosine_ivf
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = emb.slice(0, 3).to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return knn_cosine_ivf(ds, queries, k=10)
+
+
 def q_clips_near_dedup(sf_dir: str):
     """FLAGSHIP: full audio+transcript near-dup clustering (BASELINE.json
     north rule) over the clips table synthesized deterministically from
@@ -454,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_cosine_lsh": q_knn_cosine_lsh,
+        "knn_cosine_ivf": q_knn_cosine_ivf,
         "clips_near_dedup": q_clips_near_dedup,
     }
 

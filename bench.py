@@ -128,6 +128,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "text_lang",
         "knn_cosine",
         "knn_cosine_lsh",
+        "knn_cosine_ivf",
         "embedding_near_dup",
     ]:
         timed(name, entry.queries()[name])

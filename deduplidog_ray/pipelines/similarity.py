@@ -76,21 +76,7 @@ def knn_cosine_bruteforce(
     parts = ds.map_batches(_score, batch_format="pyarrow", batch_size=4096,
                            zero_copy_batch=True)
     # driver-side merge of per-batch partial top-k (small)
-    best: dict[int, list] = {}
-    for b in parts.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for qi, vid, cos in zip(
-            b["query_idx"].to_pylist(), b[id_col].to_pylist(), b["cos"].to_pylist()
-        ):
-            h = best.setdefault(qi, [])
-            if len(h) < k:
-                heapq.heappush(h, (cos, vid))
-            elif cos > h[0][0]:
-                heapq.heapreplace(h, (cos, vid))
-    rows = []
-    for qi in sorted(best):
-        for cos, vid in sorted(best[qi], key=lambda x: (-x[0], x[1])):
-            rows.append((qi, vid, cos))
-    return pd.DataFrame(rows, columns=["query_idx", id_col, "cos"])
+    return _merge_topk(parts, k, id_col)
 
 
 def hyperplane_signatures(m: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
@@ -157,10 +143,17 @@ def knn_cosine_lsh(
 
     parts = ds.map_batches(_score, batch_format="pyarrow", batch_size=4096,
                            zero_copy_batch=True)
+    return _merge_topk(parts, k, id_col)
+
+
+def _merge_topk(parts: ray.data.Dataset, k: int, id_col: str) -> pd.DataFrame:
+    """Driver-side merge of per-batch partial top-k rows (Q*k*num_batches
+    candidate rows — never the corpus)."""
     best: dict[int, list] = {}
     for b in parts.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for qi, vid, cos in zip(
-            b["query_idx"].to_pylist(), b[id_col].to_pylist(), b["cos"].to_pylist()
+            b["query_idx"].to_pylist(), b[id_col].to_pylist(),
+            b["cos"].to_pylist()
         ):
             h = best.setdefault(qi, [])
             if len(h) < k:
@@ -172,6 +165,99 @@ def knn_cosine_lsh(
         for cos, vid in sorted(best[qi], key=lambda x: (-x[0], x[1])):
             rows.append((qi, vid, cos))
     return pd.DataFrame(rows, columns=["query_idx", id_col, "cos"])
+
+
+def _spherical_kmeans(
+    sample: np.ndarray, nlist: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means on a (normalized) sample →
+    (nlist, dim) unit centroids. Plain Lloyd's with fixed iterations —
+    the coarse quantizer only needs rough Voronoi cells, not convergence."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    if len(cent) < nlist:                      # corpus smaller than nlist
+        cent = np.vstack([cent, rng.normal(size=(nlist - len(cent),
+                                                 sample.shape[1]))])
+    cent = _normalize(cent.astype(np.float32))
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(nlist):
+            mask = assign == c
+            if mask.any():
+                cent[c] = sample[mask].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_cosine_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 16384,
+    seed: int = 0x1BF5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer — the
+    classic ANN scale path alongside :func:`knn_cosine_lsh`.
+
+    Train: spherical k-means over a driver-side sample (``limit`` — one
+    streamed slice, never the corpus). Search: broadcast (centroids,
+    queries, per-query nprobe cells) once via ``ray.put``; each batch
+    assigns its rows to cells with one (B, nlist) matmul and scores only
+    rows whose cell is probed by a query — candidate fraction ~nprobe /
+    nlist of the corpus per query. At 100 TB the assignment pass would be
+    precomputed once as a materialized ``cell`` column and the probe
+    becomes a partition-pruned read; recall is gated in pytest vs the
+    exact ``knn_cosine_bruteforce`` (same gate as the LSH path).
+    """
+    sample_tbl = ds.limit(train_sample).map_batches(
+        lambda t: t.select([vec_col]), batch_format="pyarrow"
+    ).take_batch(train_sample, batch_format="pyarrow")
+    sample = _normalize(_mat_from_list_col(sample_tbl[vec_col]))
+    # classic sqrt(n) sizing: a corpus smaller than the training sample IS
+    # n, so small corpora get proportionally coarser cells (nprobe/nlist
+    # stays a useful probe fraction); big corpora keep the caller's nlist
+    if len(sample) < train_sample:
+        nlist = min(nlist, max(4, int(np.sqrt(len(sample)))))
+    cent = _spherical_kmeans(sample, nlist, seed)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(cent))
+    qprobe = np.argsort(-(qn @ cent.T.astype(np.float64)), axis=1)[:, :nprobe]
+    probed = np.zeros((len(cent), len(qn)), dtype=bool)     # (C, Q)
+    probed[qprobe.reshape(-1),
+           np.repeat(np.arange(len(qn)), nprobe)] = True
+    ctx = ray.put((qn, cent.astype(np.float64), probed))
+
+    def _score(t: pa.Table) -> pa.Table:
+        q, c, pr = ray.get(ctx)
+        m = _normalize(_mat_from_list_col(t[vec_col], np.float64))
+        assign = np.argmax(m @ c.T, axis=1)                  # (B,)
+        cand = pr[assign]                                    # (B, Q)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ri, qi = np.nonzero(cand)
+        if len(ri) == 0:
+            return pa.table(
+                {"query_idx": pa.array([], type=pa.int64()),
+                 id_col: pa.array([], type=pa.int64()),
+                 "cos": pa.array([], type=pa.float64())}
+            )
+        sims = np.einsum("ij,ij->i", m[ri], q[qi])
+        return pa.table(
+            {
+                "query_idx": pa.array(qi.astype(np.int64)),
+                id_col: pa.array(ids[ri]),
+                "cos": pa.array(sims.astype(np.float64)),
+            }
+        )
+
+    parts = ds.map_batches(_score, batch_format="pyarrow", batch_size=4096,
+                           zero_copy_batch=True)
+    return _merge_topk(parts, k, id_col)
 
 
 _EMB_T = pa.list_(pa.float32())

@@ -73,6 +73,27 @@ def test_knn_lsh_recall(ray_session, corpus):
     assert recall >= 0.8, recall
 
 
+def test_knn_ivf_recall(ray_session, corpus):
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.similarity import (
+        knn_cosine_bruteforce,
+        knn_cosine_ivf,
+    )
+
+    t = pq.read_table(EMB)
+    qdf = t.slice(0, 3).to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    ds = rd.read_parquet(EMB, columns=["vec_id", "embedding"])
+    bf = knn_cosine_bruteforce(ds, queries, k=10, dtype=np.float64)
+    ivf = knn_cosine_ivf(ds, queries, k=10)
+    bfset = set(zip(bf["query_idx"], bf["vec_id"]))
+    ivfset = set(zip(ivf["query_idx"], ivf["vec_id"]))
+    assert len(ivf) == len(bf)
+    recall = len(bfset & ivfset) / len(bfset)
+    assert recall >= 0.8, recall
+
+
 def test_embedding_near_dup_path_parity(ray_session):
     """Small-path (one task) and partitioned-path results are identical."""
     import ray.data as rd
