@@ -75,7 +75,7 @@ def asof_join_last_before(
             out_ts[m] = vals
             hit[m] = ok
         res = pd.DataFrame({name: df[src].to_numpy() for name, src in out_cols.items()})
-        res["last_ts"] = pd.to_datetime(out_ts)
+        res["last_ts"] = pd.to_datetime(out_ts).astype("datetime64[us]")
         return res[hit]
 
     return probe_ds.map_batches(_probe, batch_format="pandas", batch_size=8192)
@@ -108,7 +108,7 @@ def _asof_partition(
         return pd.DataFrame(
             {
                 **{c: pd.Series(dtype=g[c].dtype) for c in payload_cols},
-                "last_ts": pd.Series(dtype="datetime64[ns]"),
+                "last_ts": pd.Series(dtype="datetime64[us]"),
             }
         )
     pos = np.arange(n)
@@ -121,7 +121,7 @@ def _asof_partition(
     matched = last_build[valid]
     src = g.iloc[order[valid]]
     out = pd.DataFrame({c: src[c].to_numpy() for c in payload_cols})
-    out["last_ts"] = ts_s[matched].astype("datetime64[ns]")
+    out["last_ts"] = ts_s[matched].astype("datetime64[ns]").astype("datetime64[us]")
     return out
 
 

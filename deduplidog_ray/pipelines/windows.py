@@ -64,8 +64,8 @@ def _sessions_partition(
                 key_col: pd.Series(dtype=g[key_col].dtype),
                 "session_id": pd.Series(dtype="int64"),
                 "n_events": pd.Series(dtype="int64"),
-                "start_ts": pd.Series(dtype="datetime64[ns]"),
-                "end_ts": pd.Series(dtype="datetime64[ns]"),
+                "start_ts": pd.Series(dtype="datetime64[us]"),
+                "end_ts": pd.Series(dtype="datetime64[us]"),
             }
         )
     new_key = np.r_[True, codes_s[1:] != codes_s[:-1]]
@@ -85,8 +85,9 @@ def _sessions_partition(
             key_col: uniques[skey],
             "session_id": session_id.astype(np.int64),
             "n_events": (ends - bnd).astype(np.int64),
-            "start_ts": ts_s[bnd].astype("datetime64[ns]"),
-            "end_ts": ts_s[ends - 1].astype("datetime64[ns]"),
+            # us precision: byte-parity with SQL-engine TIMESTAMP outputs
+            "start_ts": ts_s[bnd].astype("datetime64[ns]").astype("datetime64[us]"),
+            "end_ts": ts_s[ends - 1].astype("datetime64[ns]").astype("datetime64[us]"),
         }
     )
 
