@@ -353,6 +353,15 @@ def q_text_near_dup(sf_dir: str):
     return text_near_dedup(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_text_jaccard_dup(sf_dir: str):
+    """n-gram-Jaccard near-dup pairs with EXACT set-Jaccard verification
+    (LSH candidates, true |A∩B|/|A∪B| decides — pytest-gated vs a
+    brute-force all-pairs oracle)."""
+    from deduplidog_ray.pipelines.textdedup import text_ngram_jaccard_pairs
+
+    return text_ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_text_quality(sf_dir: str):
     """Quality scoring (deterministic RE2-kernel columns — SQL-verifiable
     since the round-2 vectorization; the heuristic language columns live
@@ -468,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q_orders_by_nation,
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
+        "text_jaccard_dup": q_text_jaccard_dup,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,

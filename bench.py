@@ -124,6 +124,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "orders_by_nation",
         "contained_docs",
         "text_near_dup",
+        "text_jaccard_dup",
         "text_quality",
         "text_lang",
         "knn_cosine",

@@ -166,6 +166,138 @@ def text_near_dup_pairs(
     )
 
 
+@ray.remote
+def _shingle_store_task(refs: list, k: int, seed: int,
+                        text_col: str, id_col: str) -> dict:
+    """One plasma object: doc_id-sorted unique-shingle arrays (CSR layout:
+    ids (D,), offsets (D+1,), flat sorted-unique u64 shingles). Built once,
+    mapped zero-copy by every verify task — the pairgen payload-store
+    pattern applied to exact-Jaccard verification."""
+    tables = [t for t in ray.get(refs) if len(t)]
+    ids_parts, sh_parts, count_parts = [], [], []
+    for t in tables:
+        texts = t[text_col].to_pylist()
+        flat, off = shingle_hashes(texts, k, seed)
+        for i in range(len(t)):
+            u = np.unique(flat[off[i]: off[i + 1]])
+            sh_parts.append(u)
+            count_parts.append(len(u))
+        ids_parts.append(t[id_col].to_numpy(zero_copy_only=False))
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    counts = np.asarray(count_parts, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    counts = counts[order]
+    offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat = (
+        np.concatenate([sh_parts[i] for i in order])
+        if len(order)
+        else np.empty(0, np.uint64)
+    )
+    return {"ids": ids, "offsets": offsets, "flat": flat}
+
+
+@ray.remote
+def _exact_jaccard_task(pairs: pa.Table, store: dict,
+                        threshold: float) -> pa.Table:
+    """Exact |A∩B| / |A∪B| over sorted-unique shingle arrays for one chunk
+    of candidate pairs. Intersection via np.intersect1d on the two sorted
+    runs — per-pair numpy, bounded by the (small) surviving candidate
+    stream, never the corpus."""
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    )
+    if len(pairs) == 0:
+        return out_schema.empty_table()
+    ids, offs, flat = store["ids"], store["offsets"], store["flat"]
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    pa_pos = np.searchsorted(ids, a)
+    pb_pos = np.searchsorted(ids, b)
+    jac = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        ia, ib = pa_pos[i], pb_pos[i]
+        A = flat[offs[ia]: offs[ia + 1]]
+        B = flat[offs[ib]: offs[ib + 1]]
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        union = len(A) + len(B) - inter
+        jac[i] = inter / union if union else 0.0
+    keep = jac >= threshold
+    return pa.table(
+        {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+         "jaccard": pa.array(jac[keep])},
+        schema=out_schema,
+    )
+
+
+def text_ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    cfg: SignatureConfig | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """n-gram-Jaccard near-dup pairs with EXACT set Jaccard (a, b, jaccard).
+
+    Candidates come from the MinHash-LSH band exchange (recall machinery);
+    every candidate is then verified against the TRUE token-k-gram Jaccard
+    — not the signature estimate — via a once-broadcast CSR store of each
+    doc's sorted unique shingle hashes. Completes the dedup family the
+    task sheet lists (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+    embedding cosine) with an exact-semantics member; gated in pytest
+    against a brute-force all-pairs Jaccard oracle.
+
+    Scale shape: candidates are pairs (small); the store is 1x the unique
+    shingles of the corpus (shard by id range beyond node RAM, routing
+    pair chunks by shard — the pipelines documented in stages/pairgen.py).
+    """
+    from dataclasses import replace
+
+    cfg = cfg or SignatureConfig()
+    thr = cfg.jaccard_threshold if threshold is None else threshold
+    refs = ds.map_batches(
+        lambda t: t.select([id_col, text_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_arrow_refs()
+    store_ref = _shingle_store_task.remote(
+        refs, cfg.shingle_k, cfg.seed, text_col, id_col
+    )
+    # candidate stage runs with SLACK below the target threshold: the
+    # MinHash estimate is a prefilter (sigma ~ sqrt(J(1-J)/P) ~ 0.04 at
+    # P=128), the exact set Jaccard decides
+    cand_cfg = replace(cfg, jaccard_threshold=max(0.0, thr - 0.1))
+    cand = text_near_dup_pairs(ds, cand_cfg, text_col, id_col)
+    cand_tbl = pa.concat_tables(
+        [b for b in cand.iter_batches(batch_size=1 << 16,
+                                      batch_format="pyarrow")]
+        or [pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("jaccard", pa.float32())]).empty_table()]
+    )
+    if len(cand_tbl):
+        # the same pair can surface from a band key in one partition and
+        # a SimHash block key in another — dedup before the exact pass
+        aa = cand_tbl["a"].to_numpy()
+        bb = cand_tbl["b"].to_numpy()
+        pk = np.empty(len(aa), dtype=[("a", "i8"), ("b", "i8")])
+        pk["a"], pk["b"] = aa, bb
+        _, first = np.unique(pk.view("V16"), return_index=True)
+        cand_tbl = cand_tbl.take(pa.array(np.sort(first)))
+    # chunk the (small) pair stream across verify tasks
+    chunk = 1 << 14
+    futs = [
+        _exact_jaccard_task.remote(cand_tbl.slice(c0, chunk), store_ref, thr)
+        for c0 in range(0, max(len(cand_tbl), 1), chunk)
+    ]
+    outs = [t for t in ray.get(futs) if len(t)]
+    if not outs:
+        return ray.data.from_arrow(
+            pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("jaccard", pa.float64())]).empty_table()
+        )
+    return ray.data.from_arrow(pa.concat_tables(outs))
+
+
 def text_near_dedup(
     ds: ray.data.Dataset,
     cfg: SignatureConfig | None = None,

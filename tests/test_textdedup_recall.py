@@ -67,6 +67,61 @@ def _truth_pairs(table: pa.Table, cfg: SignatureConfig) -> set:
     return truth
 
 
+def _truth_exact_jaccard(table: pa.Table, cfg: SignatureConfig, thr: float) -> set:
+    """Brute-force EXACT k-gram-set Jaccard over all pairs."""
+    from deduplidog_ray.stages.signatures import shingle_hashes
+
+    ids = table["doc_id"].to_numpy()
+    texts = table["text"].to_pylist()
+    flat, off = shingle_hashes(texts, cfg.shingle_k, cfg.seed)
+    sets = [np.unique(flat[off[i]: off[i + 1]]) for i in range(len(ids))]
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+            union = len(sets[i]) + len(sets[j]) - inter
+            if union and inter / union >= thr:
+                a, b = int(ids[i]), int(ids[j])
+                truth.add((min(a, b), max(a, b)))
+    return truth
+
+
+def test_text_ngram_jaccard_exact_verify(ray_session, doc_corpus):
+    """n-gram-Jaccard pipeline: every emitted pair carries the TRUE set
+    Jaccard (not the MinHash estimate); precision is exact and recall is
+    bounded only by LSH candidate generation."""
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.textdedup import text_ngram_jaccard_pairs
+
+    cfg = SignatureConfig()
+    thr = cfg.jaccard_threshold
+    truth = _truth_exact_jaccard(doc_corpus, cfg, thr)
+    assert len(truth) >= 40
+
+    got_df = text_ngram_jaccard_pairs(
+        rd.from_arrow(doc_corpus), cfg
+    ).to_pandas()
+    got = {(min(a, b), max(a, b)) for a, b in zip(got_df["a"], got_df["b"])}
+    # exact verify ⇒ no false positives vs the exact-Jaccard ground truth
+    assert got <= truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.98, f"recall {recall:.4f} ({len(got & truth)}/{len(truth)})"
+    # and the reported jaccard IS the true set Jaccard
+    sample = got_df.head(20)
+    from deduplidog_ray.stages.signatures import shingle_hashes
+
+    ids_all = doc_corpus["doc_id"].to_numpy()
+    texts = doc_corpus["text"].to_pylist()
+    flat, off = shingle_hashes(texts, cfg.shingle_k, cfg.seed)
+    pos = {int(d): i for i, d in enumerate(ids_all)}
+    for a, b, j in zip(sample["a"], sample["b"], sample["jaccard"]):
+        A = np.unique(flat[off[pos[int(a)]]: off[pos[int(a)] + 1]])
+        B = np.unique(flat[off[pos[int(b)]]: off[pos[int(b)] + 1]])
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        assert abs(j - inter / (len(A) + len(B) - inter)) < 1e-12
+
+
 def test_text_near_dup_recall_and_precision(ray_session, doc_corpus):
     import ray.data as rd
 
