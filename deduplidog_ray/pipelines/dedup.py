@@ -721,13 +721,14 @@ class NearDupPipeline:
         total = sum(os.path.getsize(f) for f in frags if os.path.exists(f))
         avail = int(ray.cluster_resources().get("CPU", 8))
         if len(frags) >= avail * 2:
-            # the file layout alone keeps every core busy: do NOT override.
-            # An override inserts a SplitBlocks op between ReadParquet and
-            # the decode map_batches, breaking their fusion — the raw
-            # ``bytes`` column then round-trips the object store (measured:
-            # 17 GB of plasma traffic on the 416k-clip corpus, and the
-            # signature phase's scaling cap).
-            return read_fragments(frags)
+            # the file layout alone keeps every core busy: pin EXACTLY one
+            # block per file. Leaving parallelism to Ray auto-inserts a
+            # SplitBlocks op (its block-count target is ~200) between
+            # ReadParquet and the decode map_batches, breaking their
+            # fusion — the raw ``bytes`` column then round-trips the
+            # object store (measured: 2.3 GB of plasma traffic and a
+            # separate 19 s read operator at 52k clips; 17 GB at 416k).
+            return read_fragments(frags, override_num_blocks=len(frags))
         if total < 2 << 30:
             return read_fragments(frags, override_num_blocks=avail * 3)
         want = max(avail * 2, total // (128 << 20))
