@@ -186,6 +186,41 @@ def asof_join_keyed(
     )
 
 
+def asof_join_auto(
+    probe_ds: ray.data.Dataset,
+    build_ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    strict: bool = False,
+    partitions: int = 64,
+    broadcast_threshold_rows: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Adaptive as-of join: broadcast-probe when the build side is small,
+    keyed shuffle when it is large — the classic broadcast-vs-shuffle
+    join dispatch (same adaptive pattern as pipelines/containment.py and
+    the embedding near-dup small path).
+
+    A build side under the threshold is collected ONCE into a per-key
+    sorted index and ``ray.put`` broadcast; every probe batch answers with
+    ``searchsorted`` — zero shuffles, no barrier. Above the threshold the
+    shuffle-based :func:`asof_join_keyed` runs (nothing materializes on
+    the driver). Identical output either way (us timestamps, inner
+    semantics); parity gated in tests/test_results_paths.py.
+    """
+    if build_ds.count() <= broadcast_threshold_rows:
+        build_df = build_ds.to_pandas()
+        out_cols = {c: c for c in payload_cols}
+        return asof_join_last_before(
+            probe_ds, build_df, key_col, ts_col, key_col, ts_col,
+            out_cols, strict=strict,
+        )
+    return asof_join_keyed(
+        probe_ds, build_ds, key_col, ts_col, payload_cols,
+        strict=strict, partitions=partitions,
+    )
+
+
 def broadcast_semi_join(
     ds: ray.data.Dataset, keys, key_col: str, anti: bool = False
 ) -> ray.data.Dataset:

@@ -28,3 +28,33 @@ def test_distributed_results_path_matches_driver_path(ray_session):
         replace(cfg, execution=replace(cfg.execution, driver_results_max=0)),
     )
     pd.testing.assert_frame_equal(driver, dist)
+
+
+def test_asof_auto_dispatch_parity(ray_session):
+    """asof_join_auto must return identical rows whichever branch the
+    build-side row count selects (broadcast index vs keyed shuffle)."""
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.joins import asof_join_auto, asof_join_keyed
+
+    sf = "/root/testdata/sf0.001"
+    build = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    probes = rd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def _norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(["event_id", "last_ts"]).reset_index(drop=True)
+
+    kwargs = dict(
+        key_col="user_id", ts_col="ts", payload_cols=["event_id"], strict=True
+    )
+    keyed = _norm(asof_join_keyed(probes, build, **kwargs))
+    # threshold high -> broadcast branch; threshold 0 -> keyed branch
+    bcast = _norm(asof_join_auto(probes, build, **kwargs))
+    via_keyed = _norm(
+        asof_join_auto(probes, build, broadcast_threshold_rows=0, **kwargs)
+    )
+    pd.testing.assert_frame_equal(bcast[keyed.columns], keyed)
+    pd.testing.assert_frame_equal(via_keyed[keyed.columns], keyed)
