@@ -384,7 +384,15 @@ def q_text_lang(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane LSH buckets."""
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH.
+
+    SQL-oracle-checked: the verify step keeps the TRUE cosine >= threshold,
+    so the result equals the exhaustive SQL pair scan whenever the banded
+    candidate stage has full recall — bands=64, r=4 puts the miss
+    probability at cosine 0.35 below 6e-5 per pair (measured recall 1.0 vs
+    the brute-force scan at sf0.001 and sf0.01; also pytest-gated). Only
+    the (a, b) pair identity is returned: the cosine VALUE's low bits
+    depend on summation order, which is engine-specific."""
     import ray.data
 
     from deduplidog_ray.pipelines.similarity import embedding_near_dup_pairs
@@ -394,10 +402,10 @@ def q_embedding_near_dup(sf_dir: str):
     )
     # the synthetic embeddings' max off-diagonal cosine is ~0.48; use a
     # threshold that exercises the banded-LSH verify path on this corpus
-    # (bands=32, r=4 gives ~0.99 collision prob at cosine 0.35)
-    return embedding_near_dup_pairs(
-        ds, threshold=0.35, bands=32, bits_per_band=4
+    out = embedding_near_dup_pairs(
+        ds, threshold=0.35, bands=64, bits_per_band=4
     )
+    return out.select_columns(["a", "b"])
 
 
 def q_knn_cosine_lsh(sf_dir: str):
@@ -616,5 +624,40 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
                          e.vec_id
             ) <= 10
+        """,
+        # exact token-3-gram set Jaccard, the same shingle definition as
+        # stages/signatures.py::shingle_hashes (whitespace split, k-grams,
+        # docs under k tokens contribute their whole token sequence as one
+        # shingle). jaccard = |A∩B|/|A∪B| is an exact int/int division —
+        # bit-identical doubles in both engines.
+        "text_jaccard_dup": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(ts) >= 3 THEN
+                  list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
+                ELSE [array_to_string(ts, chr(30))] END AS sg
+              FROM tok
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sg, y.sg))) AS jaccard
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE len(list_intersect(x.sg, y.sg))
+                  >= 0.7 * len(list_distinct(list_concat(x.sg, y.sg)))
+        """,
+        # exhaustive cosine-threshold pair scan; the pipeline's banded-LSH
+        # candidates + true-cosine verify equals this whenever candidate
+        # recall is 1.0 (bands=64 r=4: miss prob < 6e-5 at the threshold)
+        "embedding_near_dup": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
         """,
     }
