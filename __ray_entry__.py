@@ -652,6 +652,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(x.sg, y.sg))
                   >= 0.7 * len(list_distinct(list_concat(x.sg, y.sg)))
         """,
+        # the language-ID heuristic is deterministic: distinct lowercased
+        # \w+ words hit per-language stopword lists (pipelines/textops.py
+        # _STOPWORDS), argmax with first-in-order tie-break (en,de,fr,es,cs),
+        # 'und' when no list is hit; stopword_ratio counts occurrences (with
+        # multiplicity) in the union list / n_words. RE2 regex semantics in
+        # both engines make this bit-reproducible.
+        "text_lang": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\w+') AS aw,
+                     list_distinct(regexp_extract_all(lower(text), '\w+'))
+                         AS dw
+              FROM documents
+            ), h AS (
+              SELECT doc_id, aw,
+                len(list_intersect(dw, ['the','and','of','to','a','in','is',
+                                        'that','it','for'])) AS he,
+                len(list_intersect(dw, ['der','die','das','und','ist',
+                                        'nicht','ein','mit','zu','von']))
+                    AS hd,
+                len(list_intersect(dw, ['le','la','les','et','est','un',
+                                        'une','des','du','que'])) AS hf,
+                len(list_intersect(dw, ['el','la','los','las','y','es','un',
+                                        'una','de','que'])) AS hs,
+                len(list_intersect(dw, ['a','se','na','je','to','v','že',
+                                        's','z','do'])) AS hc
+              FROM w
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(he,hd,hf,hs,hc) = 0 THEN 'und'
+                   WHEN he >= hd AND he >= hf AND he >= hs AND he >= hc
+                        THEN 'en'
+                   WHEN hd >= hf AND hd >= hs AND hd >= hc THEN 'de'
+                   WHEN hf >= hs AND hf >= hc THEN 'fr'
+                   WHEN hs >= hc THEN 'es'
+                   ELSE 'cs' END AS pred_lang,
+              CAST(len(list_filter(aw, x -> list_contains(
+                     ['a','and','das','de','der','des','die','do','du','el',
+                      'est','et','ein','es','for','in','is','ist','it','je',
+                      'la','las','le','les','los','mit','na','nicht','of',
+                      'que','s','se','that','the','to','un','una','und',
+                      'une','v','von','y','z','zu','že'], x))) AS DOUBLE)
+                / greatest(len(aw), 1) AS stopword_ratio
+            FROM h
+        """,
         # exhaustive cosine-threshold pair scan; the pipeline's banded-LSH
         # candidates + true-cosine verify equals this whenever candidate
         # recall is 1.0 (bands=64 r=4: miss prob < 6e-5 at the threshold)
