@@ -90,6 +90,17 @@ class MatchConfig:
     """
 
     dur_delta_ms: int = 40                 # near-dup duration tolerance
+    time_window_ms: int | None = None      # ≙ the EXIF/mtime date gate on the
+                                           # perceptual compare (deduplidog.py:
+                                           # 744-756: image_similar only runs
+                                           # when the files' timestamps are
+                                           # within 3600 s): when set AND the
+                                           # input carries a ``created_ms``
+                                           # column, the FUZZY match axis
+                                           # additionally requires
+                                           # |created_a - created_b| <= window
+                                           # (exact/pcm equality is ungated,
+                                           # like the reference's exact path)
     fp_hamming_frac: float = 0.35          # perceptual-fp Hamming gate, as a fraction
                                            # of the pair's common active bits
                                            # (audio/fingerprint.py:active_bits)

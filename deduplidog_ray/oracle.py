@@ -60,8 +60,14 @@ def oracle_payload(table: pa.Table, cfg: DedupConfig) -> dict[str, np.ndarray]:
     sig = minhash_signatures(flat, off, cfg.signature)
     sh = simhash_signatures(flat, off)
 
+    created = (
+        np.asarray(table["created_ms"].to_pylist(), dtype=np.int64)
+        if "created_ms" in table.column_names
+        else np.zeros(n, dtype=np.int64)
+    )
     return {
         "clip_id": np.asarray(table["clip_id"].to_pylist(), dtype=object),
+        "created_ms": created,
         "codec_class": np.asarray(
             [CODEC_CLASS.get(cc, "unknown") for cc in codecs], dtype=object
         ),

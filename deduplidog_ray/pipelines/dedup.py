@@ -57,7 +57,7 @@ from deduplidog_ray.state.unionfind import UnionFind  # noqa: F401 (oracle/tests
 #: columns persisted in the signature checkpoint — everything downstream
 #: needs, and NOT the audio ``bytes`` (decoded once, never re-shipped).
 SIG_COLUMNS = [
-    "clip_id", "sr_hz", "dur_ms", "codec", "codec_class", "role",
+    "clip_id", "sr_hz", "dur_ms", "codec", "codec_class", "role", "created_ms",
     "n_bytes", "content_hash", "pcm_hash", "fp", "n_frames", "dur_ms_actual",
     "decode_error", "norm_transcript", "minhash", "simhash",
     "n_shingles", "winnow", "cand_keys", "cand_ranks",

@@ -50,6 +50,7 @@ _TAG_CONTENT = np.uint64(0xB5)
 PAYLOAD_COLUMNS = [
     "clip_id",
     "dur_ms",
+    "created_ms",
     "content_hash",
     "pcm_hash",
     "simhash",

@@ -67,7 +67,7 @@ _SEG_SEED2 = 0x5E62
 #: columns the verify kernel reads from the payload store (everything
 #: ``payload_from_table`` consumes, exactly once per clip).
 STORE_COLUMNS = [
-    "clip_id", "dur_ms", "content_hash", "pcm_hash", "simhash",
+    "clip_id", "dur_ms", "created_ms", "content_hash", "pcm_hash", "simhash",
     "fp", "n_frames", "minhash", "n_shingles",
     # canonicalization policy columns: carrying them in the store lets the
     # results stage read policy data for clustered clips straight from the

@@ -80,6 +80,13 @@ def payload_from_table(t: pa.Table, num_perm: int) -> dict[str, np.ndarray]:
             else np.zeros(n, dtype=np.int8)
         ),
         "dur_ms": t["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64),
+        # optional creation timestamp (≙ mtime/EXIF): zeros when the input
+        # has no ``created_ms`` column — the time gate then passes trivially
+        "created_ms": (
+            t["created_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if "created_ms" in names
+            else np.zeros(n, dtype=np.int64)
+        ),
         "content_hash": t["content_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
         "pcm_hash": t["pcm_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
         "simhash": t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64),
@@ -163,7 +170,21 @@ def _confirm_chunk_1d(
         & (jac < s.jaccard_threshold)
     )
 
-    near = transcript_ok & audio_ok & dur_ok
+    # ≙ the reference's date gate on the perceptual compare
+    # (deduplidog.py:744-756): fuzzy matches additionally require the
+    # clips' creation timestamps within the window; exact/pcm paths are
+    # ungated (the reference's exact path has its own date logic — here
+    # the dur window). A missing created_ms column is all-zeros → no gate.
+    if m.time_window_ms is not None:
+        time_ok = (
+            np.abs(P["created_ms"][ii] - P["created_ms"][jj])
+            <= m.time_window_ms
+        )
+        near_gate = time_ok
+    else:
+        near_gate = True
+
+    near = transcript_ok & audio_ok & dur_ok & near_gate
     dup = same_class & (exact | (pcm & dur_ok) | near | contain_ok)
 
     reason = np.full(M, -1, dtype=np.int8)
