@@ -263,6 +263,18 @@ def q_contained_docs(sf_dir: str):
     return contained_doc_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_contained_docs_sa(sf_dir: str):
+    """Same containment result through the generalized-suffix-array verify
+    kernel (`stages/suffixes.py`, Manber-Myers SA) instead of per-pair
+    substring scans — the suffix-array axis of SURVEY §2.8. Identical
+    output, gated by the same SQL ``position()`` oracle."""
+    from deduplidog_ray.pipelines.containment import contained_doc_pairs
+
+    return contained_doc_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]), verify="sa"
+    )
+
+
 def q_orders_by_nation(sf_dir: str):
     """Broadcast dimension join ≙ J4 sidecar lookup (utils.py:196-205):
     customer (small side, ray.put once) joined to orders per batch, then a
@@ -482,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
         "contained_docs": q_contained_docs,
+        "contained_docs_sa": q_contained_docs_sa,
         "orders_by_nation": q_orders_by_nation,
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
@@ -602,6 +615,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "contained_docs": """
+            SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+            FROM documents a JOIN documents b
+              ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0
+            ORDER BY contained_id, container_id
+        """,
+        "contained_docs_sa": """
             SELECT a.doc_id AS contained_id, b.doc_id AS container_id
             FROM documents a JOIN documents b
               ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0

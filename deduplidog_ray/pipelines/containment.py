@@ -21,7 +21,11 @@ per winnow key and verified O(n²) per segment):
    positives reach verification.
 4. **Exact verify.** Only surviving pairs' texts are fetched (broadcast
    id-set semi-join against the corpus — text bytes shipped ∝ survivors,
-   ≤ 1× corpus), then char-exact ``in``.
+   ≤ 1× corpus), then char-exact: either per-pair substring scan
+   (``verify="chars"``) or one generalized suffix array over the fetched
+   texts with an equal-range probe per contained doc (``verify="sa"``,
+   `stages/suffixes.py` — the suffix-array substring axis of SURVEY §2.8).
+   Both kernels are exact; results are identical (parity-tested).
 5. **Short-doc sideband.** Docs under ``w + k - 1`` bytes are below the
    winnowing guarantee; they are collected (rare) and matched exactly via
    a broadcast scan, so the result is exact for ALL inputs, not just
@@ -268,6 +272,53 @@ def _survivors_small_task(
     return out.drop_duplicates(["a", "b"], ignore_index=True)
 
 
+def _verify_chars(survivors: pd.DataFrame, tmap: pd.Series) -> list:
+    """Per-pair char-exact substring check (CPython C fast-search)."""
+    ta = survivors["a"].map(tmap).to_numpy()
+    tb = survivors["b"].map(tmap).to_numpy()
+    aa = survivors["a"].to_numpy()
+    bb = survivors["b"].to_numpy()
+    dab = survivors["dir_ab"].to_numpy()
+    dba = survivors["dir_ba"].to_numpy()
+    results = []
+    for i in range(len(survivors)):
+        if dab[i] and ta[i] in tb[i]:
+            results.append((aa[i], bb[i]))
+        if dba[i] and tb[i] in ta[i]:
+            results.append((bb[i], aa[i]))
+    return results
+
+
+def _verify_sa(survivors: pd.DataFrame, tmap: pd.Series) -> list:
+    """Generalized-suffix-array verify: one SA over the fetched texts,
+    one equal-range probe per distinct contained-side doc; candidate
+    containers confirmed by membership in the probe's occurrence set."""
+    from deduplidog_ray.stages.suffixes import GeneralizedSuffixArray
+
+    gsa = GeneralizedSuffixArray(
+        tmap.index.to_numpy(), list(tmap.to_numpy())
+    )
+    aa = survivors["a"].to_numpy()
+    bb = survivors["b"].to_numpy()
+    dab = survivors["dir_ab"].to_numpy()
+    dba = survivors["dir_ba"].to_numpy()
+    cont = np.concatenate([aa[dab], bb[dba]])
+    ctr = np.concatenate([bb[dab], aa[dba]])
+    order = np.argsort(cont, kind="stable")
+    cont, ctr = cont[order], ctr[order]
+    seg = np.flatnonzero(np.r_[True, cont[1:] != cont[:-1]])
+    seg_end = np.r_[seg[1:], len(cont)]
+    results = []
+    for s, e in zip(seg, seg_end):
+        d = int(cont[s])
+        hits = gsa.find_containers(tmap[d])  # sorted container ids
+        cand = np.unique(ctr[s:e])
+        pos = np.searchsorted(hits, cand)
+        ok = cand[(pos < len(hits)) & (hits[np.minimum(pos, len(hits) - 1)] == cand)]
+        results.extend((d, int(c)) for c in ok)
+    return results
+
+
 def contained_doc_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -278,6 +329,7 @@ def contained_doc_pairs(
     seed: int = 0x5EED,
     max_key_group: int | None = None,
     small_threshold: int = 20_000_000,
+    verify: str = "chars",
 ) -> pd.DataFrame:
     """All ordered (contained_id, container_id) exact-substring pairs.
 
@@ -381,17 +433,8 @@ def contained_doc_pairs(
         tmap = pd.Series(
             texts_df[text_col].to_numpy(), index=texts_df[id_col].to_numpy()
         )
-        ta = survivors["a"].map(tmap).to_numpy()
-        tb = survivors["b"].map(tmap).to_numpy()
-        aa = survivors["a"].to_numpy()
-        bb = survivors["b"].to_numpy()
-        dab = survivors["dir_ab"].to_numpy()
-        dba = survivors["dir_ba"].to_numpy()
-        for i in range(len(survivors)):
-            if dab[i] and ta[i] in tb[i]:
-                results.append((aa[i], bb[i]))
-            if dba[i] and tb[i] in ta[i]:
-                results.append((bb[i], aa[i]))
+        kernel = _verify_sa if verify == "sa" else _verify_chars
+        results.extend(kernel(survivors, tmap))
 
     # ---- short-doc sideband: exact broadcast scan for sub-guarantee docs
     shorts = (
