@@ -110,6 +110,15 @@ class MatchConfig:
     ignore_size: bool = False
     ignore_duration: bool = False
     skip_empty: bool = True                # ≙ skip_empty (deduplidog.py:80-81)
+    exact_containment: bool = False        # contained-clip axis: confirm every
+                                           # contain-reason pair as an EXACT
+                                           # transcript substring via the
+                                           # generalized suffix array
+                                           # (stages/suffixes.py) — the
+                                           # suffix-array substring detection
+                                           # of the shrunk/partial-copy case
+                                           # (docs/index.md:20-22); estimate-
+                                           # only pairs are dropped
 
 
 @dataclass(frozen=True)

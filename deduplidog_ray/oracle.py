@@ -59,6 +59,7 @@ def oracle_payload(table: pa.Table, cfg: DedupConfig) -> dict[str, np.ndarray]:
     flat, off = shingle_hashes(texts, cfg.signature.shingle_k, cfg.signature.seed)
     sig = minhash_signatures(flat, off, cfg.signature)
     sh = simhash_signatures(flat, off)
+    norm_text = np.asarray([t or "" for t in texts], dtype=object)
 
     created = (
         np.asarray(table["created_ms"].to_pylist(), dtype=np.int64)
@@ -67,6 +68,7 @@ def oracle_payload(table: pa.Table, cfg: DedupConfig) -> dict[str, np.ndarray]:
     )
     return {
         "clip_id": np.asarray(table["clip_id"].to_pylist(), dtype=object),
+        "norm_text": norm_text,
         "created_ms": created,
         "codec_class": np.asarray(
             [CODEC_CLASS.get(cc, "unknown") for cc in codecs], dtype=object
@@ -105,6 +107,15 @@ def oracle_pairs(
                 if gi >= gj:
                     continue
                 a, b = sub["clip_id"][gi], sub["clip_id"][gj]
+                if (
+                    cfg.match.exact_containment
+                    and REASONS[reason[a_i, b_j]] == "contain"
+                ):
+                    # exact-containment gate, independently of the
+                    # pipeline's suffix-array kernel: plain Python `in`
+                    ta, tb = sub["norm_text"][gi], sub["norm_text"][gj]
+                    if not (ta in tb or tb in ta):
+                        continue
                 key = (a, b) if a < b else (b, a)
                 out[key] = REASONS[reason[a_i, b_j]]
     return out

@@ -471,6 +471,64 @@ class NearDupPipeline:
         return rd.from_arrow(pa.Table.from_pandas(df, schema=allp.schema,
                                                   preserve_index=False))
 
+    def _exact_contain_filter(
+        self, sig_ds: ray.data.Dataset, pairs_ds: ray.data.Dataset
+    ) -> ray.data.Dataset:
+        """Suffix-array substring confirmation of the contained-clip axis
+        (north rule; ≙ the shrunk/partial-copy case, docs/index.md:20-22).
+
+        The verify kernel's ``contain`` reason is a minhash containment
+        ESTIMATE (stages/verify.py). With ``match.exact_containment`` on,
+        every contain-reason pair must additionally be an exact transcript
+        substring, confirmed by one generalized suffix array
+        (stages/suffixes.py) over ONLY the transcripts of clips appearing
+        in contain pairs — fetched with a broadcast id-set semi-join
+        (bytes shipped ∝ contain pairs, never the corpus). Estimate-only
+        pairs are dropped. Scale note: the pair stream is the pipeline's
+        small artifact by design (SURVEY.md §7), so this runs where the
+        pairs already live; shard the GSA by pair-graph component if a
+        pathological corpus ever concentrates transcripts past node RAM.
+        """
+        tables = [t for t in ray.get(pairs_ds.to_arrow_refs()) if len(t)]
+        if not tables:
+            return pairs_ds
+        import ray.data as rd
+
+        allp = pa.concat_tables(tables).combine_chunks()
+        reason = allp["reason"].to_numpy(zero_copy_only=False)
+        cmask = reason == "contain"
+        self.metrics["contain_pairs_checked"] = int(cmask.sum())
+        if not cmask.any():
+            return rd.from_arrow(allp)
+        aa = allp["a"].to_numpy(zero_copy_only=False)[cmask]
+        bb = allp["b"].to_numpy(zero_copy_only=False)[cmask]
+        need_ref = ray.put(pa.array(sorted(set(aa) | set(bb)), type=pa.string()))
+
+        def _fetch(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = ray.get(need_ref)
+            return t.select(["clip_id", "norm_transcript"]).filter(
+                pc.is_in(t["clip_id"], value_set=ids)
+            )
+
+        texts_tbl = (
+            sig_ds.map_batches(_fetch, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+            .drop_duplicates("clip_id")
+        )
+        from deduplidog_ray.stages.suffixes import exact_containment_mask
+
+        keep_contain = exact_containment_mask(
+            aa, bb,
+            texts_tbl["clip_id"].tolist(),
+            texts_tbl["norm_transcript"].tolist(),
+        )
+        self.metrics["contain_pairs_dropped"] = int((~keep_contain).sum())
+        final = ~cmask
+        final[np.nonzero(cmask)[0][keep_contain]] = True
+        return rd.from_arrow(allp.filter(pa.array(final)))
+
     # ------------------------------------------------------------ stage 3
     def cluster(
         self, pairs_ds: ray.data.Dataset
@@ -777,6 +835,8 @@ class NearDupPipeline:
         else:
             pairs_ds = self.pairs(sig_ds)
         self.metrics["sec_hot_pass"] = round(time.monotonic() - t1, 2)
+        if self.cfg.match.exact_containment:
+            pairs_ds = self._exact_contain_filter(sig_ds, pairs_ds)
         t2 = time.monotonic()
         clusters, reasons = self.cluster(pairs_ds)
         self.metrics["sec_verify_cluster"] = round(time.monotonic() - t2, 2)

@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["suffix_array", "GeneralizedSuffixArray", "gsa_containment_pairs"]
+__all__ = [
+    "suffix_array",
+    "GeneralizedSuffixArray",
+    "gsa_containment_pairs",
+    "exact_containment_mask",
+]
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
@@ -125,6 +130,41 @@ class GeneralizedSuffixArray:
         # occurrences are sentinel-free, so each lies inside one doc
         docs = np.searchsorted(self.starts, pos, side="right") - 1
         return np.unique(self.ids[docs])
+
+
+def exact_containment_mask(
+    aa: np.ndarray, bb: np.ndarray, ids: list, texts: list
+) -> np.ndarray:
+    """For each pair (aa[p], bb[p]): is one text an exact substring of the
+    other? One generalized suffix array over ``texts``; each DISTINCT
+    shorter-side text is probed once (equal-range binary search) and its
+    container set cached. Probing only the shorter side is sufficient:
+    for equal lengths, substring either way means string equality, which
+    the probe also reports (a doc always contains itself — the probe
+    returns the OTHER doc exactly when texts are equal).
+    """
+    m = len(aa)
+    out = np.zeros(m, dtype=bool)
+    if m == 0:
+        return out
+    idx_of = {i: k for k, i in enumerate(ids)}
+    gsa = GeneralizedSuffixArray(np.arange(len(ids), dtype=np.int64), texts)
+    lens = np.fromiter(
+        (len(t) if t is not None else 0 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    cache: dict[int, np.ndarray] = {}
+    for p in range(m):
+        ia, ib = idx_of[aa[p]], idx_of[bb[p]]
+        short, other = (ia, ib) if lens[ia] <= lens[ib] else (ib, ia)
+        hits = cache.get(short)
+        if hits is None:
+            hits = gsa.find_containers(texts[short])
+            cache[short] = hits
+        pos = int(np.searchsorted(hits, other))
+        out[p] = pos < len(hits) and hits[pos] == other
+    return out
 
 
 def gsa_containment_pairs(
