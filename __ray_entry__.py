@@ -374,6 +374,34 @@ def q_text_jaccard_dup(sf_dir: str):
     return text_ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: train docs (doc_id % 17 != 0) scored
+    against the holdout split (doc_id % 17 == 0) by DISTINCT shared token
+    3-grams — broadcast holdout gram set, streaming train scan (no
+    shuffle). Semantics mirror the SQL list-intersect oracle exactly."""
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.decontam import decontaminate
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _split(holdout_side: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 17) == 0
+            return t.filter(pa.array(m if holdout_side else ~m))
+
+        return _f
+
+    train = docs.map_batches(
+        _split(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    holdout = docs.map_batches(
+        _split(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = decontaminate(train, holdout)
+    return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
+
+
 def q_text_quality(sf_dir: str):
     """Quality scoring (deterministic RE2-kernel columns — SQL-verifiable
     since the round-2 vectorization; the heuristic language columns live
@@ -499,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
         "text_jaccard_dup": q_text_jaccard_dup,
+        "decontaminate": q_decontaminate,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,
@@ -670,6 +699,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sh x JOIN sh y ON x.doc_id < y.doc_id
             WHERE len(list_intersect(x.sg, y.sg))
                   >= 0.7 * len(list_distinct(list_concat(x.sg, y.sg)))
+        """,
+        # decontamination: shingle semantics mirror shingle_hashes — token
+        # 3-grams for docs with >= 3 whitespace tokens, else ONE whole-doc
+        # gram; n_contaminated counts the doc's DISTINCT grams present
+        # anywhere in the holdout split (doc_id % 17 == 0)
+        "decontaminate": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(ts) >= 3 THEN
+                  list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
+                ELSE [array_to_string(ts, chr(30))] END AS sg
+              FROM tok
+            ), hold AS (
+              SELECT list_distinct(flatten(list(sg))) AS hs
+              FROM sh WHERE doc_id % 17 = 0
+            )
+            SELECT s.doc_id,
+                   CAST(len(list_intersect(s.sg, h.hs)) AS BIGINT)
+                       AS n_contaminated,
+                   len(list_intersect(s.sg, h.hs)) >= 1 AS contaminated
+            FROM sh s CROSS JOIN hold h
+            WHERE s.doc_id % 17 <> 0
         """,
         # the language-ID heuristic is deterministic: distinct lowercased
         # \w+ words hit per-language stopword lists (pipelines/textops.py

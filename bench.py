@@ -124,8 +124,10 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "pricing_summary",
         "orders_by_nation",
         "contained_docs",
+        "contained_docs_sa",
         "text_near_dup",
         "text_jaccard_dup",
+        "decontaminate",
         "text_quality",
         "text_lang",
         "knn_cosine",

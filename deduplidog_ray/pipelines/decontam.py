@@ -1,0 +1,111 @@
+"""Training-data decontamination: flag/drop train docs overlapping a holdout.
+
+The canonical LLM-data hygiene op (benchmark / test-set decontamination):
+a train document is contaminated when it shares at least ``min_hits``
+DISTINCT token n-grams with ANY holdout document. Generalizes the
+reference's already-processed / tombstone exclusion (deduplidog.py:464-467,
+:630 — "don't re-affect what an earlier pass already claimed") to
+content-level set exclusion against a reference corpus.
+
+Scale shape (the realistic case: holdout ≪ train — benchmark suites vs a
+100 TB crawl):
+
+1. **Holdout n-gram set, distributed.** One ``map_batches`` pass over the
+   holdout emits each batch's DISTINCT shingle hashes; the driver merges
+   (np.unique) and ``ray.put``s ONE sorted uint64 array — broadcast once,
+   mapped zero-copy from plasma by every scoring task. ~8 B per distinct
+   holdout n-gram: a 1M-doc holdout is tens of MB.
+2. **Train scoring, streaming.** Per train batch: vectorized shingle
+   hashes (`stages/signatures.py:shingle_hashes` — same tokenization as
+   the whole text family), per-doc distinct via one lexsort, membership
+   via ``searchsorted`` against the broadcast array, per-doc hit counts
+   via ``bincount``. No shuffle, no driver loop; train side never
+   materializes.
+
+For a holdout too large to broadcast, the same semantics become a
+hash-partitioned semi-join on (shingle_hash) — the exchange pattern of
+`pipelines/exact.py` — at the cost of shuffling the train side's distinct
+grams once. Not implemented until an input needs it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from deduplidog_ray.stages.signatures import shingle_hashes
+
+
+def holdout_ngram_set(
+    holdout_ds: ray.data.Dataset,
+    k: int = 3,
+    seed: int = 0x5EED,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Sorted distinct token-k-gram hashes of the holdout corpus."""
+
+    def _grams(t: pa.Table) -> pa.Table:
+        flat, _ = shingle_hashes(t[text_col].to_pylist(), k, seed)
+        return pa.table({"g": pa.array(np.unique(flat))})
+
+    parts = [
+        b["g"].to_numpy(zero_copy_only=False)
+        for b in holdout_ds.map_batches(
+            _grams, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(
+    train_ds: ray.data.Dataset,
+    holdout_ds: ray.data.Dataset,
+    k: int = 3,
+    seed: int = 0x5EED,
+    text_col: str = "text",
+    min_hits: int = 1,
+    mode: str = "flag",
+) -> ray.data.Dataset:
+    """Score train docs against the holdout n-gram set.
+
+    ``mode="flag"`` appends ``n_contaminated`` (count of the doc's DISTINCT
+    n-grams present in the holdout) and ``contaminated`` (>= min_hits);
+    ``mode="drop"`` additionally filters contaminated rows out. Shingle
+    semantics match `shingle_hashes`: docs shorter than ``k`` tokens are
+    one whole-doc gram, so a short train doc is contaminated exactly when
+    the holdout contains a doc with the identical token sequence.
+    """
+    hold = holdout_ngram_set(holdout_ds, k, seed, text_col)
+    hold_ref = ray.put(hold)
+
+    def _score(t: pa.Table) -> pa.Table:
+        hs = ray.get(hold_ref)  # zero-copy plasma view, cached per worker
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        flat, off = shingle_hashes(texts, k, seed)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((flat, doc_idx))
+        d_s, f_s = doc_idx[order], flat[order]
+        keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])]
+        d_u, f_u = d_s[keep], f_s[keep]
+        if len(hs):
+            pos = np.searchsorted(hs, f_u)
+            hit = (pos < len(hs)) & (hs[np.minimum(pos, len(hs) - 1)] == f_u)
+        else:
+            hit = np.zeros(len(f_u), dtype=bool)
+        n_hits = np.bincount(d_u[hit], minlength=n).astype(np.int64)
+        contaminated = n_hits >= min_hits
+        out = t.append_column("n_contaminated", pa.array(n_hits))
+        out = out.append_column("contaminated", pa.array(contaminated))
+        if mode == "drop":
+            out = out.filter(pa.array(~contaminated))
+        return out
+
+    return train_ds.map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
