@@ -402,6 +402,41 @@ def q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
 
 
+def q_sample_hash(sf_dir: str):
+    """Deterministic 1/5 hash sample of documents — reproducible
+    subsampling whose membership is a pure key function (Knuth
+    multiplicative mix, SQL-replicable), a streaming filter with no
+    shuffle and no RNG state."""
+    from deduplidog_ray.pipelines.sampling import sample_hash
+
+    return sample_hash(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]), rate_num=1, rate_den=5
+    )
+
+
+def q_source_quota(sf_dir: str):
+    """Repetition control: at most 10 docs per source (first by doc_id) —
+    per-key cap via hash-partitioned groupby + one lexsort per partition
+    (never a per-key UDF dispatch)."""
+    from deduplidog_ray.pipelines.sampling import quota_per_key
+
+    return quota_per_key(
+        _docs(sf_dir, columns=["doc_id", "source", "n_chars"]),
+        key_col="source",
+        n=10,
+        order_col="doc_id",
+    )
+
+
+def q_token_freq(sf_dir: str):
+    """Corpus vocabulary statistics: global (token, count) via per-batch
+    combiner partials + one grouped sum — the pre-aggregation pattern
+    that keeps the shuffle |vocab|-bounded."""
+    from deduplidog_ray.pipelines.textops import token_freq
+
+    return token_freq(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_text_quality(sf_dir: str):
     """Quality scoring (deterministic RE2-kernel columns — SQL-verifiable
     since the round-2 vectorization; the heuristic language columns live
@@ -528,6 +563,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_near_dup": q_text_near_dup,
         "text_jaccard_dup": q_text_jaccard_dup,
         "decontaminate": q_decontaminate,
+        "sample_hash": q_sample_hash,
+        "source_quota": q_source_quota,
+        "token_freq": q_token_freq,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,
@@ -728,6 +766,28 @@ def oracle_sql() -> dict[str, str]:
                    len(list_intersect(s.sg, h.hs)) >= 1 AS contaminated
             FROM sh s CROSS JOIN hold h
             WHERE s.doc_id % 17 <> 0
+        """,
+        # membership = ((doc_id)*2654435761 mod 2^32) mod 5 < 1 — the Knuth
+        # multiplicative mix, exactly replicable in bigint SQL
+        "sample_hash": """
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 5 < 1
+        """,
+        "source_quota": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY doc_id
+            ) <= 10
+        """,
+        "token_freq": r"""
+            SELECT t AS token, CAST(count(*) AS BIGINT) AS count
+            FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS t
+              FROM documents
+            )
+            GROUP BY t
         """,
         # the language-ID heuristic is deterministic: distinct lowercased
         # \w+ words hit per-language stopword lists (pipelines/textops.py

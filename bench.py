@@ -128,6 +128,9 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "text_near_dup",
         "text_jaccard_dup",
         "decontaminate",
+        "sample_hash",
+        "source_quota",
+        "token_freq",
         "text_quality",
         "text_lang",
         "knn_cosine",

@@ -1,0 +1,104 @@
+"""Deterministic corpus-shaping operators: hash sampling and per-key quota.
+
+Two shaping steps every large-scale training-data pipeline needs between
+dedup and training:
+
+- **Hash sampling** — a reproducible subsample whose membership is a pure
+  function of the row key, so re-runs, resumes and downstream joins see
+  the SAME sample (a ``ds.random_sample`` draw changes per run and per
+  block layout). ≙ the reference's deterministic work-list slicing
+  (``skip`` offset, deduplidog.py:196-197) generalized to content-stable
+  selection.
+- **Per-key quota (repetition control)** — keep at most ``n`` rows per
+  key (e.g. per source/domain), deterministically ordered, so no single
+  domain floods the training mix. ≙ ``having_multiple_candidates``-style
+  group accounting (deduplidog.py:517-519) turned into a cap.
+
+Both are SQL-exact (driver oracle: modular-arithmetic predicate /
+``row_number() OVER``), and both keep the engine's execution shape rules:
+sampling is a stateless streaming filter (no shuffle at all); quota
+hash-partitions by key and selects per partition with one lexsort —
+never a per-key UDF dispatch (stages/verify.py "EXECUTION SHAPE").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from deduplidog_ray.stages.hashing import mix64
+
+#: Knuth multiplicative constant (2654435761 = floor(2^32/phi)) — chosen
+#: because the mix is exactly expressible in ANSI SQL bigint arithmetic,
+#: so the oracle can replicate membership bit-for-bit.
+_KNUTH32 = np.uint64(2654435761)
+_MOD32 = np.uint64(1 << 32)
+
+
+def sample_hash(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    rate_num: int = 1,
+    rate_den: int = 10,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Keep rows where ((key + salt) * 2654435761 mod 2^32) mod den < num.
+
+    Pure streaming filter — no shuffle, no state, membership independent
+    of block layout. The multiplicative mix decorrelates membership from
+    arithmetic structure in the key (a plain ``key % den`` keeps every
+    den-th id — correlated with id-ordered ingestion). SQL-replicable.
+    """
+
+    def _f(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy().astype(np.uint64)
+        h = ((k + np.uint64(salt)) * _KNUTH32) % _MOD32
+        return t.filter(pa.array((h % np.uint64(rate_den)) < np.uint64(rate_num)))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quota_per_key(
+    ds: ray.data.Dataset,
+    key_col: str = "source",
+    n: int = 10,
+    order_col: str = "doc_id",
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """At most ``n`` rows per key, the first ``n`` by ``order_col``.
+
+    Hash-partition by key (P groups → P vectorized UDF calls, NOT one per
+    distinct key), then one lexsort per partition: rank-within-key =
+    position minus key-segment start; keep rank < n. Equals SQL
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY order_col) <= n``
+    for unique ``order_col`` values.
+    """
+
+    def _tag(t: pa.Table) -> pa.Table:
+        key = t[key_col]
+        if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
+            from deduplidog_ray.stages.hashing import hash_strings_u64
+
+            h = hash_strings_u64(key.to_pylist(), seed=0x0A07A)
+        else:
+            h = mix64(key.to_numpy().astype(np.uint64), seed=0x0A07A)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(partitions)).astype(np.int64))
+        )
+
+    def _select(g: pd.DataFrame) -> pd.DataFrame:
+        keys, _ = pd.factorize(g[key_col], sort=False)
+        order = np.lexsort((g[order_col].to_numpy(), keys))
+        keys_s = keys[order]
+        seg_start = np.r_[True, keys_s[1:] != keys_s[:-1]]
+        # rank within key = position - start-of-segment position
+        pos = np.arange(len(keys_s))
+        start_pos = pos[seg_start][np.cumsum(seg_start) - 1]
+        rank = pos - start_pos
+        return g.iloc[order[rank < n]].drop(columns=["_part"])
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_part").map_groups(_select, batch_format="pandas")

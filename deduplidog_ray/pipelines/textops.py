@@ -136,6 +136,54 @@ def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(_count, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def token_freq(
+    ds: ray.data.Dataset, min_count: int = 1
+) -> ray.data.Dataset:
+    """Global token-frequency table (token, count) — corpus vocabulary stats.
+
+    The canonical combiner-shaped aggregate: each batch pre-aggregates its
+    own token counts (pandas value_counts — one partial row per DISTINCT
+    token per batch, not one per occurrence), so the groupby shuffle moves
+    |vocab|-bounded partials instead of every token instance. The global
+    merge is one Ray ``groupby(token).sum`` over those partials. ≙ the
+    run-counter aggregates G1 (deduplidog.py:243-261) generalized to a
+    keyed corpus statistic.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import itertools
+
+        low = pc.utf8_lower(t["text"])
+
+        words = [
+            _WORD_RE.findall(s) if s else []
+            for s in low.to_pylist()
+        ]
+        vc = pd.Series(
+            list(itertools.chain.from_iterable(words)), dtype="object"
+        ).value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), type=pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="count"))
+    )
+    if min_count > 1:
+        agg = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["count"], min_count)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return agg
+
+
 def doc_fingerprint(ds: ray.data.Dataset, seed: int = 0xF1D0) -> ray.data.Dataset:
     """64-bit content fingerprint per document (whole-text hash).
 

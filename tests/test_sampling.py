@@ -1,0 +1,76 @@
+"""Hash sampling, per-key quota, and token-frequency vs brute force."""
+
+import collections
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from deduplidog_ray.pipelines.sampling import quota_per_key, sample_hash
+from deduplidog_ray.pipelines.textops import token_freq
+
+
+def _docs(n: int = 300, seed: int = 3) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    srcs = [f"s{i}" for i in range(7)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([srcs[i] for i in rng.integers(0, 7, n)]),
+            "text": pa.array(
+                [
+                    " ".join(
+                        np.random.default_rng(seed + i).choice(
+                            ["Apf", "bei", "cor", "dit", "EEL", "fog"], size=9
+                        )
+                    )
+                    for i in range(n)
+                ]
+            ),
+        }
+    )
+
+
+def test_sample_hash_matches_predicate_and_layout_invariant(ray_session):
+    t = _docs()
+    got = sample_hash(rd.from_arrow(t), rate_num=2, rate_den=7).to_pandas()
+    ids = t["doc_id"].to_numpy().astype(np.uint64)
+    member = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % 7 < 2
+    want = set(ids[member].tolist())
+    assert set(got["doc_id"]) == want
+    assert 0 < len(want) < len(t)  # the rate actually bites
+    # membership is independent of block layout
+    re8 = sample_hash(
+        rd.from_arrow(t).repartition(8), rate_num=2, rate_den=7
+    ).to_pandas()
+    assert set(re8["doc_id"]) == want
+
+
+def test_quota_per_key_matches_pandas_head(ray_session):
+    t = _docs()
+    got = quota_per_key(
+        rd.from_arrow(t), key_col="source", n=5, order_col="doc_id"
+    ).to_pandas()
+    df = t.to_pandas()
+    want = df.sort_values("doc_id").groupby("source").head(5)
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert got.groupby("source").size().max() <= 5
+    assert set(got.columns) == {"doc_id", "source", "text"}  # _part dropped
+
+
+def test_token_freq_matches_counter(ray_session):
+    t = _docs(80)
+    got = token_freq(rd.from_arrow(t)).to_pandas()
+    cnt = collections.Counter()
+    for s in t["text"].to_pylist():
+        cnt.update(re.findall(r"\w+", s.lower()))
+    want = dict(cnt)
+    assert dict(zip(got["token"], got["count"])) == want
+    # min_count filter
+    thr = token_freq(rd.from_arrow(t), min_count=50).to_pandas()
+    assert dict(zip(thr["token"], thr["count"])) == {
+        k: v for k, v in want.items() if v >= 50
+    }
