@@ -437,6 +437,52 @@ def q_token_freq(sf_dir: str):
     return token_freq(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_corpus_prep(sf_dir: str):
+    """End-to-end training-corpus preparation — the text-side flagship
+    COMPOSITION: exact dedup (keep-first on the 50-char key) → holdout
+    decontamination (drop) → per-source quota (10) → deterministic 1/2
+    hash sample. Every stage is one of the engine's streaming operators;
+    the only shuffle in the whole chain is the dedup hash partition and
+    the quota groupby. Oracle = the same four steps as chained SQL CTEs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.decontam import decontaminate
+    from deduplidog_ray.pipelines.exact import dedupe_exact
+    from deduplidog_ray.pipelines.sampling import quota_per_key, sample_hash
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "source", "n_chars"])
+
+    def _add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pc.utf8_slice_codeunits(t["text"], 0, 50))
+
+    deduped = dedupe_exact(
+        docs.map_batches(_add_key, batch_format="pyarrow", zero_copy_batch=True),
+        ["_k"],
+        "doc_id",
+    ).drop_columns(["_k"])
+
+    def _train(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array((t["doc_id"].to_numpy() % 17) != 0))
+
+    def _holdout(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array((t["doc_id"].to_numpy() % 17) == 0))
+
+    train = deduped.map_batches(
+        _train, batch_format="pyarrow", zero_copy_batch=True
+    )
+    holdout = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _holdout, batch_format="pyarrow", zero_copy_batch=True
+    )
+    clean = decontaminate(train, holdout, mode="drop").drop_columns(
+        ["text", "n_contaminated", "contaminated"]
+    )
+    capped = quota_per_key(clean, key_col="source", n=10, order_col="doc_id")
+    return sample_hash(capped, rate_num=1, rate_den=2).select_columns(
+        ["doc_id", "source", "n_chars"]
+    )
+
+
 def q_text_quality(sf_dir: str):
     """Quality scoring (deterministic RE2-kernel columns — SQL-verifiable
     since the round-2 vectorization; the heuristic language columns live
@@ -566,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": q_sample_hash,
         "source_quota": q_source_quota,
         "token_freq": q_token_freq,
+        "corpus_prep": q_corpus_prep,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,
@@ -788,6 +835,53 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             GROUP BY t
+        """,
+        # the four-stage corpus-prep chain as CTEs: dedup keep-first →
+        # decontaminate (drop) vs the RAW holdout split → per-source quota
+        # of 10 → Knuth-mix 1/2 sample
+        "corpus_prep": r"""
+            WITH dedup AS (
+              SELECT doc_id, text, source, n_chars FROM documents
+              QUALIFY row_number() OVER (
+                PARTITION BY substr(text, 1, 50) ORDER BY doc_id
+              ) = 1
+            ), tokt AS (
+              SELECT doc_id, source, n_chars,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM dedup WHERE doc_id % 17 <> 0
+            ), sht AS (
+              SELECT doc_id, source, n_chars,
+                CASE WHEN len(ts) >= 3 THEN
+                  list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
+                ELSE [array_to_string(ts, chr(30))] END AS sg
+              FROM tokt
+            ), tokh AS (
+              SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents WHERE doc_id % 17 = 0
+            ), hold AS (
+              SELECT list_distinct(flatten(list(
+                CASE WHEN len(ts) >= 3 THEN
+                  list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
+                ELSE [array_to_string(ts, chr(30))] END))) AS hs
+              FROM tokh
+            ), clean AS (
+              SELECT s.doc_id, s.source, s.n_chars
+              FROM sht s CROSS JOIN hold h
+              WHERE len(list_intersect(s.sg, h.hs)) = 0
+            ), capped AS (
+              SELECT doc_id, source, n_chars FROM clean
+              QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY doc_id
+              ) <= 10
+            )
+            SELECT doc_id, source, n_chars FROM capped
+            WHERE ((doc_id * 2654435761) % 4294967296) % 2 < 1
         """,
         # the language-ID heuristic is deterministic: distinct lowercased
         # \w+ words hit per-language stopword lists (pipelines/textops.py

@@ -131,6 +131,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "sample_hash",
         "source_quota",
         "token_freq",
+        "corpus_prep",
         "text_quality",
         "text_lang",
         "knn_cosine",

@@ -139,10 +139,18 @@ def clips_from_documents(
 
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
-    docs.map_batches(
-        _make_synth_clips(amplify), batch_format="pyarrow", batch_size=128,
+    # Split the (tiny) documents table into ~96 blocks BEFORE the synth map:
+    # the parquet source is one row group = ONE block, so without this a
+    # single task would synthesize the whole amplified corpus (at
+    # amplify=64 that is ~15 GB through one worker heap). Repartitioning
+    # the input costs nothing (5k rows) and makes synthesis 96-way
+    # parallel; writing straight from the map output then needs no
+    # repartition barrier over the full synthesized payload, and still
+    # yields the ~96-file layout v4 wants.
+    docs.repartition(96).map_batches(
+        _make_synth_clips(amplify), batch_format="pyarrow", batch_size=16,
         zero_copy_batch=True,
-    ).repartition(96).write_parquet(tmp)
+    ).write_parquet(tmp)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(_GEN_VERSION)
     if os.path.exists(path):
