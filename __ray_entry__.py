@@ -437,6 +437,57 @@ def q_token_freq(sf_dir: str):
     return token_freq(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _split_docs(sf_dir: str, columns):
+    """Increment-vs-corpus split of the documents table: corpus =
+    doc_id % 3 == 0 (the 'already ingested' third), increment = the rest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, columns=columns)
+
+    def _addk(t: pa.Table) -> pa.Table:
+        return t.append_column("_k", pc.utf8_slice_codeunits(t["text"], 0, 50))
+
+    def _new(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array((t["doc_id"].to_numpy() % 3) != 0))
+
+    def _old(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array((t["doc_id"].to_numpy() % 3) == 0))
+
+    base = docs.map_batches(_addk, batch_format="pyarrow", zero_copy_batch=True)
+    new = base.map_batches(_new, batch_format="pyarrow", zero_copy_batch=True)
+    corpus = base.map_batches(_old, batch_format="pyarrow", zero_copy_batch=True)
+    return new, corpus
+
+
+def q_incremental_exact(sf_dir: str):
+    """Incremental exact dedup: increment rows (doc_id % 3 != 0) whose
+    50-char key collides with nothing already in the corpus third, keep-
+    first within the increment. The corpus side only streams (broadcast
+    anti-join) — the O(increment) daily-crawl shape, not O(corpus)."""
+    from deduplidog_ray.pipelines.incremental import incremental_exact
+
+    new, corpus = _split_docs(sf_dir, ["doc_id", "text", "source", "n_chars"])
+    out = incremental_exact(new, corpus, ["_k"], "doc_id")
+    return out.drop_columns(["text", "_k"])
+
+
+def q_incremental_near_dup(sf_dir: str):
+    """Incremental near-dup pairs: MinHash-LSH + SimHash pairs touching at
+    least one increment doc, with the corpus side streaming (band keys
+    filtered against the increment's broadcast key set). Rows-only for the
+    driver; `tests/test_incremental.py` gates exact pair parity vs a full
+    run over the union."""
+    from deduplidog_ray.pipelines.incremental import (
+        incremental_text_near_dup_pairs,
+    )
+
+    new, corpus = _split_docs(sf_dir, ["doc_id", "text"])
+    return incremental_text_near_dup_pairs(
+        new.drop_columns(["_k"]), corpus.drop_columns(["_k"])
+    )
+
+
 def q_corpus_prep(sf_dir: str):
     """End-to-end training-corpus preparation — the text-side flagship
     COMPOSITION: exact dedup (keep-first on the 50-char key) → holdout
@@ -613,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota": q_source_quota,
         "token_freq": q_token_freq,
         "corpus_prep": q_corpus_prep,
+        "incremental_exact": q_incremental_exact,
+        "incremental_near_dup": q_incremental_near_dup,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,
@@ -839,6 +892,21 @@ def oracle_sql() -> dict[str, str]:
         # the four-stage corpus-prep chain as CTEs: dedup keep-first →
         # decontaminate (drop) vs the RAW holdout split → per-source quota
         # of 10 → Knuth-mix 1/2 sample
+        # incremental exact dedup: keep-first within the increment, then
+        # anti-join on the 50-char key against the already-ingested third
+        "incremental_exact": r"""
+            WITH newd AS (
+              SELECT doc_id, source, n_chars, substr(text, 1, 50) AS k
+              FROM documents WHERE doc_id % 3 <> 0
+            ), dd AS (
+              SELECT doc_id, source, n_chars, k FROM newd
+              QUALIFY row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1
+            )
+            SELECT doc_id, source, n_chars FROM dd
+            WHERE k NOT IN (
+              SELECT substr(text, 1, 50) FROM documents WHERE doc_id % 3 = 0
+            )
+        """,
         "corpus_prep": r"""
             WITH dedup AS (
               SELECT doc_id, text, source, n_chars FROM documents

@@ -132,6 +132,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "source_quota",
         "token_freq",
         "corpus_prep",
+        "incremental_exact",
+        "incremental_near_dup",
         "text_quality",
         "text_lang",
         "knn_cosine",

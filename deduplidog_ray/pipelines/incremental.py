@@ -1,0 +1,199 @@
+"""Incremental deduplication: a new increment vs an existing corpus.
+
+The production shape of dedup at 100 TB is not one-shot — a crawl grows
+daily, and reprocessing the whole corpus per increment is O(corpus) work
+for O(increment) new data. These operators dedup ONLY the increment
+against the already-ingested corpus:
+
+- **Exact**: keep increment rows whose key collides with nothing in the
+  corpus (and keep-first within the increment itself). ≙ the reference's
+  already-processed exclusion (deduplidog.py:464-467 — an earlier pass's
+  claims are never re-affected) lifted from file paths to content keys.
+- **Near-dup**: candidate pairs between increment docs and corpus docs
+  sharing an LSH band / SimHash block key — bit-identical to the pairs a
+  full re-run over corpus ∪ increment would emit, restricted to pairs
+  touching the increment (`tests/test_incremental.py` asserts exactly
+  that parity).
+
+Scale shape (increment ≪ corpus — the realistic case):
+
+1. The INCREMENT side is small: its keys (exact) / band keys (near-dup)
+   are collected once, merged driver-side, and broadcast via ``ray.put``
+   as ONE sorted uint64 array — the decontam/payload-store pattern.
+2. The CORPUS side only STREAMS: one ``map_batches`` scan filters each
+   corpus batch against the broadcast key set (searchsorted membership);
+   only colliding rows — bounded by the increment's key footprint, not
+   the corpus — leave the scan. The corpus is never shuffled, never
+   re-signatured beyond this scan (and in a deployed pipeline the scan
+   reads the PERSISTED signature checkpoint, not raw text — pass
+   ``corpus_sigs`` to skip the signature stage here).
+3. Only the (small) surviving rows enter the band-key exchange with the
+   increment rows; the verify kernel is the standard multi-group one.
+
+For an increment comparable to the corpus, fall back to the full
+hash-partitioned run over the union (`pipelines/exact.py`,
+`text_near_dup_pairs`) — same answers, shuffle-heavy by necessity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from deduplidog_ray.config import SignatureConfig
+from deduplidog_ray.pipelines.exact import add_key_hash, dedupe_exact
+from deduplidog_ray.pipelines.textdedup import (
+    make_text_explode,
+    make_text_signature_stage,
+    make_text_verifier,
+)
+
+
+def _collect_u64(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    """Sorted distinct uint64 values of one (small-side) column."""
+    parts = [
+        b[col].to_numpy(zero_copy_only=False).view(np.uint64)
+        for b in ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        if len(b)
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def _isin_sorted(vals: np.ndarray, table: np.ndarray) -> np.ndarray:
+    if not len(table):
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(table, vals)
+    return (pos < len(table)) & (table[np.minimum(pos, len(table) - 1)] == vals)
+
+
+def incremental_exact(
+    new_ds: ray.data.Dataset,
+    corpus_ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+) -> ray.data.Dataset:
+    """Increment rows whose key appears nowhere in the corpus, keep-first
+    (min ``id_col``) within the increment itself.
+
+    The corpus side streams once and ships back only the REAL key values
+    that collide with an increment key hash (bounded by |increment|), so
+    the final drop compares true keys — a 64-bit hash collision between a
+    corpus key and a distinct increment key must not drop the row (the
+    `pipelines/exact.py` true-key-equality rule across datasets).
+    """
+    # 1. keep-first within the increment (hash-partitioned, true keys)
+    new_dd = dedupe_exact(new_ds, key_cols, id_col)
+    # 2. broadcast the increment's (small) key-hash set
+    new_keys = _collect_u64(add_key_hash(new_dd, key_cols), "_key_hash")
+    keys_ref = ray.put(new_keys)
+
+    # 3. stream the corpus; emit only REAL keys colliding in hash space
+    def _matches(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        h = t["_key_hash"].to_numpy().view(np.uint64)
+        return t.select(key_cols).filter(pa.array(_isin_sorted(h, ks)))
+
+    hit_tbls = [
+        b
+        for b in add_key_hash(corpus_ds.select_columns(key_cols), key_cols)
+        .map_batches(_matches, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        if len(b)
+    ]
+    corpus_hits = (
+        pa.concat_tables(hit_tbls)
+        if hit_tbls
+        else pa.table({c: pa.array([], type=pa.string()) for c in key_cols})
+    )
+    # driver-side exact key set — bounded by the increment's key count
+    seen = set(zip(*(corpus_hits[c].to_pylist() for c in key_cols)))
+    seen_ref = ray.put(seen)
+
+    # 4. stream the increment; true-key anti-join against the corpus hits
+    def _drop_seen(t: pa.Table) -> pa.Table:
+        s = ray.get(seen_ref)
+        cols = [t[c].to_pylist() for c in key_cols]
+        keep = np.fromiter(
+            (k not in s for k in zip(*cols)), dtype=bool, count=len(t)
+        )
+        return t.filter(pa.array(keep))
+
+    return new_dd.map_batches(
+        _drop_seen, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def incremental_text_near_dup_pairs(
+    new_ds: ray.data.Dataset,
+    corpus_ds: ray.data.Dataset,
+    cfg: SignatureConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_sigs: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Near-dup pairs (a, b, jaccard) between increment and corpus (or
+    increment and increment) — exactly the pairs a full
+    `text_near_dup_pairs` run over corpus ∪ increment emits that touch at
+    least one increment doc (pytest-gated parity).
+
+    The corpus never shuffles: its exploded band rows are filtered, in
+    the streaming scan, to band keys the increment actually emitted (the
+    broadcast sorted-array membership test); every surviving group in the
+    exchange therefore contains ≥1 increment row, and group membership is
+    identical to the full run's (a band key is active iff an increment
+    doc emitted it, and then BOTH runs retain all rows of that key), so
+    the verifier emits identical pairs per group. Corpus-corpus pairs
+    from mixed groups are dropped at the end by increment-id membership.
+    """
+    cfg = cfg or SignatureConfig()
+    sig_stage = make_text_signature_stage(cfg, text_col, id_col)
+    explode = make_text_explode(cfg, id_col)
+
+    new_sigs = new_ds.map_batches(
+        sig_stage, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
+    )
+    new_rows = new_sigs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # small side: reused for keys, ids, and the exchange
+
+    active_keys = _collect_u64(new_rows, "band_key")
+    new_ids = _collect_u64(new_rows, id_col)
+    keys_ref = ray.put(active_keys)
+    ids_ref = ray.put(new_ids)
+
+    if corpus_sigs is None:
+        corpus_sigs = corpus_ds.map_batches(
+            sig_stage, batch_format="pyarrow", batch_size=4096,
+            zero_copy_batch=True,
+        )
+
+    def _filter_active(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        bk = t["band_key"].to_numpy().view(np.uint64)
+        return t.filter(pa.array(_isin_sorted(bk, ks)))
+
+    corpus_rows = corpus_sigs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_filter_active, batch_format="pyarrow", zero_copy_batch=True)
+
+    pairs = (
+        new_rows.union(corpus_rows)
+        .groupby("part")
+        .map_groups(make_text_verifier(cfg, id_col), batch_format="pyarrow")
+    )
+
+    def _touching_new(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        a = t["a"].to_numpy().view(np.uint64)
+        b = t["b"].to_numpy().view(np.uint64)
+        keep = _isin_sorted(a, ids) | _isin_sorted(b, ids)
+        return t.filter(pa.array(keep))
+
+    return pairs.map_batches(
+        _touching_new, batch_format="pyarrow", zero_copy_batch=True
+    )
