@@ -488,6 +488,30 @@ def q_incremental_near_dup(sf_dir: str):
     )
 
 
+def q_dup_stats(sf_dir: str):
+    """Per-source duplication accounting (rows / distinct 50-char keys /
+    duplicate surplus) — the reference's end-of-run counters at corpus
+    scale. Distinct counts come from key-hash-partitioned partials that
+    sum exactly (a key pair lives in exactly one partition)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.exact import dup_stats_by_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "source"])
+
+    def _addk(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_k", pc.utf8_slice_codeunits(t["text"], 0, 50)
+        ).drop_columns(["text"])
+
+    return dup_stats_by_group(
+        docs.map_batches(_addk, batch_format="pyarrow", zero_copy_batch=True),
+        ["_k"],
+        "source",
+    )
+
+
 def q_corpus_prep(sf_dir: str):
     """End-to-end training-corpus preparation — the text-side flagship
     COMPOSITION: exact dedup (keep-first on the 50-char key) → holdout
@@ -665,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq": q_token_freq,
         "corpus_prep": q_corpus_prep,
         "incremental_exact": q_incremental_exact,
+        "dup_stats": q_dup_stats,
         "incremental_near_dup": q_incremental_near_dup,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
@@ -892,6 +917,15 @@ def oracle_sql() -> dict[str, str]:
         # the four-stage corpus-prep chain as CTEs: dedup keep-first →
         # decontaminate (drop) vs the RAW holdout split → per-source quota
         # of 10 → Knuth-mix 1/2 sample
+        "dup_stats": r"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT substr(text, 1, 50)) AS BIGINT)
+                     AS n_unique,
+                   CAST(count(*) - count(DISTINCT substr(text, 1, 50))
+                     AS BIGINT) AS n_dups
+            FROM documents GROUP BY source
+        """,
         # incremental exact dedup: keep-first within the increment, then
         # anti-join on the 50-char key against the already-ingested third
         "incremental_exact": r"""

@@ -133,6 +133,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "token_freq",
         "corpus_prep",
         "incremental_exact",
+        "dup_stats",
         "incremental_near_dup",
         "text_quality",
         "text_lang",

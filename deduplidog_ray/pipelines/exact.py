@@ -130,3 +130,59 @@ def anti_unique(
         lambda g: _singletons_partition(g, key_cols), batch_format="pandas"
     )
     return out.drop_columns(["_key_hash", "_part"])
+
+
+def _stats_partition(
+    g: pd.DataFrame, key_cols: list[str], group_col: str
+) -> pd.DataFrame:
+    """Per-partition partial: (group, rows, distinct keys). Keys are
+    co-located by the hash partitioner, so a (group, key) pair lives in
+    exactly ONE partition and the partial distinct counts sum exactly."""
+    rows = g.groupby(group_col, sort=False, dropna=False).size()
+    uniq = (
+        g.drop_duplicates([group_col, *key_cols])
+        .groupby(group_col, sort=False, dropna=False)
+        .size()
+    )
+    return pd.DataFrame(
+        {
+            group_col: rows.index,
+            "n_docs": rows.to_numpy(dtype=np.int64),
+            "n_unique": uniq.reindex(rows.index).to_numpy(dtype=np.int64),
+        }
+    )
+
+
+def dup_stats_by_group(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    group_col: str,
+    partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """Duplication accounting per group (e.g. per source/domain): total
+    rows, distinct keys, duplicate surplus. ≙ the reference's end-of-run
+    counters (deduplidog.py bar/summary counters, SURVEY §2.7 G1) lifted
+    to corpus scale: the answer every dedup run reports first — "how much
+    of each source is duplicated?".
+
+    Shape: hash-partition by KEY (not group), so distinct-key partials
+    are exact and additive; the second exchange aggregates ≤ P x |groups|
+    partial rows — |corpus|-independent.
+    """
+    import pyarrow.compute as pc
+
+    hashed = add_key_hash(ds, key_cols, partitions=partitions)
+    partials = hashed.groupby("_part").map_groups(
+        lambda g: _stats_partition(g, key_cols, group_col),
+        batch_format="pandas",
+    )
+    agg = partials.groupby(group_col).sum(["n_docs", "n_unique"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        ren = {"sum(n_docs)": "n_docs", "sum(n_unique)": "n_unique"}
+        t = t.rename_columns([ren.get(c, c) for c in t.column_names])
+        return t.append_column(
+            "n_dups", pc.subtract(t["n_docs"], t["n_unique"])
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
