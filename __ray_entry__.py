@@ -604,6 +604,21 @@ def q_embedding_near_dup(sf_dir: str):
     return out.select_columns(["a", "b"])
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Connected components of the cosine>=0.35 graph: vec_id →
+    cluster_id (= min member). Same verified pair stream as
+    `embedding_near_dup`; the oracle computes components in SQL via
+    recursive min-label propagation over the exhaustive pair scan."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.similarity import embedding_near_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dedup(ds, threshold=0.35, bands=64, bits_per_band=4)
+
+
 def q_knn_cosine_lsh(sf_dir: str):
     """Approximate top-10 (multi-probe hyperplane LSH) — the scale path."""
     import pyarrow.parquet as pq
@@ -694,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_clusters": q_embedding_clusters,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "clips_near_dedup": q_clips_near_dedup,
@@ -1037,5 +1053,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
+        """,
+        # connected components of the same pair graph: recursive min-label
+        # propagation (walk carries every label that reaches a node; the
+        # component minimum reaches everything in the component)
+        "embedding_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+              WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
+            ), nodes AS (
+              SELECT a AS id FROM pairs UNION SELECT b FROM pairs
+            ), edges AS (
+              SELECT a, b FROM pairs
+              UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), walk(id, lbl) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b AS id, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+            )
+            SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY id
         """,
     }

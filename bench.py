@@ -141,6 +141,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "knn_cosine_lsh",
         "knn_cosine_ivf",
         "embedding_near_dup",
+        "embedding_clusters",
     ]:
         timed(name, entry.queries()[name])
 

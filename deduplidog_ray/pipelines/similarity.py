@@ -660,3 +660,38 @@ def embedding_near_dup_pairs(
     return stage5_in.groupby("part").map_groups(
         _verify, batch_format="pyarrow"
     )
+
+
+def embedding_near_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    bands: int = 16,
+    bits_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pd.DataFrame":
+    """vec_id → cluster_id (= min member) over the cosine-threshold graph
+    — the embedding member of the near-dedup family's cluster maps
+    (flagship audio, `textdedup.text_near_dedup`, and this). Pairs come
+    from `embedding_near_dup_pairs` (banded LSH candidates, true-cosine
+    verify); components are a driver-side DSU over the (small) pair
+    stream — pairs, never vectors, reach the driver.
+    """
+    import pandas as pd
+
+    from deduplidog_ray.state.unionfind import UnionFind
+
+    pairs = embedding_near_dup_pairs(
+        ds, threshold=threshold, bands=bands, bits_per_band=bits_per_band,
+        id_col=id_col, vec_col=vec_col,
+    )
+    uf = UnionFind()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, bb in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+            uf.union(f"{a:020d}", f"{bb:020d}")
+    comp = uf.components()
+    ks = sorted(comp)
+    return pd.DataFrame(
+        {id_col: [int(k) for k in ks],
+         "cluster_id": [int(comp[k]) for k in ks]}
+    )
