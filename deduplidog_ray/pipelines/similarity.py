@@ -363,17 +363,26 @@ def _emb_neardup_small_task(
             kb = key[:, bcol]
             np.equal(kb[:, None], kb[None, :], out=tmp)
             np.logical_or(cand, tmp, out=cand)
-        pos_a, pos_b = np.nonzero(np.triu(cand, 1))
+        # threshold INSIDE the matrix before enumerating: at small
+        # bits_per_band the candidate matrix is near-dense (97% of all
+        # pairs on the 2k bench corpus), so nonzero() over it materializes
+        # ~n^2/2 pair positions and a same-sized gather only to discard
+        # 99.8% at the cosine check. Intersecting with the (f64-cast, same
+        # compare as the gathered path) thresholded gram first makes
+        # nonzero() emit exactly the surviving pairs — byte-identical
+        # output, measured ~6x on the bench corpus.
+        cand = np.triu(cand, 1)
+        sims = (m @ m.T).astype(np.float64)
+        np.logical_and(cand, sims >= threshold, out=cand)
+        pos_a, pos_b = np.nonzero(cand)
         if len(pos_a) == 0:
             return empty
-        sims = m @ m.T
-        cos = sims[pos_a, pos_b].astype(np.float64)
-        keep = cos >= threshold
+        cos = sims[pos_a, pos_b]
         return pa.table(
             {
-                "a": pa.array(ids64[pos_a[keep]]),
-                "b": pa.array(ids64[pos_b[keep]]),
-                "cos": pa.array(cos[keep]),
+                "a": pa.array(ids64[pos_a]),
+                "b": pa.array(ids64[pos_b]),
+                "cos": pa.array(cos),
             },
             schema=_pairs_out_schema(),
         )
