@@ -155,3 +155,25 @@ def test_containment_short_docs_and_midtoken(ray_session, tmp_path):
             ORDER BY 1, 2"""
     ).fetchdf().astype({"contained_id": "int64", "container_id": "int64"})
     assert got.reset_index(drop=True).equals(want)
+
+
+def test_dup_stats_partial_immune_to_hash_collision():
+    """`_stats_partition` counts distinct REAL keys (not hashes): a planted
+    64-bit collision between two different keys must still count both."""
+    import pandas as pd
+
+    from deduplidog_ray.pipelines.exact import _stats_partition
+
+    g = pd.DataFrame(
+        {
+            "_key_hash": [7, 7, 7, 9],
+            "_k": ["alpha", "beta", "alpha", "gamma"],
+            "source": ["s1", "s1", "s1", "s2"],
+            "_part": [0, 0, 0, 0],
+        }
+    )
+    out = _stats_partition(g, ["_k"], "source").set_index("source")
+    assert out.loc["s1", "n_docs"] == 3
+    assert out.loc["s1", "n_unique"] == 2   # alpha+beta despite shared hash
+    assert out.loc["s2", "n_docs"] == 1
+    assert out.loc["s2", "n_unique"] == 1
