@@ -78,13 +78,19 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
+        # under `ray job submit` RAY_ADDRESS points at the cluster — join
+        # it (num_cpus is a local-mode knob only; passing it to an
+        # existing cluster is an error). Standalone runs stay local.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(
+            address=addr,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if addr == "local":
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
