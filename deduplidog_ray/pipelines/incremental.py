@@ -92,11 +92,15 @@ def incremental_exact(
     new_keys = _collect_u64(add_key_hash(new_dd, key_cols), "_key_hash")
     keys_ref = ray.put(new_keys)
 
-    # 3. stream the corpus; emit only REAL keys colliding in hash space
+    # 3. stream the corpus; emit only REAL keys colliding in hash space —
+    # DISTINCT per batch, so a key duplicated across millions of corpus
+    # rows ships once per batch (bounded by |increment keys| x #batches),
+    # not once per row
     def _matches(t: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
         h = t["_key_hash"].to_numpy().view(np.uint64)
-        return t.select(key_cols).filter(pa.array(_isin_sorted(h, ks)))
+        hit = t.select(key_cols).filter(pa.array(_isin_sorted(h, ks)))
+        return hit.group_by(key_cols).aggregate([])
 
     hit_tbls = [
         b
