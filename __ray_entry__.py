@@ -488,6 +488,18 @@ def q_incremental_near_dup(sf_dir: str):
     )
 
 
+def q_boilerplate_mask(sf_dir: str):
+    """Cross-document boilerplate removal (ExactSubstr/CCNet-style): drop
+    every token covered by a 3-gram present in >= 5 distinct documents,
+    rewrite the text. Census pass is combiner-partial + one |grams|-wide
+    groupby; the frequent set broadcasts once; the rewrite streams."""
+    from deduplidog_ray.pipelines.boilerplate import strip_boilerplate
+
+    return strip_boilerplate(
+        _docs(sf_dir, columns=["doc_id", "text"]), k=3, min_docs=5
+    )
+
+
 def q_dup_stats(sf_dir: str):
     """Per-source duplication accounting (rows / distinct 50-char keys /
     duplicate surplus) — the reference's end-of-run counters at corpus
@@ -705,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": q_corpus_prep,
         "incremental_exact": q_incremental_exact,
         "dup_stats": q_dup_stats,
+        "boilerplate_mask": q_boilerplate_mask,
         "incremental_near_dup": q_incremental_near_dup,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
@@ -933,6 +946,50 @@ def oracle_sql() -> dict[str, str]:
         # the four-stage corpus-prep chain as CTEs: dedup keep-first →
         # decontaminate (drop) vs the RAW holdout split → per-source quota
         # of 10 → Knuth-mix 1/2 sample
+        # boilerplate masking: grams with >= 5 distinct docs cover their
+        # k token positions; rebuild = ordered string_agg of uncovered
+        "boilerplate_mask": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), gx AS (
+              SELECT doc_id, (u).pos AS pos, (u).g AS g FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, greatest(len(ts) - 2, 0)),
+                  i -> struct_pack(
+                    pos := i,
+                    g := array_to_string(list_slice(ts, i, i + 2), chr(30))
+                  ))) AS u
+                FROM tok
+              )
+            ), freq AS (
+              SELECT g FROM gx GROUP BY g HAVING count(DISTINCT doc_id) >= 5
+            ), cov AS (
+              SELECT DISTINCT gx.doc_id, gx.pos + o.d AS pos
+              FROM gx JOIN freq USING (g), (VALUES (0), (1), (2)) AS o(d)
+            ), tp AS (
+              SELECT doc_id, (u).pos AS pos, (u).tok AS tok FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(ts)),
+                  i -> struct_pack(pos := i, tok := ts[i]))) AS u
+                FROM tok
+              )
+            ), agg AS (
+              SELECT tp.doc_id,
+                     string_agg(tp.tok, ' ' ORDER BY tp.pos)
+                       FILTER (WHERE cov.pos IS NULL) AS clean_text,
+                     count(cov.pos) AS n_removed
+              FROM tp LEFT JOIN cov
+                ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+              GROUP BY tp.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "dup_stats": r"""
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

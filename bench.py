@@ -134,6 +134,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "corpus_prep",
         "incremental_exact",
         "dup_stats",
+        "boilerplate_mask",
         "incremental_near_dup",
         "text_quality",
         "text_lang",

@@ -177,3 +177,39 @@ def test_dup_stats_partial_immune_to_hash_collision():
     assert out.loc["s1", "n_unique"] == 2   # alpha+beta despite shared hash
     assert out.loc["s2", "n_docs"] == 1
     assert out.loc["s2", "n_unique"] == 1
+
+
+def test_boilerplate_masking_edges(ray_session):
+    """Short docs (< k tokens) emit no grams and pass through; coverage at
+    segment boundaries never bleeds into the next document."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.boilerplate import strip_boilerplate
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+            "text": [
+                "a b c tail1",        # shares gram "a b c" with most docs
+                "a b c tail2",
+                "a b c tail3",
+                "a b c tail4",
+                "a b c tail5",
+                "x y",                # < k tokens: untouched
+                "tail6 a b c",        # gram at END of doc: covers last 3
+            ],
+        }
+    )
+    out = (
+        strip_boilerplate(rd.from_arrow(docs), k=3, min_docs=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # "a b c" is in 6 distinct docs; each doc keeps only its tail token
+    for i in range(1, 6):
+        assert out.loc[i, "clean_text"] == f"tail{i}"
+        assert out.loc[i, "n_removed"] == 3
+    assert out.loc[6, "clean_text"] == "x y" and out.loc[6, "n_removed"] == 0
+    assert out.loc[7, "clean_text"] == "tail6" and out.loc[7, "n_removed"] == 3
