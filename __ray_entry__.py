@@ -488,6 +488,17 @@ def q_incremental_near_dup(sf_dir: str):
     )
 
 
+def q_source_quantiles(sf_dir: str):
+    """Per-source length percentiles (exact lower discrete quantile,
+    DuckDB quantile_disc semantics) — grouped order statistics over one
+    hash-partitioned lexsort per partition."""
+    from deduplidog_ray.pipelines.stats import group_quantiles
+
+    return group_quantiles(
+        _docs(sf_dir, columns=["source", "n_chars"]), "source", "n_chars"
+    )
+
+
 def q_boilerplate_mask(sf_dir: str):
     """Cross-document boilerplate removal (ExactSubstr/CCNet-style): drop
     every token covered by a 3-gram present in >= 5 distinct documents,
@@ -718,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_exact": q_incremental_exact,
         "dup_stats": q_dup_stats,
         "boilerplate_mask": q_boilerplate_mask,
+        "source_quantiles": q_source_quantiles,
         "incremental_near_dup": q_incremental_near_dup,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
@@ -946,6 +958,13 @@ def oracle_sql() -> dict[str, str]:
         # the four-stage corpus-prep chain as CTEs: dedup keep-first →
         # decontaminate (drop) vs the RAW holdout split → per-source quota
         # of 10 → Knuth-mix 1/2 sample
+        "source_quantiles": """
+            SELECT source,
+                   quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.5)  AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75
+            FROM documents GROUP BY source
+        """,
         # boilerplate masking: grams with >= 5 distinct docs cover their
         # k token positions; rebuild = ordered string_agg of uncovered
         "boilerplate_mask": r"""

@@ -135,6 +135,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "incremental_exact",
         "dup_stats",
         "boilerplate_mask",
+        "source_quantiles",
         "incremental_near_dup",
         "text_quality",
         "text_lang",
