@@ -74,3 +74,37 @@ def test_token_freq_matches_counter(ray_session):
     assert dict(zip(thr["token"], thr["count"])) == {
         k: v for k, v in want.items() if v >= 50
     }
+
+
+def test_group_quantiles_matches_duckdb_rule(ray_session):
+    """Int-key branch + duplicate values: the partition kernel must pick
+    the element at ceil(q*n)-1 of each sorted group (DuckDB quantile_disc),
+    including groups with ties and singletons."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.stats import group_quantiles
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 7, size=400).astype(np.int64)
+    vals = rng.integers(0, 50, size=400).astype(np.int64)
+    keys[-1], vals[-1] = 99, 42                     # singleton group
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    got = (
+        group_quantiles(rd.from_arrow(t), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """SELECT k, quantile_disc(v, 0.25) AS p25,
+                  quantile_disc(v, 0.5) AS p50,
+                  quantile_disc(v, 0.75) AS p75
+           FROM t GROUP BY k ORDER BY k"""
+    ).fetchdf()
+    assert got.astype("int64").equals(want.astype("int64"))
