@@ -499,6 +499,17 @@ def q_source_quantiles(sf_dir: str):
     )
 
 
+def q_top_tokens(sf_dir: str):
+    """Per-source heavy hitters: top-3 tokens by count (count desc, token
+    asc tie-break). Combiner partials end-to-end; the shuffle is bounded
+    by |sources x vocab| pairs, never token instances."""
+    from deduplidog_ray.pipelines.stats import top_tokens_per_key
+
+    return top_tokens_per_key(
+        _docs(sf_dir, columns=["source", "text"]), "source", "text", k_top=3
+    )
+
+
 def q_boilerplate_mask(sf_dir: str):
     """Cross-document boilerplate removal (ExactSubstr/CCNet-style): drop
     every token covered by a 3-gram present in >= 5 distinct documents,
@@ -730,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_stats": q_dup_stats,
         "boilerplate_mask": q_boilerplate_mask,
         "source_quantiles": q_source_quantiles,
+        "top_tokens": q_top_tokens,
         "incremental_near_dup": q_incremental_near_dup,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
@@ -958,6 +970,21 @@ def oracle_sql() -> dict[str, str]:
         # the four-stage corpus-prep chain as CTEs: dedup keep-first →
         # decontaminate (drop) vs the RAW holdout split → per-source quota
         # of 10 → Knuth-mix 1/2 sample
+        "top_tokens": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY source, token
+            )
+            SELECT source, token, c FROM cnt
+            QUALIFY row_number() OVER (
+              PARTITION BY source ORDER BY c DESC, token
+            ) <= 3
+        """,
         "source_quantiles": """
             SELECT source,
                    quantile_disc(n_chars, 0.25) AS p25,

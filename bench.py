@@ -136,6 +136,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "dup_stats",
         "boilerplate_mask",
         "source_quantiles",
+        "top_tokens",
         "incremental_near_dup",
         "text_quality",
         "text_lang",

@@ -65,3 +65,78 @@ def group_quantiles(
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_part").map_groups(_quant, batch_format="pandas")
+
+
+def top_tokens_per_key(
+    ds: ray.data.Dataset,
+    key_col: str = "source",
+    text_col: str = "text",
+    k_top: int = 3,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-key heavy hitters: the ``k_top`` most frequent whitespace
+    tokens per key (count desc, token asc tie-break) — the corpus-QA
+    question "what dominates each source/domain?".
+
+    Combiner shape end-to-end: per-batch partial (key, token) counts (one
+    row per distinct pair per batch, never per occurrence), one global
+    ``groupby(key+token).sum`` over partials, then a quota-style hash
+    partition by KEY where one sort answers every key's top-k. Exactly
+    SQL: QUALIFY row_number() OVER (PARTITION BY key ORDER BY c DESC,
+    token) <= k.
+    """
+    from deduplidog_ray.stages.signatures import tokenize_offsets
+
+    SEP = "\x1e"
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        toks, off = tokenize_offsets(t[text_col].to_pylist())
+        rep = np.repeat(np.arange(len(keys)), np.diff(off))
+        vc = pd.Series(
+            [f"{keys[i]}{SEP}{tok}" for i, tok in zip(rep, toks)],
+            dtype="object",
+        ).value_counts()
+        return pa.table(
+            {
+                "kt": pa.array(vc.index.to_numpy(), type=pa.string()),
+                "c": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kt")
+        .sum("c")
+    )
+
+    def _split(t: pa.Table) -> pa.Table:
+        kt = t["kt"].to_pylist()
+        pairs = [s.split(SEP, 1) for s in kt]
+        keys = [p[0] for p in pairs]
+        h = hash_strings_u64(keys, seed=0x707)
+        return pa.table(
+            {
+                key_col: pa.array(keys, type=pa.string()),
+                "token": pa.array([p[1] for p in pairs], type=pa.string()),
+                "c": t["sum(c)"],
+                "_part": pa.array(
+                    (h % np.uint64(partitions)).astype(np.int64)
+                ),
+            }
+        )
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(
+            [key_col, "c", "token"], ascending=[True, False, True],
+            kind="stable",
+        )
+        return (
+            out.groupby(key_col, sort=False).head(k_top).drop(columns=["_part"])
+        )
+
+    return (
+        merged.map_batches(_split, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(_topk, batch_format="pandas")
+    )
