@@ -415,16 +415,23 @@ def contained_doc_pairs(
     # texts actually needed (∝ survivors, not corpus) ----
     results: list[tuple[int, int]] = []
     if len(survivors):
-        need = set(survivors["a"]) | set(survivors["b"])
-        need_ref = ray.put(need)
+        # broadcast the needed-id set as ONE Arrow array; per batch the
+        # membership test is a vectorized C++ hash probe (pc.is_in), the
+        # same pattern as dedup.py's payload fetch (VERDICT r2 #2)
+        need = np.unique(
+            np.concatenate([survivors["a"].to_numpy(), survivors["b"].to_numpy()])
+        )
+        need_ref = ray.put(pa.array(need))
 
         def _fetch(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             needed = ray.get(need_ref)
-            ids = t[id_col].to_numpy()
-            mask = np.fromiter(
-                (i in needed for i in ids), dtype=bool, count=len(ids)
+            mask = pc.fill_null(
+                pc.is_in(pc.cast(t[id_col], needed.type), value_set=needed),
+                False,
             )
-            return t.select([id_col, text_col]).filter(pa.array(mask))
+            return t.select([id_col, text_col]).filter(mask)
 
         texts_df = (
             ds.map_batches(_fetch, batch_format="pyarrow", zero_copy_batch=True)

@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray.data
 
-from deduplidog_ray.stages.hashing import combine64, hash_strings_u64
+from deduplidog_ray.stages.hashing import combine64, hash_arrow_u64
 
 DEFAULT_PARTITIONS = 64
 
@@ -34,15 +34,13 @@ def add_key_hash(
     partitions: int = DEFAULT_PARTITIONS,
 ) -> ray.data.Dataset:
     """Vectorized 64-bit hash of the concatenated key columns + the
-    ``_part`` hash-partition id used as the shuffle key."""
+    ``_part`` hash-partition id used as the shuffle key. Hashing is
+    Arrow-cast → polars xxhash — no ``to_pylist``/``str(v)`` per row."""
 
     def _hash(t: pa.Table) -> pa.Table:
         acc = None
         for c in key_cols:
-            vals = t[c].to_pylist()
-            h = hash_strings_u64(
-                [str(v) if v is not None else "\0" for v in vals], seed=0xDED
-            )
+            h = hash_arrow_u64(t[c], seed=0xDED)
             acc = h if acc is None else combine64(acc, h)
         if acc is None:
             acc = np.zeros(len(t), dtype=np.uint64)

@@ -110,21 +110,33 @@ def incremental_exact(
         if len(b)
     ]
     corpus_hits = (
-        pa.concat_tables(hit_tbls)
+        pa.concat_tables(hit_tbls).combine_chunks()
         if hit_tbls
         else pa.table({c: pa.array([], type=pa.string()) for c in key_cols})
     )
-    # driver-side exact key set — bounded by the increment's key count
-    seen = set(zip(*(corpus_hits[c].to_pylist() for c in key_cols)))
-    seen_ref = ray.put(seen)
+    # driver-side exact key table — bounded by the increment's key count.
+    # Broadcast the Arrow columns themselves: membership is then one C++
+    # hash-set probe per batch (pc.is_in), never a Python tuple per row
+    # (VERDICT r2 #2).
+    seen_ref = ray.put(corpus_hits)
 
     # 4. stream the increment; true-key anti-join against the corpus hits
     def _drop_seen(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         s = ray.get(seen_ref)
-        cols = [t[c].to_pylist() for c in key_cols]
-        keep = np.fromiter(
-            (k not in s for k in zip(*cols)), dtype=bool, count=len(t)
-        )
+        if len(s) == 0:
+            return t
+        if len(key_cols) == 1:
+            c = key_cols[0]
+            hit = pc.fill_null(pc.is_in(t[c], value_set=s[c]), False)
+            return t.filter(pc.invert(hit))
+        # multi-key: one vectorized left-merge indicator (pandas hash join)
+        left = t.select(key_cols).to_pandas()
+        right = s.select(key_cols).to_pandas()
+        right["_hit"] = np.int8(1)
+        merged = left.merge(right, on=key_cols, how="left", sort=False)
+        keep = merged["_hit"].isna().to_numpy()
         return t.filter(pa.array(keep))
 
     return new_dd.map_batches(

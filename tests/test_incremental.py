@@ -114,6 +114,60 @@ def test_incremental_exact_semantics(ray_session):
     assert sorted(out["doc_id"]) == [10, 13]
 
 
+def test_incremental_exact_large_increment(ray_session):
+    """120k-row increment through the vectorized anti-join (VERDICT r2 #2:
+    no per-row Python in _drop_seen). Semantics checked against a pandas
+    reference over the same synthetic keys."""
+    n = 120_000
+    ids = np.arange(n, dtype=np.int64)
+    # ~40k distinct keys in the increment → heavy keep-first work;
+    # corpus holds every 7th key → heavy anti-join work
+    new_keys = (ids % 40_000).astype(str)
+    corpus_ids = np.arange(5_000, dtype=np.int64)
+    corpus_keys = (corpus_ids * 7 % 40_000).astype(str)
+    new_ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "k": new_keys})
+    ).repartition(8)
+    corpus_ds = ray.data.from_arrow(
+        pa.table({"doc_id": corpus_ids + 10_000_000, "k": corpus_keys})
+    ).repartition(4)
+    out = incremental_exact(new_ds, corpus_ds, ["k"], "doc_id").to_pandas()
+    # reference: keep-first per key within increment, then drop corpus keys
+    ref = (
+        pd.DataFrame({"doc_id": ids, "k": new_keys})
+        .sort_values("doc_id", kind="stable")
+        .drop_duplicates("k", keep="first")
+    )
+    ref = ref[~ref["k"].isin(set(corpus_keys))]
+    assert sorted(out["doc_id"]) == sorted(ref["doc_id"])
+
+
+def test_incremental_exact_multi_key(ray_session):
+    """Composite keys take the merge-indicator path; true-key equality
+    (not just hash equality) decides."""
+    new_tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "k1": ["a", "a", "b", "b"],
+            "k2": ["x", "y", "x", "y"],
+        }
+    )
+    corpus_tbl = pa.table(
+        {
+            "doc_id": pa.array([100, 101], type=pa.int64()),
+            "k1": ["a", "b"],
+            "k2": ["y", "x"],  # collides with ids 2 and 3
+        }
+    )
+    out = incremental_exact(
+        ray.data.from_arrow(new_tbl),
+        ray.data.from_arrow(corpus_tbl),
+        ["k1", "k2"],
+        "doc_id",
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 4]
+
+
 def test_incremental_exact_empty_sides(ray_session):
     tbl = pa.table(
         {"doc_id": pa.array([1, 2], type=pa.int64()), "k": ["a", "b"]}
