@@ -338,7 +338,20 @@ def contained_doc_pairs(
     bytes; shorter (rare) texts go through the broadcast sideband.
     ``max_key_group`` (default None = exact) optionally skips pathological
     hot fingerprints at a documented recall cost.
+
+    ``id_col`` must be integer-typed (both verify kernels and the skinny
+    key exchange carry ids as int64 — 8 B/row; ADVICE r2 #2). Map string
+    ids to dense integers upstream and join back on the result.
     """
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not pa.types.is_integer(id_type):
+        raise TypeError(
+            f"contained_doc_pairs requires an integer id column; "
+            f"{id_col!r} is {id_type} — factorize string ids to "
+            f"dense int64 first and map the (contained_id, container_id) "
+            f"result back"
+        )
     min_len = winnow_w + shingle_k - 1
 
     def _keys(t: pa.Table) -> pa.Table:
@@ -443,7 +456,15 @@ def contained_doc_pairs(
         kernel = _verify_sa if verify == "sa" else _verify_chars
         results.extend(kernel(survivors, tmap))
 
-    # ---- short-doc sideband: exact broadcast scan for sub-guarantee docs
+    # ---- short-doc sideband: exact broadcast scan for sub-guarantee docs.
+    # One RE2 alternation pass per batch prefilters rows containing ANY
+    # short (the multi-pattern automaton — Aho-Corasick by way of RE2),
+    # then per-short C++ match_substring confirms only over the surviving
+    # rows. Never a Python `in` per (short, row) (VERDICT r2 #4). A short
+    # contained in another short is covered because every short is also a
+    # corpus row in this scan (the reverse direction of the old nested
+    # loop was redundant — `b ⊂ a` with len(b) ≤ len(a) < min_len means b
+    # is itself a short and gets its own probe).
     shorts = (
         ds.map_batches(
             lambda t: t.select([id_col, text_col]).filter(
@@ -455,30 +476,54 @@ def contained_doc_pairs(
         .to_pandas()
     )
     if len(shorts):
-        sref = ray.put(
-            list(zip(shorts[id_col].to_numpy(), shorts[text_col].to_numpy()))
+        import logging
+        import re as _re
+
+        logging.getLogger(__name__).info(
+            "containment short-doc sideband: %d docs under %d bytes "
+            "(multi-pattern scan over the corpus)", len(shorts), min_len
         )
+        s_ids = shorts[id_col].to_numpy()
+        s_texts = ["" if t is None else t for t in shorts[text_col]]
+        # longest-first so RE2 prefers nothing in particular — any match
+        # marks the row; which shorts match is decided per short below
+        pattern = "|".join(
+            _re.escape(t) for t in sorted(set(s_texts), key=len, reverse=True)
+        )
+        sref = ray.put((s_ids, s_texts, pattern))
 
         def _scan(t: pa.Table) -> pa.Table:
-            slist = ray.get(sref)
-            ids = t[id_col].to_numpy()
-            texts = t[text_col].to_pylist()
+            import pyarrow.compute as pc
+
+            sids, stexts, pat = ray.get(sref)
+            texts = t[text_col]
+            any_m = pc.fill_null(
+                pc.match_substring_regex(texts, pat), False
+            )
+            sub = t.select([id_col, text_col]).filter(any_m)
             out_a, out_b = [], []
-            for sid, stext in slist:
-                stext = stext or ""
-                for did, dtext in zip(ids, texts):
-                    if did == sid or dtext is None:
-                        continue
-                    if stext in dtext:
-                        out_a.append(sid)
-                        out_b.append(did)
-                    if len(dtext) <= len(stext) and dtext in stext:
-                        out_a.append(did)
-                        out_b.append(sid)
+            if len(sub):
+                sub_ids = sub[id_col].to_numpy()
+                sub_texts = sub[text_col]
+                for sid, stext in zip(sids, stexts):
+                    m = pc.fill_null(
+                        pc.match_substring(sub_texts, stext), False
+                    ).to_numpy(zero_copy_only=False)
+                    m &= sub_ids != sid          # no self pair
+                    k = int(m.sum())
+                    if k:
+                        out_a.append(np.full(k, sid, dtype=np.int64))
+                        out_b.append(sub_ids[m].astype(np.int64))
             return pa.table(
                 {
-                    "contained_id": pa.array(out_a, type=pa.int64()),
-                    "container_id": pa.array(out_b, type=pa.int64()),
+                    "contained_id": pa.array(
+                        np.concatenate(out_a) if out_a
+                        else np.empty(0, np.int64)
+                    ),
+                    "container_id": pa.array(
+                        np.concatenate(out_b) if out_b
+                        else np.empty(0, np.int64)
+                    ),
                 }
             )
 
