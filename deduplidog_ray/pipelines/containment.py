@@ -328,7 +328,7 @@ def contained_doc_pairs(
     partitions: int = 64,
     seed: int = 0x5EED,
     max_key_group: int | None = None,
-    small_threshold: int = 20_000_000,
+    small_threshold_bytes: int = 512 << 20,
     verify: str = "chars",
 ) -> pd.DataFrame:
     """All ordered (contained_id, container_id) exact-substring pairs.
@@ -402,9 +402,11 @@ def contained_doc_pairs(
     # text). Below the threshold they collapse into ONE off-driver task
     # applying the identical per-partition functions globally (one
     # partition = everything); above it the hash-partitioned exchange
-    # runs. Semantics identical — gated by
-    # tests/test_containment_paths.py.
-    if keyed.count() <= small_threshold:
+    # runs. The bound is BYTES of the key table (VERDICT r2 #5), sized so
+    # the single task's concat + sort temporaries fit one worker heap.
+    # Semantics identical — gated by tests/test_containment_paths.py.
+    keyed_sz = keyed.size_bytes()
+    if keyed_sz is not None and keyed_sz <= small_threshold_bytes:
         survivors = ray.get(
             _survivors_small_task.remote(
                 keyed.to_arrow_refs(), partitions, max_key_group

@@ -1,7 +1,7 @@
 """Parity of the two containment execution plans.
 
 contained_doc_pairs collapses its three exchange rounds into one task
-below `small_threshold` (adaptive execution); this gates that the
+below `small_threshold_bytes` (adaptive execution); this gates that the
 small-path and the hash-partitioned path produce identical pairs.
 """
 
@@ -94,8 +94,8 @@ def test_string_ids_rejected_with_guidance(ray_session):
 
 def test_small_and_partitioned_paths_match(ray_session):
     t = _corpus()
-    small = contained_doc_pairs(rd.from_arrow(t), small_threshold=10**9)
-    parted = contained_doc_pairs(rd.from_arrow(t), small_threshold=0)
+    small = contained_doc_pairs(rd.from_arrow(t), small_threshold_bytes=10**12)
+    parted = contained_doc_pairs(rd.from_arrow(t), small_threshold_bytes=0)
 
     def norm(df: pd.DataFrame):
         return sorted(map(tuple, df.to_numpy().tolist()))

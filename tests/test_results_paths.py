@@ -54,7 +54,7 @@ def test_asof_auto_dispatch_parity(ray_session):
     # threshold high -> broadcast branch; threshold 0 -> keyed branch
     bcast = _norm(asof_join_auto(probes, build, **kwargs))
     via_keyed = _norm(
-        asof_join_auto(probes, build, broadcast_threshold_rows=0, **kwargs)
+        asof_join_auto(probes, build, broadcast_threshold_bytes=0, **kwargs)
     )
     pd.testing.assert_frame_equal(bcast[keyed.columns], keyed)
     pd.testing.assert_frame_equal(via_keyed[keyed.columns], keyed)

@@ -92,9 +92,9 @@ def test_pipeline_sa_verify_parity(ray_session):
 
     for thr in (10**9, 0):  # small-task path and partitioned path
         chars = contained_doc_pairs(
-            rd.from_arrow(t), small_threshold=thr, verify="chars"
+            rd.from_arrow(t), small_threshold_bytes=thr, verify="chars"
         )
         sa = contained_doc_pairs(
-            rd.from_arrow(t), small_threshold=thr, verify="sa"
+            rd.from_arrow(t), small_threshold_bytes=thr, verify="sa"
         )
         assert norm(chars) == norm(sa)
