@@ -203,6 +203,36 @@ def q_events_asof(sf_dir: str):
     )
 
 
+def q_events_nearest(sf_dir: str):
+    """Nearest-in-window join ≙ the reference's ``are_contained`` probe
+    order (utils.py:138-147: offsets 0, −1, +1, … — first hit wins): for
+    each event, the same user's closest OTHER event within ±600 s, ties
+    to the earlier side. The as-of join (events_asof) answers "latest
+    strictly before"; this answers "nearest wins" (VERDICT r2 missing
+    #5). Same keyed-shuffle shape; the Δ=0 / strict-before /
+    strict-after candidates come from vectorized accumulate passes."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.joins import nearest_join_keyed
+
+    build = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    probes = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return nearest_join_keyed(
+        probes,
+        build,
+        key_col="user_id",
+        ts_col="ts",
+        payload_cols=["event_id"],
+        range_seconds=600.0,
+        exclude_self=True,
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (gap > 30 min ⇒ new session) over the events log —
     the stream-shaped workload pattern (ordered, keyed log + per-key
@@ -723,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_filter": q_lang_filter,
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
+        "events_nearest": q_events_nearest,
         "sessionize": q_sessionize,
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
@@ -821,6 +852,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN events e2
               ON e2.user_id = e1.user_id AND e2.ts < e1.ts
             GROUP BY e1.event_id
+        """,
+        "events_nearest": """
+            SELECT event_id, nearest_ts FROM (
+                SELECT e1.event_id, e2.ts AS nearest_ts,
+                       row_number() OVER (
+                           PARTITION BY e1.event_id
+                           ORDER BY abs(epoch_us(e2.ts) - epoch_us(e1.ts)),
+                                    e2.ts
+                       ) AS rn
+                FROM events e1
+                JOIN events e2
+                  ON e2.user_id = e1.user_id
+                 AND e2.event_id <> e1.event_id
+                 AND abs(epoch_us(e2.ts) - epoch_us(e1.ts)) <= 600000000
+            ) WHERE rn = 1
         """,
         "sessionize": """
             WITH flagged AS (

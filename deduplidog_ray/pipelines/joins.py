@@ -225,6 +225,168 @@ def asof_join_auto(
     )
 
 
+def _nearest_partition(
+    g: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    range_ns: int,
+    exclude_self: bool,
+) -> pd.DataFrame:
+    """One hash partition of the nearest-in-window join, zero per-key
+    loops. For each probe row: the build-side timestamp minimizing
+    |Δts| within ±range, ties preferring the EARLIER side — the
+    reference's probe order 0, −1, +1, −2, +2 … first hit wins
+    (reference deduplidog/utils.py:138-147).
+
+    Vectorization: the strict last-before and strict first-after build
+    timestamps come from two `maximum.accumulate` passes over the
+    (key, ts, side)-sorted union (the `_asof_partition` merge trick, run
+    forward and mirrored); the Δ=0 case is a same-(key, ts) build-row
+    count per probe (one pandas hash join) — ≥2 rows required when the
+    probe side IS the build side (``exclude_self``), so a row never
+    matches itself.
+    """
+    empty = pd.DataFrame(
+        {
+            **{c: pd.Series(dtype=g[c].dtype) for c in payload_cols},
+            "nearest_ts": pd.Series(dtype="datetime64[us]"),
+        }
+    )
+    n = len(g)
+    codes, _ = pd.factorize(g[key_col], sort=False)
+    ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    is_build = g["_side"].to_numpy() == 0
+    if n == 0 or not (~is_build).any() or not is_build.any():
+        return empty
+    NEG = np.iinfo(np.int64).min
+    POS = np.iinfo(np.int64).max
+
+    # Δ=0 candidates: build-row count at the probe's exact (key, ts)
+    bdf = pd.DataFrame({"c": codes[is_build], "t": ts[is_build]})
+    cnt = bdf.groupby(["c", "t"], sort=False).size().rename("n").reset_index()
+    pdf = pd.DataFrame({"c": codes[~is_build], "t": ts[~is_build]})
+    same_cnt = (
+        pdf.merge(cnt, on=["c", "t"], how="left", sort=False)["n"]
+        .fillna(0)
+        .to_numpy(np.int64)
+    )
+
+    def _strict_side(sign: int) -> np.ndarray:
+        """sign=+1: last build strictly before each probe; sign=-1:
+        (mirrored) first build strictly after. Returns per-original-row
+        build ts (sentinel NEG where none)."""
+        tss = sign * ts
+        tie = np.where(is_build, 1, 0)          # builds AFTER probes at ==ts
+        order = np.lexsort((tie, tss, codes))
+        codes_s, ts_s, build_s = codes[order], tss[order], is_build[order]
+        pos = np.arange(n)
+        lastb = np.maximum.accumulate(np.where(build_s, pos, -1))
+        new_key = np.r_[True, codes_s[1:] != codes_s[:-1]]
+        starts = np.flatnonzero(new_key)
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        ok = (~build_s) & (lastb >= seg_start)
+        vals = np.where(ok, ts_s[np.clip(lastb, 0, None)], NEG)
+        out = np.full(n, NEG)
+        pm = ~build_s
+        out[order[pm]] = vals[pm]
+        return out  # in the sign-mirrored domain; caller undoes the sign
+
+    # strict prev (ts' < t) and strict next (ts' > t), both per probe
+    prev_raw = _strict_side(+1)
+    next_raw = _strict_side(-1)
+
+    pmask = ~is_build
+    t_p = ts[pmask]
+    prev_ts = prev_raw[pmask]
+    # the mirrored pass returns -ts'; undo the sign where a match exists
+    next_ts = np.where(next_raw[pmask] == NEG, POS, -next_raw[pmask])
+    d_prev = np.where(prev_ts == NEG, POS, t_p - prev_ts)
+    d_next = np.where(next_ts == POS, POS, next_ts - t_p)
+    need = 2 if exclude_self else 1
+    d_zero = np.where(same_cnt >= need, 0, POS)
+
+    best = np.minimum(np.minimum(d_prev, d_next), d_zero)
+    matched = best <= range_ns
+    # tie rule: Δ=0 beats both; prev (earlier) beats next at equal |Δ|
+    out_ts = np.where(
+        d_zero == best, t_p, np.where(d_prev <= d_next, prev_ts, next_ts)
+    )
+    src = g[pmask].iloc[np.flatnonzero(matched)]
+    res = pd.DataFrame({c: src[c].to_numpy() for c in payload_cols})
+    res["nearest_ts"] = (
+        out_ts[matched].astype("datetime64[ns]").astype("datetime64[us]")
+    )
+    return res
+
+
+def nearest_join_keyed(
+    probe_ds: ray.data.Dataset,
+    build_ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    range_seconds: float,
+    exclude_self: bool = False,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Nearest-in-window join: for each probe row, the build-side row
+    with the minimum |Δts| within ±``range_seconds`` of the same key —
+    ties prefer the earlier side, matching the reference's probe order
+    (0, −1, +1, … — utils.py:138-147; the as-of join answers "latest
+    strictly before", this answers "nearest wins", VERDICT r2 missing
+    #5). ``exclude_self=True`` for self-joins (probe ≡ build): a row
+    never matches itself, but a distinct row at the identical timestamp
+    does. Inner semantics: probes with no in-window match are dropped;
+    the matched timestamp is emitted as ``nearest_ts``.
+
+    Same exchange shape as :func:`asof_join_keyed`: both sides
+    hash-partitioned by key (one shuffle each), one vectorized merge per
+    partition, nothing on the driver.
+    """
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for c in payload_cols:
+                cols[c] = (
+                    t[c]
+                    if c in t.column_names
+                    else pa.array(np.full(len(t), -1, dtype=np.int64))
+                )
+            cols[key_col] = t[key_col]
+            cols[ts_col] = t[ts_col]
+            cols["_side"] = pa.array(np.full(len(t), side, dtype=np.int8))
+            key = t[key_col]
+            if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
+                from deduplidog_ray.stages.hashing import hash_strings_u64
+
+                h = hash_strings_u64(key.to_pylist(), seed=0xA50F)
+            else:
+                from deduplidog_ray.stages.hashing import mix64
+
+                h = mix64(key.to_numpy().astype(np.uint64), seed=0xA50F)
+            cols["_part"] = pa.array(
+                (h % np.uint64(partitions)).astype(np.int64)
+            )
+            return pa.table(cols)
+
+        return _f
+
+    range_ns = int(round(range_seconds * 1e9))
+    tagged = build_ds.map_batches(
+        _tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        probe_ds.map_batches(_tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return tagged.groupby("_part").map_groups(
+        lambda g: _nearest_partition(
+            g, key_col, ts_col, payload_cols, range_ns, exclude_self
+        ),
+        batch_format="pandas",
+    )
+
+
 def broadcast_semi_join(
     ds: ray.data.Dataset, keys, key_col: str, anti: bool = False
 ) -> ray.data.Dataset:
