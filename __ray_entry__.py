@@ -718,6 +718,61 @@ def q_knn_cosine_ivf(sf_dir: str):
     return knn_cosine_ivf(ds, queries, k=10)
 
 
+def q_clips_exact_clusters(sf_dir: str):
+    """Driver-checkable oracle slice of the flagship (VERDICT r2 #6):
+    the EXACT-duplicate axis. Clips decode task-fused with the read (no
+    bytes through plasma), group by the container-invariant decoded-PCM
+    hash, and every group with >= 2 members emits (clip_id, cluster_id =
+    min member). The synthesizer plants byte-exact re-encodes at
+    doc_id % 10 == 0 and nothing else (lossy u-law re-encodes and noised
+    variants change the quantized PCM), so the expected clusters are
+    SQL-expressible over the documents table the clips derive from.
+    The 64-bit hash stands in for byte equality here (collision odds
+    ~n²/2⁻⁶⁴; the flagship's verify kernel confirms exact pairs on the
+    full signature set)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+    from deduplidog_ray.stages.decode import DecodeFingerprint
+
+    clips_path = clips_from_documents(sf_dir)
+    ds = ray.data.read_parquet(
+        clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    )
+    sigs = ds.map_batches(
+        DecodeFingerprint(),
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+    ).select_columns(["clip_id", "pcm_hash"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        h = t["pcm_hash"].to_numpy().view(np.uint64)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(32)).astype(np.int64))
+        )
+
+    def _clusters(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("pcm_hash", sort=False)["clip_id"]
+        sizes = grp.transform("size").to_numpy()
+        mins = grp.transform("min").to_numpy()
+        keep = sizes > 1
+        return pd.DataFrame(
+            {
+                "clip_id": g["clip_id"].to_numpy()[keep],
+                "cluster_id": mins[keep],
+            }
+        )
+
+    return (
+        sigs.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(_clusters, batch_format="pandas")
+    )
+
+
 def q_clips_near_dedup(sf_dir: str):
     """FLAGSHIP: full audio+transcript near-dup clustering (BASELINE.json
     north rule) over the clips table synthesized deterministically from
@@ -780,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
+        "clips_exact_clusters": q_clips_exact_clusters,
         "clips_near_dedup": q_clips_near_dedup,
     }
 
@@ -1194,6 +1250,20 @@ def oracle_sql() -> dict[str, str]:
                       'une','v','von','y','z','zu','že'], x))) AS DOUBLE)
                 / greatest(len(aw), 1) AS stopword_ratio
             FROM h
+        """,
+        # the flagship's exact-duplicate axis: the synthesizer emits a
+        # byte-exact duplicate (clip_<id>_d) for every doc_id % 10 == 0
+        # original (clip_<id>_o) and nothing else byte-collides, so the
+        # pcm-hash clusters the pipeline computes equal this projection;
+        # cluster_id = min clip_id and '_d' < '_o' lexicographically
+        "clips_exact_clusters": """
+            WITH d AS (
+              SELECT 'clip_' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS stem
+              FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT stem || '_d' AS clip_id, stem || '_d' AS cluster_id FROM d
+            UNION ALL
+            SELECT stem || '_o' AS clip_id, stem || '_d' AS cluster_id FROM d
         """,
         # exhaustive cosine-threshold pair scan; the pipeline's banded-LSH
         # candidates + true-cosine verify equals this whenever candidate
