@@ -1,0 +1,104 @@
+"""TextEmbedder (model-in-actor embedding stage) gates.
+
+1. Bit-determinism: embeddings are identical regardless of batch size,
+   partition layout, or actor count — the layout-invariance rule every
+   deterministic operator in this engine follows.
+2. End-to-end parity: text → embed → embedding_near_dup_pairs equals a
+   brute-force cosine scan over the stage's own vectors.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from deduplidog_ray.stages.embed import TextEmbedder, embed_texts
+
+
+def _corpus(n_random=120):
+    rng = np.random.default_rng(5)
+    vocab = [f"word{i}" for i in range(300)]
+    ids, texts = [], []
+    for i in range(n_random):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(vocab, size=30).tolist()))
+    # planted duplicate families: identical and one-token-edited copies
+    for k in range(10):
+        base = texts[k].split()
+        ids.append(1000 + k)
+        texts.append(texts[k])                     # identical → cos 1.0
+        edited = list(base)
+        edited[3] = "EDITED"
+        ids.append(2000 + k)
+        texts.append(" ".join(edited))             # near-identical
+    ids.append(9000)
+    texts.append("")                               # empty → zero vector
+    ids.append(9001)
+    texts.append(None)                             # null text
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+
+
+def _emb_matrix(df):
+    return np.stack(df.sort_values("doc_id")["embedding"].to_numpy())
+
+
+def test_embedding_batch_layout_invariance(ray_session):
+    t = _corpus()
+    a = _emb_matrix(embed_texts(rd.from_arrow(t), batch_size=7).to_pandas())
+    b = _emb_matrix(
+        embed_texts(
+            rd.from_arrow(t).repartition(9), batch_size=256
+        ).to_pandas()
+    )
+    # whole-table single batch through the bare stage
+    c = np.stack(
+        TextEmbedder()(t)
+        .to_pandas()
+        .sort_values("doc_id")["embedding"]
+        .to_numpy()
+    )
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, c)
+    norms = np.linalg.norm(a, axis=1)
+    assert np.all((np.abs(norms - 1.0) < 1e-6) | (norms == 0.0))
+    # empty and null texts → exactly the zero vector
+    assert norms[-2] == 0.0 and norms[-1] == 0.0
+
+
+def test_text_to_neardup_end_to_end(ray_session):
+    from deduplidog_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    t = _corpus()
+    thr = 0.95
+    pairs = (
+        embedding_near_dup_pairs(
+            embed_texts(rd.from_arrow(t)).select_columns(
+                ["doc_id", "embedding"]
+            ),
+            threshold=thr,
+            bands=64,
+            bits_per_band=4,
+            id_col="doc_id",
+        )
+        .to_pandas()
+    )
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    # brute force over the stage's own vectors (float64 cosine)
+    df = TextEmbedder()(t).to_pandas().sort_values("doc_id")
+    ids = df["doc_id"].to_numpy()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    nz = np.linalg.norm(M, axis=1)
+    Mn = M / np.where(nz == 0, 1.0, nz)[:, None]
+    cos = Mn @ Mn.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= thr
+    }
+    # the 10 identical-copy pairs are all present
+    assert {(k, 1000 + k) for k in range(10)} <= want
+    assert got == want
