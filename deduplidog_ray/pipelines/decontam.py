@@ -26,6 +26,17 @@ For a holdout too large to broadcast, the same semantics become a
 hash-partitioned semi-join on (shingle_hash) — the exchange pattern of
 `pipelines/exact.py` — at the cost of shuffling the train side's distinct
 grams once. Not implemented until an input needs it.
+
+Collision asymmetry (ADVICE r2 #4): membership is decided on 64-bit gram
+HASHES with no true-key confirmation — unlike `pipelines/exact.py`, whose
+keep/drop decisions confirm true keys because a false merge there destroys
+a unique row. Here a collision (~n²·2⁻⁶⁴; under 3e-8 even at a billion
+distinct grams) only FLAGS a clean doc (or, in ``mode="drop"``, drops one
+innocent train doc) — hygiene ops fail toward caution, never toward
+keeping contaminated data, and the same asymmetry applies to
+`pipelines/boilerplate.py` masking. If drop-mode false positives ever
+matter, re-verify flagged docs' grams against the holdout's true strings
+before dropping (a second broadcast of the string set, hit docs only).
 """
 
 from __future__ import annotations

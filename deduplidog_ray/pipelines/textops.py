@@ -11,8 +11,6 @@ stopword tables live in module constants (no model downloads).
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -31,10 +29,11 @@ _STOPWORDS = {
     "cs": {"a", "se", "na", "je", "to", "v", "že", "s", "z", "do"},
 }
 
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
-#: BPE-ish token split: words, numbers, or single non-space symbols
-_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# NOTE on regex semantics (ADVICE r2 #3): every tokenizing operator in
+# this module runs on Arrow's RE2 engine (ASCII \w / \s), the SAME engine
+# DuckDB uses — that is what makes the token_freq / text_lang / text_quality
+# oracles bit-reproducible on any corpus, not just ASCII ones. Python
+# `re` (Unicode \w) must not be used for tokenization here.
 
 
 class TextScore:
@@ -152,17 +151,15 @@ def token_freq(
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
-        import itertools
-
-        low = pc.utf8_lower(t["text"])
-
-        words = [
-            _WORD_RE.findall(s) if s else []
-            for s in low.to_pylist()
-        ]
-        vc = pd.Series(
-            list(itertools.chain.from_iterable(words)), dtype="object"
-        ).value_counts()
+        # RE2 (\w = ASCII) tokenization in Arrow — mirrors the DuckDB
+        # oracle's regexp_extract_all('\w+') exactly on ANY corpus
+        # (ADVICE r2 #3: the old Python-re path was Unicode-\w and only
+        # agreed on ASCII text), and removes the per-row findall
+        low = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        parts = pc.split_pattern_regex(low, pattern=r"[^\w]+")
+        flat = pc.list_flatten(parts)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pd.Series(flat.to_pandas(), dtype="object").value_counts()
         return pa.table(
             {
                 "token": pa.array(vc.index.to_numpy(), type=pa.string()),
