@@ -31,6 +31,14 @@ os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from /proc/stat — per-window
+    hypervisor-steal context for every timed sample."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return (v[7] if len(v) > 7 else 0), sum(v)
+
+
 def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -67,19 +75,43 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
     _warm_cache(clips_path)      # node-local-I/O proxy; see _warm_cache
     _warm_workers(num_cpus)      # untimed: worker interpreter spin-up
 
-    queries: dict[str, float] = {}
+    # Measurement protocol (VERDICT r2 #1: best-of-day prose is not a
+    # protocol): every query runs `repeats` times back to back; the
+    # recorded number is the MEDIAN, each sample's hypervisor-steal
+    # percentage is measured from /proc/stat over exactly its window,
+    # and the raw samples ship in the JSON so a noisy sample is visible
+    # instead of silently averaged in. Headline-only mode (the scaling
+    # subprocesses) stays single-shot — the scaling protocol has its own
+    # interleaved-trials structure.
+    headline_only = bool(os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"))
+    repeats = 1 if headline_only else int(
+        os.environ.get("GRAFT_BENCH_REPEATS", "3")
+    )
 
-    def timed(name: str, fn):
-        t0 = time.monotonic()
-        res = fn(sf_dir)
-        # consume: Datasets execute lazily — count() drives them
+    queries: dict[str, float] = {}
+    samples: dict[str, list] = {}
+    steal: dict[str, float] = {}
+
+    def timed(name: str, fn) -> float:
         import ray.data
 
-        if isinstance(res, ray.data.Dataset):
-            res.count()
-        dt = time.monotonic() - t0
-        queries[name] = round(dt, 3)
-        return dt
+        runs: list[tuple[float, float]] = []
+        for _ in range(repeats):
+            s0, j0 = _steal_snapshot()
+            t0 = time.monotonic()
+            res = fn(sf_dir)
+            # consume: Datasets execute lazily — count() drives them
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            dt = time.monotonic() - t0
+            s1, j1 = _steal_snapshot()
+            runs.append((dt, 100.0 * (s1 - s0) / max(1, j1 - j0)))
+        runs_sorted = sorted(runs)
+        med_dt, med_steal = runs_sorted[len(runs) // 2]
+        queries[name] = round(med_dt, 3)
+        samples[name] = [round(d, 3) for d, _ in runs]
+        steal[name] = round(med_steal, 2)
+        return med_dt
 
     phase_metrics: dict = {}
 
@@ -89,12 +121,13 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
 
         pipe = NearDupPipeline(DedupConfig())
         res = pipe.run(clips_path)
+        phase_metrics.clear()
         phase_metrics.update(pipe.metrics)
         return res
 
     headline = timed("clips_near_dedup", _flagship)
 
-    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+    if headline_only:
         ray.shutdown()
         return {
             "metric": "near_dup_pipeline_sec",
@@ -119,6 +152,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "lang_filter",
         "events_hourly",
         "events_asof",
+        "events_nearest",
         "sessionize",
         "sliding_windows",
         "pricing_summary",
@@ -143,8 +177,10 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "knn_cosine",
         "knn_cosine_lsh",
         "knn_cosine_ivf",
+        "text_embed_near_dup",
         "embedding_near_dup",
         "embedding_clusters",
+        "clips_exact_clusters",
     ]:
         timed(name, entry.queries()[name])
 
@@ -158,6 +194,9 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_clips": n_clips,
         "clips_per_sec": round(n_clips / headline, 1),
+        "protocol": {"repeats": repeats, "stat": "median"},
+        "query_samples": samples,
+        "steal_pct": steal,
     }
 
 

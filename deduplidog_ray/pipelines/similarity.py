@@ -392,6 +392,17 @@ def _emb_neardup_small_task(
     wk, fids = wk[order], ids[order]
     seg_start = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
     sizes = np.diff(np.r_[seg_start, len(wk)])
+    if sizes.size and int(sizes.max()) > 8192:
+        # no silent quadratic: correlated embeddings (e.g. bag-of-words
+        # vectors of a shared-vocabulary corpus) concentrate in few
+        # buckets at small bits_per_band — surface it instead of grinding
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hot LSH bucket: %d members in one band bucket (~%.1e "
+            "candidate pairs) — raise bits_per_band for this corpus",
+            int(sizes.max()), float(sizes.max()) ** 2 / 2,
+        )
     a_parts, b_parts = [], []
     for s, sz in zip(seg_start[sizes >= 2], sizes[sizes >= 2]):
         seg = np.unique(fids[s : s + sz])
@@ -500,6 +511,13 @@ def embedding_near_dup_pairs(
         wk, ids = wk[order], ids[order]
         seg_start = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
         sizes = np.diff(np.r_[seg_start, len(wk)])
+        if sizes.size and int(sizes.max()) > 8192:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hot LSH bucket: %d members in one band bucket — raise "
+                "bits_per_band for this corpus", int(sizes.max()),
+            )
         a_parts, b_parts = [], []
         for s, m in zip(seg_start[sizes >= 2], sizes[sizes >= 2]):
             seg = np.unique(ids[s : s + m])

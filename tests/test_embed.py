@@ -79,9 +79,9 @@ def test_text_to_neardup_end_to_end(ray_session):
                 ["doc_id", "embedding"]
             ),
             threshold=thr,
-            bands=64,
-            bits_per_band=4,
-            id_col="doc_id",
+            bands=24,
+            bits_per_band=12,  # the correlated-embedding geometry the
+            id_col="doc_id",   # driver query uses (see __ray_entry__)
         )
         .to_pandas()
     )
