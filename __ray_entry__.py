@@ -643,6 +643,87 @@ def q_text_lang(sf_dir: str):
     return ds.select_columns(["doc_id", "pred_lang", "stopword_ratio"])
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition stats (repeated-token fractions)
+    — doc-local, zero-shuffle streaming pass; ratios are single int/int
+    double divisions so the oracle is bit-exact."""
+    from deduplidog_ray.pipelines.repetition import doc_repetition
+
+    return doc_repetition(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_lm_score(sf_dir: str):
+    """Unigram-LM scoring: model trained on the corpus (token_freq
+    combiner), broadcast once via ray.put, scored batch-vectorized in an
+    actor pool. ``mean_unigram_p`` stays integer until one exact double
+    division, so even a model-scoring op is SQL-oracle-checkable."""
+    from deduplidog_ray.pipelines.repetition import lm_score
+
+    return lm_score(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_seq_pack(sf_dir: str):
+    """Greedy 512-token sequence packing per source (training-data layout).
+    Sequential scan confined to a per-source group; bins via an
+    O(#bins·log n) prefix-sum walk, not per-row Python."""
+    from deduplidog_ray.pipelines.layout import seq_pack
+
+    return seq_pack(_docs(sf_dir, columns=["doc_id", "text", "source"]))
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle: global dense rank of the bijective
+    Knuth key, computed bucket-partitioned (no full sort operator, no RNG
+    state) — (doc_id, pos)."""
+    from deduplidog_ray.pipelines.layout import epoch_shuffle
+
+    return epoch_shuffle(_docs(sf_dir, columns=["doc_id"]))
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over a deterministically augmented text column (the
+    synthetic corpus carries no PII, so both engines append
+    ``' contact user<id>@example.com or +1-555-<nnnn>'`` first — making
+    the email/phone automata do real work). Pipeline and oracle run the
+    SAME RE2 engine (Arrow kernels vs DuckDB), so parity is by
+    construction, not coincidence."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.scrub import scrub
+
+    def _aug(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        ph = pc.cast(pa.array(t["doc_id"].to_numpy() % 9000 + 1000), pa.string())
+        aug = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""),
+            " contact user", did, "@example.com or +1-555-", ph, "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return scrub(ds)
+
+
+def q_clips_audio_stats(sf_dir: str):
+    """Per-clip audio stats (peak/clipping/silence/power) over the decoded
+    int16 payload — rows-only (DuckDB cannot decode RIFF/µ-law); the exact
+    parity gate is tests/test_audiostats.py against an independent numpy
+    reference."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.audiostats import audio_stats
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    clips_path = clips_from_documents(sf_dir)
+    ds = ray.data.read_parquet(
+        clips_path, columns=["clip_id", "bytes", "codec"]
+    )
+    return audio_stats(ds)
+
+
 def q_text_embed_near_dup(sf_dir: str):
     """Text → embeddings → cosine near-dup, end to end (VERDICT r2
     missing #4: the engine also PRODUCES embeddings, not just reads
@@ -858,6 +939,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup": q_incremental_near_dup,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
+        "doc_repetition": q_doc_repetition,
+        "lm_score": q_lm_score,
+        "seq_pack": q_seq_pack,
+        "epoch_shuffle": q_epoch_shuffle,
+        "pii_scrub": q_pii_scrub,
+        "clips_audio_stats": q_clips_audio_stats,
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,
@@ -1278,6 +1365,111 @@ def oracle_sql() -> dict[str, str]:
                       'une','v','von','y','z','zu','že'], x))) AS DOUBLE)
                 / greatest(len(aw), 1) AS stopword_ratio
             FROM h
+        """,
+        # Gopher-style repetition stats: (doc, token) counts, then per-doc
+        # max / dup-occurrence sums; ratios are single int/int divisions
+        "doc_repetition": r"""
+            WITH words AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS w
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(max(c) AS BIGINT) AS top_word_count,
+                   max(c)::DOUBLE / sum(c) AS top_word_ratio,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                       AS dup_word_count
+            FROM cnt GROUP BY doc_id
+        """,
+        # unigram-LM scoring: per-doc mean token probability under the
+        # corpus's own lowercased token distribution; integer sums until
+        # one exactly-rounded double division (see pipelines/repetition.py)
+        "lm_score": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ), freq AS (
+              SELECT w, count(*) AS c FROM words GROUP BY w
+            ), tot AS (SELECT sum(c) AS t FROM freq)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(freq.c) AS BIGINT) AS sum_freq,
+                   sum(freq.c)::DOUBLE / (count(*) * (SELECT t FROM tot))
+                       AS mean_unigram_p
+            FROM words JOIN freq USING (w) GROUP BY doc_id
+        """,
+        # greedy first-fit-in-order packing as a running-fill recursion,
+        # advancing one doc per source per recursion round
+        "seq_pack": r"""
+            WITH RECURSIVE docs AS (
+              SELECT source, doc_id,
+                     len(regexp_extract_all(text, '\w+')) AS n_tok,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                         AS rn
+              FROM documents
+            ), pack AS (
+              SELECT source, doc_id, rn, n_tok, 0 AS bin_id, n_tok AS fill
+              FROM docs WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.rn, d.n_tok,
+                     CASE WHEN p.fill + d.n_tok <= 512
+                          THEN p.bin_id ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + d.n_tok <= 512
+                          THEN p.fill + d.n_tok ELSE d.n_tok END
+              FROM pack p JOIN docs d
+                ON d.source = p.source AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(bin_id AS BIGINT) AS bin_id
+            FROM pack
+        """,
+        # dense rank of the bijective Knuth key (odd multiplier mod 2^32 is
+        # a permutation → tie-free ORDER BY, deterministic positions)
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY (doc_id * 2654435761) % 4294967296
+                   ) - 1 AS pos
+            FROM documents
+        """,
+        # same RE2 automata as the Arrow kernels, same sequencing (each
+        # pattern counts THEN rewrites before the next pattern runs)
+        "pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1-555-'
+                          || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                     ))::BIGINT AS n_email,
+                     regexp_replace(t0,
+                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM aug
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                         '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?'
+                     ))::BIGINT AS n_phone,
+                     regexp_replace(t1,
+                         '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?',
+                         '<PHONE>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}',
+                                  '<IP>', 'g') AS scrubbed,
+                   n_email, n_phone,
+                   len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}'
+                   ))::BIGINT AS n_ipv4
+            FROM s2
         """,
         # the flagship's exact-duplicate axis: the synthesizer emits a
         # byte-exact duplicate (clip_<id>_d) for every doc_id % 10 == 0

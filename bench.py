@@ -174,6 +174,12 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "incremental_near_dup",
         "text_quality",
         "text_lang",
+        "doc_repetition",
+        "lm_score",
+        "seq_pack",
+        "epoch_shuffle",
+        "pii_scrub",
+        "clips_audio_stats",
         "knn_cosine",
         "knn_cosine_lsh",
         "knn_cosine_ivf",
