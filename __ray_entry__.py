@@ -738,15 +738,28 @@ def q_text_embed_near_dup(sf_dir: str):
     from deduplidog_ray.stages.embed import embed_texts
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    emb = embed_texts(docs).select_columns(["doc_id", "embedding"])
+    # materialize the encoded vectors ONCE: the near-dup pipeline consumes
+    # its input more than once (size routing + band scan + doc-row scan),
+    # and each pass over a lazy input would re-run the encoder actors.
+    # Bounded: n_docs × dim × 4 B. At corpus scales where that no longer
+    # fits the object store, checkpoint the embed stage to parquet instead
+    # and hand the pipeline the re-readable dataset.
+    emb = (
+        embed_texts(docs).select_columns(["doc_id", "embedding"]).materialize()
+    )
     # band geometry note: bag-of-words embeddings of a shared-vocabulary
     # corpus are strongly CORRELATED (unlike the testdata's Gaussian
-    # embeddings), so few-bit bands put large fractions of the corpus in
-    # one bucket and candidate generation goes quadratic. 12-bit bands
-    # keep buckets small on correlated data; 24 bands hold pair recall
-    # ≥ 0.999 at cosine 0.95 (p = 1−arccos(0.95)/π ≈ 0.90, 1−(1−p¹²)²⁴).
+    # embeddings) — origin-anchored hyperplanes leave most of the corpus
+    # on one side of most planes and candidates go near-quadratic (8.5M
+    # candidate pairs for 296 true pairs at 5k docs, measured). center=True
+    # shifts the planes through the corpus centroid: candidates 8.5M→5.2M
+    # at bands=64 r=8, max bucket 1107→175 (the skew fix), measured pair
+    # recall at cosine 0.95 = 1.0 (grid-scanned with the pipeline's own
+    # seed; fewer bands start missing near-centroid pairs whose centered
+    # bits are noise — their centered cosine drops to ~0.6).
     out = embedding_near_dup_pairs(
-        emb, threshold=0.95, bands=24, bits_per_band=12, id_col="doc_id"
+        emb, threshold=0.95, bands=64, bits_per_band=8, id_col="doc_id",
+        center=True,
     )
     return out.select_columns(["a", "b"])
 

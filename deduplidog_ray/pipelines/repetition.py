@@ -140,7 +140,9 @@ class _UnigramScorer:
         )
 
 
-def lm_score(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
+def lm_score(
+    ds: ray.data.Dataset, concurrency: int = 4, min_count: int = 1
+) -> ray.data.Dataset:
     """Score every document by mean unigram probability under the corpus's
     own token distribution (low = rare-word-heavy / junk; high = common).
 
@@ -155,7 +157,10 @@ def lm_score(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
     """
     from deduplidog_ray.pipelines.textops import token_freq
 
-    freq = token_freq(ds).to_pandas()          # |vocab|-bounded (documented)
+    # |vocab|-bounded collect; at extreme vocabularies pass min_count > 1
+    # to prune the broadcast model (tokens below it score 0, the same
+    # treatment as out-of-vocabulary tokens in an increment)
+    freq = token_freq(ds, min_count=min_count).to_pandas()
     freq = freq.sort_values("token", kind="stable")
     vocab = freq["token"].to_numpy(dtype=object)
     counts = freq["count"].to_numpy(dtype=np.int64)

@@ -303,6 +303,65 @@ def _gather_emb(
     return col.take(pa.array(order[pos]))
 
 
+def _segment_pairs(
+    seg_start: np.ndarray, sizes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment position pairs (left < right), fully vectorized.
+
+    Replaces the per-bucket Python loop (np.unique + triu per segment):
+    with centered/balanced band keys a corpus produces MANY SMALL buckets
+    — 100k+ segments — and a Python iteration per segment dominates the
+    whole candidate stage. Here every pair position is computed with
+    repeat/cumsum arithmetic: element at local index l contributes l pairs
+    as the right member, paired with the l elements before it.
+    """
+    n = int(sizes.sum())
+    loc = np.arange(n, dtype=np.int64) - np.repeat(seg_start, sizes)
+    total = int(loc.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    right = np.repeat(np.arange(n, dtype=np.int64), loc)
+    before = np.concatenate(([0], np.cumsum(loc)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(before, loc)
+    left = np.repeat(np.repeat(seg_start, sizes), loc) + within
+    return left, right
+
+
+def _centroid_of_normalized(ds: ray.data.Dataset, vec_col: str) -> np.ndarray:
+    """Mean of the L2-normalized vectors — one combiner pass (per-batch
+    float64 partial sums, driver combine), broadcast-sized (dim floats).
+
+    Used by ``center=True``: random hyperplanes through the ORIGIN split a
+    correlated cloud (e.g. bag-of-words embeddings, all in the positive
+    orthant) pathologically — most points land on the same side of most
+    planes, band buckets go near-quadratic. Shifting every plane through
+    the data centroid rebalances the bits (measured on the bench corpus:
+    candidates 8.5M → 2.6M, max bucket 1107 → 159, recall at cosine 0.95
+    still 1.0 with bands=32, r=8). Verification is unchanged (true cosine
+    of the UNcentered vectors), so centering only shapes candidates.
+    """
+
+    def _part(t: pa.Table) -> pa.Table:
+        m = _normalize(_mat_from_list_col(t[vec_col]))
+        return pa.table(
+            {
+                "s": pa.array([m.sum(axis=0).astype(np.float64).tobytes()]),
+                "n": pa.array([np.int64(len(m))]),
+            }
+        )
+
+    parts = ds.map_batches(
+        _part, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(parts):
+        return np.zeros(0, dtype=np.float32)
+    sums = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in parts["s"]]
+    ).sum(axis=0)
+    return (sums / max(1, int(parts["n"].sum()))).astype(np.float32)
+
+
 @ray.remote
 def _emb_neardup_small_task(
     refs: list,
@@ -312,6 +371,7 @@ def _emb_neardup_small_task(
     seed: int,
     id_col: str,
     vec_col: str,
+    center: bool = False,
 ) -> pa.Table:
     """Small-corpus fast path: the whole banded-LSH near-dup in ONE
     off-driver task (blocks read zero-copy from plasma).
@@ -340,44 +400,46 @@ def _emb_neardup_small_task(
     band_salt = mix64(
         np.arange(bands, dtype=np.uint64) + np.uint64(0xBA2D), seed=seed
     )
-    bits = (m @ planes > 0).astype(np.uint64)
+    mh = (m - m.mean(axis=0, keepdims=True)) if center else m
+    bits = (mh @ planes > 0).astype(np.uint64)
     packed = (bits.reshape(n, bands, bits_per_band) * pw).sum(axis=2)
     with np.errstate(over="ignore"):
         key = packed * np.uint64(0x9E3779B97F4A7C15) + band_salt[None, :]
-    if n <= 4096:
-        # candidate MATRIX path: at this size the (n, n) boolean fits a few
-        # MB, so "any shared band key" evaluates as bands outer equality
-        # passes into one reused temp — no 4M-row pair-key materialization,
-        # no sort, no np.unique (measured ~10x on a 2k corpus). nonzero of
-        # the upper triangle enumerates pairs in row-major (a*n + b) order,
-        # exactly the sorted order the segment path's np.unique produced,
-        # so the two paths stay byte-identical (tests/test_similarity.py).
+    if n <= 8192:
+        # gram-first MATRIX path: one BLAS matmul gives every cosine, the
+        # threshold mask names the only pairs whose candidacy matters, and
+        # the band check runs on just those survivors (key-row equality,
+        # bands ops per survivor). The previous shape — 64 full (n, n)
+        # key-equality passes, THEN the threshold — moved bands×n²×8 bytes
+        # through memory (measured 9 s at n=5k on this host, where page
+        # faults serve 30-100 MB/s); survivors-first moves one f32 gram +
+        # one compare and is byte-identical: a pair is emitted iff
+        # cos >= threshold AND some band key matches, same as before, and
+        # nonzero() row-major order == the old enumeration order.
         # canonicalize by id so position order == id order: pairs come out
         # (a < b by id), rows sorted by (a, b) — the segment path's order
         id_order = np.argsort(ids64, kind="stable")
         if not np.array_equal(id_order, np.arange(n)):
             ids64, m, key = ids64[id_order], m[id_order], key[id_order]
-        cand = np.zeros((n, n), dtype=bool)
-        tmp = np.empty((n, n), dtype=bool)
-        for bcol in range(bands):
-            kb = key[:, bcol]
-            np.equal(kb[:, None], kb[None, :], out=tmp)
-            np.logical_or(cand, tmp, out=cand)
-        # threshold INSIDE the matrix before enumerating: at small
-        # bits_per_band the candidate matrix is near-dense (97% of all
-        # pairs on the 2k bench corpus), so nonzero() over it materializes
-        # ~n^2/2 pair positions and a same-sized gather only to discard
-        # 99.8% at the cosine check. Intersecting with the (f64-cast, same
-        # compare as the gathered path) thresholded gram first makes
-        # nonzero() emit exactly the surviving pairs — byte-identical
-        # output, measured ~6x on the bench corpus.
-        cand = np.triu(cand, 1)
-        sims = (m @ m.T).astype(np.float64)
-        np.logical_and(cand, sims >= threshold, out=cand)
-        pos_a, pos_b = np.nonzero(cand)
+        sims = m @ m.T                   # f32 — the only (n, n) temp
+        # 1-ulp-slack f32 prefilter (superset of the exact-f64 survivors),
+        # then the exact f64 compare on the survivors — identical pair set
+        # to the old astype(f64)-whole-matrix compare at half the traffic
+        lo = np.nextafter(np.float32(threshold), np.float32(-np.inf))
+        pos_a, pos_b = np.nonzero(sims >= lo)
+        upper = pos_a < pos_b
+        pos_a, pos_b = pos_a[upper], pos_b[upper]
         if len(pos_a) == 0:
             return empty
-        cos = sims[pos_a, pos_b]
+        cos = sims[pos_a, pos_b].astype(np.float64)
+        exact = cos >= threshold
+        pos_a, pos_b, cos = pos_a[exact], pos_b[exact], cos[exact]
+        if len(pos_a) == 0:
+            return empty
+        hit = (key[pos_a] == key[pos_b]).any(axis=1)
+        pos_a, pos_b, cos = pos_a[hit], pos_b[hit], cos[hit]
+        if len(pos_a) == 0:
+            return empty
         return pa.table(
             {
                 "a": pa.array(ids64[pos_a]),
@@ -388,7 +450,7 @@ def _emb_neardup_small_task(
         )
     wk = key.reshape(-1)
     ids = np.repeat(ids64, bands)
-    order = np.argsort(wk, kind="stable")
+    order = np.lexsort((ids, wk))        # id-ascending WITHIN each bucket
     wk, fids = wk[order], ids[order]
     seg_start = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
     sizes = np.diff(np.r_[seg_start, len(wk)])
@@ -400,26 +462,21 @@ def _emb_neardup_small_task(
 
         logging.getLogger(__name__).warning(
             "hot LSH bucket: %d members in one band bucket (~%.1e "
-            "candidate pairs) — raise bits_per_band for this corpus",
-            int(sizes.max()), float(sizes.max()) ** 2 / 2,
+            "candidate pairs) — raise bits_per_band (or center=True) "
+            "for this corpus", int(sizes.max()), float(sizes.max()) ** 2 / 2,
         )
-    a_parts, b_parts = [], []
-    for s, sz in zip(seg_start[sizes >= 2], sizes[sizes >= 2]):
-        seg = np.unique(fids[s : s + sz])
-        if len(seg) < 2:
-            continue
-        i, j = np.triu_indices(len(seg), 1)
-        a_parts.append(seg[i])
-        b_parts.append(seg[j])
-    if not a_parts:
+    lpos, rpos = _segment_pairs(seg_start, sizes)
+    ca, cb = fids[lpos], fids[rpos]      # a <= b by the lexsort
+    dup = ca == cb                       # same id twice in one bucket
+    if dup.any():
+        ca, cb = ca[~dup], cb[~dup]
+    if not len(ca):
         return empty
     # dedup on SCALAR position-pair keys (np.unique with axis= is a void-
     # view sort, ~10x slower) and verify without materializing a
     # (n_pairs, dim) gather: tiny corpora take one (n, n) matmul, larger
     # ones a chunked row-gather einsum
     sidx = np.argsort(ids64, kind="stable")
-    ca = np.concatenate(a_parts)
-    cb = np.concatenate(b_parts)
     pos_a = sidx[np.searchsorted(ids64, ca, sorter=sidx)]
     pos_b = sidx[np.searchsorted(ids64, cb, sorter=sidx)]
     pk = np.unique(pos_a.astype(np.int64) * n + pos_b)
@@ -455,8 +512,17 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     small_threshold_bytes: int = 1 << 30,
+    center: bool = False,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs (a < b, cos >= threshold).
+
+    ``center=True`` shifts every hyperplane through the corpus centroid
+    (one extra combiner pass; see :func:`_centroid_of_normalized`) —
+    essential for CORRELATED embedding clouds (bag-of-words, same-domain
+    encoders) where origin-anchored planes leave band buckets
+    near-quadratic. Candidate sets become geometry-dependent, but the
+    output does not: verify keeps true-cosine pairs only, so as long as
+    the (bands, r) choice holds recall, results are identical.
 
     Round-2 redesign (VERDICT r1: single hash table ⇒ 2^bits buckets
     total, quadratic verify groups, full embeddings shuffled):
@@ -481,6 +547,10 @@ def embedding_near_dup_pairs(
         np.arange(bands, dtype=np.uint64) + np.uint64(0xBA2D), seed=seed
     )
     _memo: dict[str, np.ndarray] = {}
+    # filled only on the partitioned path (the small task centers locally);
+    # computed ONCE before the lazy pipeline is built and captured by value
+    # into task closures (dim floats — broadcast-sized)
+    centroid: np.ndarray | None = None
 
     def _band_rows(t: pa.Table) -> pa.Table:
         if "planes" not in _memo:
@@ -488,6 +558,8 @@ def embedding_near_dup_pairs(
             dim = len(t[vec_col][0])
             _memo["planes"] = rng.normal(size=(dim, nbits)).astype(np.float32)
         m = _normalize(_mat_from_list_col(t[vec_col]))
+        if centroid is not None:
+            m = m - centroid[None, :]
         bits = (m @ _memo["planes"] > 0).astype(np.uint64)
         packed = (bits.reshape(len(m), bands, bits_per_band) * pw).sum(axis=2)
         with np.errstate(over="ignore"):
@@ -507,7 +579,7 @@ def embedding_near_dup_pairs(
     def _cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
         wk = g["key"].to_numpy()
         ids = g["a"].to_numpy()
-        order = np.argsort(wk, kind="stable")
+        order = np.lexsort((ids, wk))    # id-ascending WITHIN each bucket
         wk, ids = wk[order], ids[order]
         seg_start = np.flatnonzero(np.r_[True, wk[1:] != wk[:-1]])
         sizes = np.diff(np.r_[seg_start, len(wk)])
@@ -516,23 +588,19 @@ def embedding_near_dup_pairs(
 
             logging.getLogger(__name__).warning(
                 "hot LSH bucket: %d members in one band bucket — raise "
-                "bits_per_band for this corpus", int(sizes.max()),
+                "bits_per_band (or center=True) for this corpus",
+                int(sizes.max()),
             )
-        a_parts, b_parts = [], []
-        for s, m in zip(seg_start[sizes >= 2], sizes[sizes >= 2]):
-            seg = np.unique(ids[s : s + m])
-            if len(seg) < 2:
-                continue
-            i, j = np.triu_indices(len(seg), 1)
-            a_parts.append(seg[i])
-            b_parts.append(seg[j])
-        if not a_parts:
+        lpos, rpos = _segment_pairs(seg_start, sizes)
+        a, b = ids[lpos], ids[rpos]      # a <= b by the lexsort
+        dup = a == b
+        if dup.any():
+            a, b = a[~dup], b[~dup]
+        if not len(a):
             return pd.DataFrame(
                 {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
                  "part": pd.Series(dtype="int64")}
             )
-        a = np.concatenate(a_parts)
-        b = np.concatenate(b_parts)
         df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
         with np.errstate(over="ignore"):
             ph = mix64(
@@ -655,11 +723,14 @@ def embedding_near_dup_pairs(
         ).to_arrow_refs()
         out = ray.get(
             _emb_neardup_small_task.remote(
-                refs, threshold, bands, bits_per_band, seed, id_col, vec_col
+                refs, threshold, bands, bits_per_band, seed, id_col, vec_col,
+                center,
             )
         )
         return ray.data.from_arrow(out)
 
+    if center:
+        centroid = _centroid_of_normalized(ds, vec_col)
     band_rows = ds.map_batches(
         _band_rows, batch_format="pyarrow", zero_copy_batch=True
     )
