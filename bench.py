@@ -125,6 +125,20 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         phase_metrics.update(pipe.metrics)
         return res
 
+    # untimed steady-state warmup: on this host the fault subsystem
+    # degrades after heavy memory churn (e.g. the correctness run the
+    # driver executes right before bench) and heals over wall time —
+    # three identical fresh-process runs measured 25.2 / 16.5 / 10.3 s
+    # with EVERY phase scaling together. One untimed flagship execution
+    # absorbs the degraded state and pre-faults worker heaps, so the
+    # timed repeats measure pipeline throughput, not host memory state.
+    # Recorded in protocol.warmup so the number's meaning is explicit.
+    # The scaling subprocesses skip it: both arms of an efficiency RATIO
+    # see the same host state, and the 2-CPU leg would double a ~7-minute
+    # run for no change in the ratio.
+    if not os.environ.get("GRAFT_BENCH_NO_WARMUP"):
+        _flagship(sf_dir).count()
+
     headline = timed("clips_near_dedup", _flagship)
 
     if headline_only:
@@ -200,7 +214,11 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_clips": n_clips,
         "clips_per_sec": round(n_clips / headline, 1),
-        "protocol": {"repeats": repeats, "stat": "median"},
+        "protocol": {
+            "repeats": repeats,
+            "stat": "median",
+            "warmup": 0 if os.environ.get("GRAFT_BENCH_NO_WARMUP") else 1,
+        },
         "query_samples": samples,
         "steal_pct": steal,
     }
@@ -355,7 +373,10 @@ def main() -> None:
 
         def run_once(ncpu: int, attempts: int = 2) -> dict:
             env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_BENCH_HEADLINE_ONLY="1",
+                GRAFT_BENCH_NO_WARMUP="1",
             )
             for attempt in range(attempts):
                 s0, t0 = _stat()
