@@ -388,6 +388,25 @@ def q_knn_cosine(sf_dir: str):
 # rows-only queries (non-SQL-expressible: LSH, perceptual audio, scoring)
 # --------------------------------------------------------------------------
 
+def q_embedding_kmeans(sf_dir: str):
+    """Full-corpus spherical k-means (k=8): deterministic hash-seeded
+    init, per-iteration combiner partials (blocks × k rows shuffled, never
+    the corpus), assignment emitted as a streaming pass. Iterative →
+    rows-only for the driver; pytest gates bit-equal parity vs a numpy
+    Lloyd reference with the same init (tests/test_clustering.py)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.clustering import kmeans_embeddings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return kmeans_embeddings(ds, k=8, iters=6).select_columns(
+        ["vec_id", "cluster"]
+    )
+
+
 def q_text_near_dup(sf_dir: str):
     """MinHash-LSH + SimHash near-dup clusters over documents."""
     from deduplidog_ray.pipelines.textdedup import text_near_dedup
@@ -442,6 +461,15 @@ def q_sample_hash(sf_dir: str):
     return sample_hash(
         _docs(sf_dir, columns=["doc_id", "n_chars"]), rate_num=1, rate_den=5
     )
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic 8/1/1 train/val/test assignment — a pure-key-function
+    CASE over the same Knuth mix as sample_hash: streaming, no shuffle,
+    identical partition on every run/resume/layout."""
+    from deduplidog_ray.pipelines.sampling import split_by_hash
+
+    return split_by_hash(_docs(sf_dir, columns=["doc_id", "source"]))
 
 
 def q_source_quota(sf_dir: str):
@@ -941,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_jaccard_dup": q_text_jaccard_dup,
         "decontaminate": q_decontaminate,
         "sample_hash": q_sample_hash,
+        "dataset_split": q_dataset_split,
         "source_quota": q_source_quota,
         "token_freq": q_token_freq,
         "corpus_prep": q_corpus_prep,
@@ -963,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
+        "embedding_kmeans": q_embedding_kmeans,
         "clips_exact_clusters": q_clips_exact_clusters,
         "clips_near_dedup": q_clips_near_dedup,
     }
@@ -1181,6 +1211,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars
             FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) % 5 < 1
+        """,
+        # 8/1/1 split on the same mix: bucket in [0,8) train, 8 val, 9 test
+        "dataset_split": """
+            SELECT doc_id, source,
+                   CASE
+                     WHEN ((doc_id * 2654435761) % 4294967296) % 10 < 8
+                       THEN 'train'
+                     WHEN ((doc_id * 2654435761) % 4294967296) % 10 < 9
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         "source_quota": """
             SELECT doc_id, source, n_chars

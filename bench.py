@@ -201,6 +201,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "embedding_near_dup",
         "embedding_clusters",
         "clips_exact_clusters",
+        "dataset_split",
+        "embedding_kmeans",
     ]:
         timed(name, entry.queries()[name])
 

@@ -61,6 +61,42 @@ def sample_hash(
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def split_by_hash(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (("train", 8), ("val", 1), ("test", 1)),
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: adds a ``split`` column.
+
+    bucket = ((key + salt) * 2654435761 mod 2^32) mod sum(weights); the
+    split label is the weight-interval the bucket falls in (train gets
+    buckets [0, 8), val [8, 9), test [9, 10) for the default 8/1/1).
+    Same properties as :func:`sample_hash`: pure key function, streaming,
+    no shuffle, layout- and run-invariant, SQL-replicable with a CASE
+    expression — so every downstream job (and every resume) sees the
+    identical partition of the corpus. ≙ the reference's deterministic
+    work-list slicing (deduplidog.py:196-197) extended to a disjoint
+    multi-way assignment.
+    """
+    den = sum(w for _, w in splits)
+    # interval upper bounds, e.g. (8, 9, 10) for 8/1/1
+    bounds = np.cumsum([w for _, w in splits]).astype(np.uint64)
+    labels = [name for name, _ in splits]
+
+    def _f(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy().astype(np.uint64)
+        h = ((k + np.uint64(salt)) * _KNUTH32) % _MOD32
+        bucket = h % np.uint64(den)
+        idx = np.searchsorted(bounds, bucket, side="right")
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype(np.int32)), pa.array(labels)
+        ).cast(pa.string())
+        return t.append_column("split", lab)
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quota_per_key(
     ds: ray.data.Dataset,
     key_col: str = "source",

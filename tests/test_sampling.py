@@ -49,6 +49,30 @@ def test_sample_hash_matches_predicate_and_layout_invariant(ray_session):
     assert set(re8["doc_id"]) == want
 
 
+def test_split_by_hash_disjoint_exhaustive_and_layout_invariant(ray_session):
+    from deduplidog_ray.pipelines.sampling import split_by_hash
+
+    t = _docs(n=1000)
+    got = split_by_hash(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 1000  # exhaustive: every row assigned exactly once
+    # matches the SQL CASE predicate bit-for-bit
+    ids = t["doc_id"].to_numpy().astype(np.uint64)
+    bucket = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % 10
+    want = np.where(bucket < 8, "train", np.where(bucket < 9, "val", "test"))
+    by_id = got.set_index("doc_id")["split"]
+    assert (by_id.loc[t["doc_id"].to_numpy()].to_numpy() == want).all()
+    # all three splits non-empty at n=1000 and roughly 8/1/1
+    counts = got["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # layout-invariant
+    re8 = split_by_hash(rd.from_arrow(t).repartition(8)).to_pandas()
+    assert (
+        re8.set_index("doc_id")["split"].loc[t["doc_id"].to_numpy()].to_numpy()
+        == want
+    ).all()
+
+
 def test_quota_per_key_matches_pandas_head(ray_session):
     t = _docs()
     got = quota_per_key(
