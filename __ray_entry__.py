@@ -423,6 +423,17 @@ def q_text_jaccard_dup(sf_dir: str):
     return text_ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_fuzzy_join(sf_dir: str):
+    """Similarity join between two tables: corpus third (doc_id % 3 == 0)
+    fuzzy-joined against the rest at exact token-shingle Jaccard ≥ 0.7.
+    One shared LSH band exchange generates candidates for both sides;
+    same-side candidates drop before the exact verify."""
+    from deduplidog_ray.pipelines.textdedup import fuzzy_join_text
+
+    new, corpus = _split_docs(sf_dir, columns=["doc_id", "text"])
+    return fuzzy_join_text(corpus, new, threshold=0.7)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: train docs (doc_id % 17 != 0) scored
     against the holdout split (doc_id % 17 == 0) by DISTINCT shared token
@@ -967,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
         "text_jaccard_dup": q_text_jaccard_dup,
+        "fuzzy_join": q_fuzzy_join,
         "decontaminate": q_decontaminate,
         "sample_hash": q_sample_hash,
         "dataset_split": q_dataset_split,
@@ -1173,6 +1185,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
                      / len(list_distinct(list_concat(x.sg, y.sg))) AS jaccard
             FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE len(list_intersect(x.sg, y.sg))
+                  >= 0.7 * len(list_distinct(list_concat(x.sg, y.sg)))
+        """,
+        # fuzzy join: corpus third x rest, exact shingle Jaccard >= 0.7 —
+        # same shingle CTE as text_jaccard_dup, cross-split join predicate
+        "fuzzy_join": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(ts) >= 3 THEN
+                  list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
+                ELSE [array_to_string(ts, chr(30))] END AS sg
+              FROM tok
+            )
+            SELECT x.doc_id AS left_id, y.doc_id AS right_id,
+                   CAST(len(list_intersect(x.sg, y.sg)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sg, y.sg))) AS jaccard
+            FROM sh x JOIN sh y
+              ON x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
             WHERE len(list_intersect(x.sg, y.sg))
                   >= 0.7 * len(list_distinct(list_concat(x.sg, y.sg)))
         """,

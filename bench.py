@@ -203,6 +203,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "clips_exact_clusters",
         "dataset_split",
         "embedding_kmeans",
+        "fuzzy_join",
     ]:
         timed(name, entry.queries()[name])
 

@@ -305,6 +305,7 @@ def text_ngram_jaccard_pairs(
     threshold: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pair_filter=None,
 ) -> ray.data.Dataset:
     """n-gram-Jaccard near-dup pairs with EXACT set Jaccard (a, b, jaccard).
 
@@ -351,6 +352,12 @@ def text_ngram_jaccard_pairs(
         pk["a"], pk["b"] = aa, bb
         _, first = np.unique(pk.view("V16"), return_index=True)
         cand_tbl = cand_tbl.take(pa.array(np.sort(first)))
+    if pair_filter is not None and len(cand_tbl):
+        # drop ineligible candidates BEFORE the exact pass (e.g. same-side
+        # pairs of a fuzzy join) — exact verification cost tracks only the
+        # eligible pair stream
+        keep = pair_filter(cand_tbl["a"].to_numpy(), cand_tbl["b"].to_numpy())
+        cand_tbl = cand_tbl.filter(pa.array(keep))
     # chunk the (small) pair stream across verify tasks
     chunk = 1 << 14
     futs = [
@@ -364,6 +371,89 @@ def text_ngram_jaccard_pairs(
                        ("jaccard", pa.float64())]).empty_table()
         )
     return ray.data.from_arrow(pa.concat_tables(outs))
+
+
+def fuzzy_join_text(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cfg: SignatureConfig | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    right_text_col: str | None = None,
+    right_id_col: str | None = None,
+) -> ray.data.Dataset:
+    """Similarity join between two tables: (left_id, right_id, jaccard)
+    for every cross-table pair whose EXACT token-shingle Jaccard ≥
+    threshold.
+
+    The classic LSH-join: both sides are tagged and unioned, candidate
+    pairs come from the shared MinHash-LSH band exchange (one shuffle for
+    both tables — not \\|L\\|×\\|R\\| anything), same-side candidates are
+    dropped before the exact-Jaccard verify, and survivors are verified
+    against true shingle sets via the once-broadcast CSR store. Side is
+    encoded in the id's low bit (uid = id << 1 | side), so every dedup
+    kernel is reused unchanged; ids up to 2^62 are representable.
+
+    ≙ the reference's work-dir-vs-original-dir matching (deduplidog.py's
+    two-tree compare) generalized from exact-stem equality to fuzzy text
+    equality. SQL-exact: the driver oracle computes the same join with
+    DuckDB list_intersect over identical shingle semantics.
+
+    Band geometry: when the caller doesn't pin a config, the join uses
+    b=32, r=4 (not the dedup default b=16, r=8). A join's contract is the
+    exact threshold, so candidate recall must be ~1 AT the threshold:
+    at J=0.7, P(candidate) = 1-(1-0.7^4)^32 ≈ 0.9998 vs ≈ 0.61 for
+    b=16/r=8 (which is tuned for the ≥0.8-J near-dup regime). Extra
+    candidates cost only exact-verify work — precision is decided by the
+    true Jaccard, not the signature.
+    """
+    if cfg is None:
+        from dataclasses import replace
+
+        cfg = replace(SignatureConfig(), lsh_bands=32, lsh_rows=4)
+    thr = cfg.jaccard_threshold if threshold is None else threshold
+    rtc = right_text_col or text_col
+    ric = right_id_col or id_col
+
+    def _tag(side: int, idc: str, txc: str):
+        s = np.int64(side)
+
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t[idc].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"uid": pa.array((ids << 1) | s),
+                 "text": t[txc].cast(pa.large_string())}
+            )
+
+        return _f
+
+    u = left.map_batches(
+        _tag(0, id_col, text_col), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            _tag(1, ric, rtc), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    pairs = text_ngram_jaccard_pairs(
+        u, cfg, thr, "text", "uid",
+        pair_filter=lambda a, b: (a & 1) != (b & 1),
+    )
+
+    def _orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        a_is_left = (a & 1) == 0
+        return pa.table(
+            {
+                "left_id": pa.array(np.where(a_is_left, a, b) >> 1),
+                "right_id": pa.array(np.where(a_is_left, b, a) >> 1),
+                "jaccard": t["jaccard"],
+            }
+        )
+
+    return pairs.map_batches(_orient, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def text_near_dedup(

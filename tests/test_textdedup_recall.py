@@ -245,3 +245,59 @@ def test_text_near_dup_recall_and_precision(ray_session, doc_corpus):
     assert got <= truth
     recall = len(got & truth) / len(truth)
     assert recall >= 0.99, f"recall {recall:.4f} ({len(got & truth)}/{len(truth)})"
+
+
+def test_fuzzy_join_matches_bruteforce_with_overlapping_ids(ray_session):
+    """Cross-table similarity join: exact parity vs brute-force cross
+    Jaccard, with the two tables sharing an id space (uid side-bit must
+    disambiguate) and containing planted cross matches."""
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.textdedup import fuzzy_join_text
+    from deduplidog_ray.stages.signatures import shingle_hashes
+
+    rng = np.random.default_rng(11)
+    cfg = SignatureConfig()
+
+    def _doc(r):
+        return " ".join(f"w{r.integers(0, 1 << 20)}" for _ in range(30))
+
+    left_texts = [_doc(rng) for _ in range(40)]
+    right_texts = [_doc(rng) for _ in range(40)]
+    # plant near-matches: right docs 0..9 are single-token edits of left
+    for i in range(10):
+        toks = left_texts[i].split()
+        toks[5] = "EDITED"
+        right_texts[i] = " ".join(toks)
+    # ids overlap across tables on purpose
+    left = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                     "text": pa.array(left_texts)})
+    right = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                      "text": pa.array(right_texts)})
+
+    got_df = fuzzy_join_text(
+        rd.from_arrow(left), rd.from_arrow(right), threshold=0.7
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(got_df["left_id"], got_df["right_id"])}
+
+    # brute force: exact shingle Jaccard over every cross pair
+    fl, ol = shingle_hashes(left_texts, cfg.shingle_k, cfg.seed)
+    fr, orr = shingle_hashes(right_texts, cfg.shingle_k, cfg.seed)
+    lsets = [np.unique(fl[ol[i]: ol[i + 1]]) for i in range(40)]
+    rsets = [np.unique(fr[orr[i]: orr[i + 1]]) for i in range(40)]
+    want = set()
+    for i in range(40):
+        for j in range(40):
+            inter = len(np.intersect1d(lsets[i], rsets[j],
+                                       assume_unique=True))
+            union = len(lsets[i]) + len(rsets[j]) - inter
+            if union and inter / union >= 0.7:
+                want.add((i, j))
+    assert {(i, i) for i in range(10)} <= want   # plants are in truth
+    assert got == want
+    # jaccard column carries the true value
+    for _, row in got_df.iterrows():
+        i, j = int(row["left_id"]), int(row["right_id"])
+        inter = len(np.intersect1d(lsets[i], rsets[j], assume_unique=True))
+        union = len(lsets[i]) + len(rsets[j]) - inter
+        assert abs(row["jaccard"] - inter / union) < 1e-12
