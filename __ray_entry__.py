@@ -763,6 +763,29 @@ def q_clips_audio_stats(sf_dir: str):
     return audio_stats(ds)
 
 
+def q_clips_transform(sf_dir: str):
+    """Payload-rewrite chain: resample every clip to 16 kHz (ideal FFT
+    resampler) then peak-normalize to 0.9 FS — two composing actor-pool
+    stages that decode → transform → re-encode in the clip's own codec.
+    Rows-only (DuckDB cannot decode RIFF/µ-law); SNR/energy parity gates
+    in tests/test_audiotransform.py. Output is the metadata slice (the
+    rewritten payload stays on the workers)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.audiotransform import (
+        normalize_clips,
+        resample_clips,
+    )
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    clips_path = clips_from_documents(sf_dir)
+    ds = ray.data.read_parquet(
+        clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    )
+    out = normalize_clips(resample_clips(ds, target_sr=16000))
+    return out.select_columns(["clip_id", "sr_hz", "dur_ms"])
+
+
 def q_text_embed_near_dup(sf_dir: str):
     """Text → embeddings → cosine near-dup, end to end (VERDICT r2
     missing #4: the engine also PRODUCES embeddings, not just reads
@@ -999,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
         "clips_audio_stats": q_clips_audio_stats,
+        "clips_transform": q_clips_transform,
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,

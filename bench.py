@@ -194,6 +194,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "epoch_shuffle",
         "pii_scrub",
         "clips_audio_stats",
+        "clips_transform",
         "knn_cosine",
         "knn_cosine_lsh",
         "knn_cosine_ivf",

@@ -1,0 +1,210 @@
+"""Audio transform operators: resample, peak-normalize, silence-trim.
+
+The payload-side TRANSFORM family for a trillion-clip audio corpus —
+``audiostats`` reads the payload, these rewrite it. A training pipeline
+runs exactly these before featurization: unify sample rates, normalize
+levels, drop lead/tail silence. All three share one execution shape:
+
+- an actor-pool ``map_batches`` stage (codec dispatch table built once
+  per actor in ``__init__``), decode → transform (pure numpy, float64)
+  → re-encode **in the clip's own codec**, stream out the rewritten row
+  with recomputed ``sr_hz`` / ``dur_ms`` — schema identical to the input
+  clips table, so stages compose (resample → normalize → dedup) without
+  adapters;
+- decode errors never poison the batch: the row passes through unchanged
+  with a ``transform_error`` note (same quarantine philosophy as the
+  flagship's decode stage, stages/decode.py).
+
+Resampling is FFT-domain (rfft → spectrum truncate/zero-pad → irfft):
+for band-limited content this is the ideal-low-pass resampler — exact up
+to float rounding on upsample, ideal anti-alias on downsample — and it's
+a handful of vectorized numpy kernels per clip, no convolution loops.
+Amplitude is preserved by 1/n normalization symmetry (scale = new_n/n);
+the shared Nyquist bin on even-length downsamples is halved, the exact
+Hermitian-symmetry bookkeeping that keeps Parseval energy equality.
+
+≙ reference ST1's media preprocessing hook (helpers.py:43-53 preloads
+and normalizes images before hashing); the audio analog is
+rate-normalize + level-normalize before fingerprinting, which is exactly
+what ``DedupConfig``-driven pipelines do with these stages.
+
+No SQL oracle is possible (DuckDB cannot decode RIFF/µ-law payloads);
+the parity gates are pytest SNR/energy invariants
+(tests/test_audiotransform.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from deduplidog_ray.audio.codecs import CodecError, decode, encode
+from deduplidog_ray.stages.decode import _buffer_views
+
+#: rows whose decoded PCM coexists during one transform pass (heap bound)
+_CHUNK = 32
+
+
+def fft_resample(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Ideal band-limited resample of a 1-D float signal (float64 math)."""
+    n = len(pcm)
+    if sr_from == sr_to or n == 0:
+        return pcm.astype(np.float64)
+    m = max(1, int(round(n * sr_to / sr_from)))
+    spec = np.fft.rfft(pcm.astype(np.float64))
+    k_out = m // 2 + 1
+    out = np.zeros(k_out, dtype=np.complex128)
+    k = min(len(spec), k_out)
+    out[:k] = spec[:k]
+    if m < n and m % 2 == 0 and k_out <= len(spec):
+        # downsample landing on an even length: the new Nyquist bin folds
+        # two conjugate bins of the source — halve it to keep the inverse
+        # transform real-consistent and energy exact
+        out[-1] = spec[k_out - 1].real
+    x = np.fft.irfft(out, n=m) * (m / n)
+    return x
+
+
+class _Transform:
+    """Shared skeleton: decode in the row's codec, call ``_apply`` on
+    float64 PCM, re-encode in the same codec, recompute sr/dur."""
+
+    def __init__(self) -> None:
+        pass
+
+    def _apply(self, pcm: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        raise NotImplementedError
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        byts = batch["bytes"]
+        buf = byts.combine_chunks() if isinstance(byts, pa.ChunkedArray) else byts
+        bufs = _buffer_views(buf)
+        codecs = batch["codec"].to_pylist()
+        out_bytes: list[bytes | None] = [None] * n
+        out_sr = np.zeros(n, dtype=np.int32)
+        out_dur = np.zeros(n, dtype=np.int32)
+        errors: list[str | None] = [None] * n
+        for c0 in range(0, n, _CHUNK):
+            for i in range(c0, min(n, c0 + _CHUNK)):
+                v = bufs[i]
+                try:
+                    if v is None or len(v) == 0:
+                        raise CodecError("empty bytes")
+                    pcm, sr = decode(v, codecs[i])
+                    y, sr2 = self._apply(np.asarray(pcm, dtype=np.float64), sr)
+                    y = np.clip(y, -1.0, 1.0).astype(np.float32)
+                    out_bytes[i] = encode(y, sr2, codecs[i])
+                    out_sr[i] = sr2
+                    out_dur[i] = int(round(1000 * len(y) / max(sr2, 1)))
+                except CodecError as e:
+                    # pass the original row through, annotated — never
+                    # poison the batch
+                    out_bytes[i] = bytes(v) if v is not None else b""
+                    errors[i] = str(e)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["bytes"] = pa.array(out_bytes, type=pa.binary())
+        # error rows keep their original sr/dur
+        if "sr_hz" in cols:
+            old_sr = batch["sr_hz"].to_numpy(zero_copy_only=False)
+            keep = np.array([e is not None for e in errors])
+            out_sr = np.where(keep, old_sr, out_sr)
+        if "dur_ms" in cols:
+            old_dur = batch["dur_ms"].to_numpy(zero_copy_only=False)
+            keep = np.array([e is not None for e in errors])
+            out_dur = np.where(keep, old_dur, out_dur)
+        cols["sr_hz"] = pa.array(out_sr.astype(np.int32))
+        cols["dur_ms"] = pa.array(out_dur.astype(np.int32))
+        cols["transform_error"] = pa.array(errors, type=pa.string())
+        return pa.table(cols)
+
+
+class Resample(_Transform):
+    def __init__(self, target_sr: int = 16000) -> None:
+        super().__init__()
+        self.target_sr = int(target_sr)
+
+    def _apply(self, pcm: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        return fft_resample(pcm, sr, self.target_sr), self.target_sr
+
+
+class PeakNormalize(_Transform):
+    def __init__(self, target_peak: float = 0.9) -> None:
+        super().__init__()
+        self.target_peak = float(target_peak)
+
+    def _apply(self, pcm: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        peak = float(np.max(np.abs(pcm))) if len(pcm) else 0.0
+        if peak > 0:
+            pcm = pcm * (self.target_peak / peak)
+        return pcm, sr
+
+
+class TrimSilence(_Transform):
+    """Drop leading/trailing frames whose RMS is below ``threshold``
+    (frame = ``frame_ms`` of samples); interior silence is kept."""
+
+    def __init__(self, threshold: float = 0.01, frame_ms: int = 20) -> None:
+        super().__init__()
+        self.threshold = float(threshold)
+        self.frame_ms = int(frame_ms)
+
+    def _apply(self, pcm: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        f = max(1, sr * self.frame_ms // 1000)
+        nfr = len(pcm) // f
+        if nfr == 0:
+            return pcm, sr
+        frames = pcm[: nfr * f].reshape(nfr, f)
+        rms = np.sqrt((frames * frames).mean(axis=1))
+        act = np.nonzero(rms >= self.threshold)[0]
+        if len(act) == 0:
+            return pcm[:0], sr            # all-silent clip → empty
+        lo = act[0] * f
+        hi = min(len(pcm), (act[-1] + 1) * f)
+        # a loud tail shorter than one frame survives via the remainder
+        if (act[-1] + 1) == nfr and len(pcm) % f:
+            tail = pcm[nfr * f:]
+            if np.sqrt((tail * tail).mean()) >= self.threshold:
+                hi = len(pcm)
+        return pcm[lo:hi], sr
+
+
+def _stage(cls_args, ds: ray.data.Dataset, concurrency: int,
+           batch_size: int) -> ray.data.Dataset:
+    cls, kwargs = cls_args
+    return ds.map_batches(
+        cls,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=(1, concurrency),
+    )
+
+
+def resample_clips(ds: ray.data.Dataset, target_sr: int = 16000,
+                   concurrency: int = 8,
+                   batch_size: int = 256) -> ray.data.Dataset:
+    """Rewrite every clip at ``target_sr`` (ideal FFT resampler)."""
+    return _stage((Resample, {"target_sr": target_sr}), ds,
+                  concurrency, batch_size)
+
+
+def normalize_clips(ds: ray.data.Dataset, target_peak: float = 0.9,
+                    concurrency: int = 8,
+                    batch_size: int = 256) -> ray.data.Dataset:
+    """Peak-normalize every clip to ``target_peak`` full scale."""
+    return _stage((PeakNormalize, {"target_peak": target_peak}), ds,
+                  concurrency, batch_size)
+
+
+def trim_silence_clips(ds: ray.data.Dataset, threshold: float = 0.01,
+                       frame_ms: int = 20, concurrency: int = 8,
+                       batch_size: int = 256) -> ray.data.Dataset:
+    """Strip leading/trailing sub-threshold frames from every clip."""
+    return _stage(
+        (TrimSilence, {"threshold": threshold, "frame_ms": frame_ms}),
+        ds, concurrency, batch_size,
+    )
