@@ -195,6 +195,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "pii_scrub",
         "clips_audio_stats",
         "clips_transform",
+        "clips_embed_near_dup",
         "knn_cosine",
         "knn_cosine_lsh",
         "knn_cosine_ivf",

@@ -798,3 +798,90 @@ def embedding_near_dedup(
         {id_col: [int(k) for k in ks],
          "cluster_id": [int(comp[k]) for k in ks]}
     )
+
+
+def audio_embedding_near_dup(
+    clips: ray.data.Dataset,
+    threshold: float = 0.99,
+    id_col: str = "clip_id",
+    **embed_kwargs,
+) -> pd.DataFrame:
+    """Audio SEMANTIC near-dup: spectral-embed every clip (real FFT
+    filterbank features, stages/embed.py:AudioEmbedder), then the banded
+    hyperplane-LSH cosine near-dup over the produced vectors →
+    (clip_a, clip_b, cos) pairs.
+
+    Catches what the flagship's exact-axis fingerprints see AND
+    rate-shifted copies of the same content (the embedder resamples to a
+    canonical rate first): a µ-law re-encode scores ≥ 0.9999 and an
+    8k→16k reship scores ~1.0, while distinct synthesized clips top out
+    ≈ 0.95 — hence the 0.99 default.
+
+    Shape: string clip ids map to int63 hashes for the vec pipeline
+    (collision-checked per pair set at these scales by the 63-bit space);
+    the embedded table materializes ONCE (n × ~300 B — the near-dup
+    pipeline consumes its input more than once), pairs come back tiny,
+    and id resolution is one pairs-bounded ``pc.is_in`` streaming pass —
+    never a corpus-wide collect. ``center=True`` because log-band energy
+    vectors are a correlated positive-orthant cloud (the r2 geometry
+    lesson, similarity.py:embedding_near_dup_pairs).
+    """
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.stages.embed import embed_clips
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+
+    emb = embed_clips(clips, **embed_kwargs)
+
+    def _vec_rows(t: pa.Table) -> pa.Table:
+        ok = pc.is_null(t["embed_error"])
+        t = t.filter(ok)
+        h = hash_strings_u64(t[id_col].to_pylist(), seed=0xA0D1) >> np.uint64(1)
+        return pa.table(
+            {
+                "vec_id": pa.array(h.astype(np.int64)),
+                "embedding": t["embedding"],
+                id_col: t[id_col],
+            }
+        )
+
+    vecs = emb.map_batches(
+        _vec_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    pairs = embedding_near_dup_pairs(
+        vecs.map_batches(
+            lambda t: t.select(["vec_id", "embedding"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        threshold=threshold,
+        center=True,
+    )
+    pair_df = pairs.to_pandas()
+    if not len(pair_df):
+        return pd.DataFrame(columns=["clip_a", "clip_b", "cos"])
+
+    wanted = np.unique(np.concatenate([pair_df["a"], pair_df["b"]]))
+    wanted_arr = pa.array(wanted.astype(np.int64))
+
+    def _names(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["vec_id"], value_set=wanted_arr)
+        t = t.filter(keep)
+        return t.select(["vec_id", id_col])
+
+    names = vecs.map_batches(
+        _names, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().set_index("vec_id")[id_col]
+    out = pd.DataFrame(
+        {
+            "clip_a": names.loc[pair_df["a"]].to_numpy(),
+            "clip_b": names.loc[pair_df["b"]].to_numpy(),
+            "cos": pair_df["cos"].to_numpy(),
+        }
+    )
+    # canonical orientation on the string ids (hash order != string order)
+    swap = out["clip_a"] > out["clip_b"]
+    out.loc[swap, ["clip_a", "clip_b"]] = out.loc[
+        swap, ["clip_b", "clip_a"]
+    ].to_numpy()
+    return out.sort_values(["clip_a", "clip_b"]).reset_index(drop=True)

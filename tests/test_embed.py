@@ -102,3 +102,82 @@ def test_text_to_neardup_end_to_end(ray_session):
     # the 10 identical-copy pairs are all present
     assert {(k, 1000 + k) for k in range(10)} <= want
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# AudioEmbedder: real spectral features
+# ---------------------------------------------------------------------------
+
+def _clip_rows():
+    from deduplidog_ray.audio.codecs import encode
+    from deduplidog_ray.audio.synth import make_pcm
+    from deduplidog_ray.pipelines.audiotransform import fft_resample
+
+    rows = []
+    for i in range(12):
+        pcm = make_pcm(seed=i, dur_ms=800, sr_hz=8000)
+        rows.append({"clip_id": f"c{i}", "bytes": encode(pcm, 8000, "pcm_s16le"),
+                     "sr_hz": 8000, "codec": "pcm_s16le"})
+    # planted semantic dups: ulaw re-encode of c0, 16 kHz reship of c1
+    pcm0 = make_pcm(seed=0, dur_ms=800, sr_hz=8000)
+    rows.append({"clip_id": "c0_ulaw", "bytes": encode(pcm0, 8000, "ulaw"),
+                 "sr_hz": 8000, "codec": "ulaw"})
+    pcm1 = make_pcm(seed=1, dur_ms=800, sr_hz=8000)
+    up = fft_resample(np.asarray(pcm1, np.float64), 8000, 16000)
+    rows.append({"clip_id": "c1_16k",
+                 "bytes": encode(np.clip(up, -1, 1).astype(np.float32),
+                                 16000, "pcm_s16le"),
+                 "sr_hz": 16000, "codec": "pcm_s16le"})
+    rows.append({"clip_id": "poison", "bytes": b"", "sr_hz": 8000,
+                 "codec": "pcm_s16le"})
+    return rows
+
+
+def test_audio_embedder_invariances(ray_session):
+    import ray.data as rd
+
+    from deduplidog_ray.stages.embed import embed_clips
+
+    t = pa.Table.from_pylist(_clip_rows())
+    out = embed_clips(rd.from_arrow(t), batch_size=4).to_pandas()
+    out = out.set_index("clip_id")
+    V = {k: np.asarray(v, np.float64) for k, v in out["embedding"].items()}
+    # unit norm
+    for k, v in V.items():
+        if k != "poison":
+            assert abs(np.linalg.norm(v) - 1) < 1e-5
+    # codec invariance: ulaw re-encode lands on the same vector
+    assert V["c0"] @ V["c0_ulaw"] > 0.999
+    # sample-rate invariance: 16 kHz reship of the same content
+    assert V["c1"] @ V["c1_16k"] > 0.999
+    # distinct clips stay separated
+    ids = [f"c{i}" for i in range(12)]
+    M = np.stack([V[i] for i in ids])
+    off = (M @ M.T)[np.triu_indices(12, 1)]
+    assert off.max() < 0.99
+    # poison row: error annotated, zero vector
+    assert out.loc["poison", "embed_error"]
+    assert np.allclose(V["poison"], 0)
+    # batch-layout invariance
+    out2 = embed_clips(
+        rd.from_arrow(t).repartition(7), batch_size=2
+    ).to_pandas().set_index("clip_id")
+    for k in V:
+        assert np.allclose(
+            np.asarray(out2.loc[k, "embedding"], np.float64), V[k]
+        )
+
+
+def test_audio_embedding_near_dup_finds_planted_pairs(ray_session):
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.similarity import audio_embedding_near_dup
+
+    t = pa.Table.from_pylist(_clip_rows())
+    got = audio_embedding_near_dup(rd.from_arrow(t), threshold=0.99)
+    pairs = set(zip(got["clip_a"], got["clip_b"]))
+    assert ("c0", "c0_ulaw") in pairs
+    assert ("c1", "c1_16k") in pairs
+    # nothing else crosses 0.99 in this corpus
+    assert pairs == {("c0", "c0_ulaw"), ("c1", "c1_16k")}
+    assert (got["cos"] >= 0.99).all()
