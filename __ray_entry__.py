@@ -483,6 +483,28 @@ def q_dataset_split(sf_dir: str):
     return split_by_hash(_docs(sf_dir, columns=["doc_id", "source"]))
 
 
+def q_doc_chunks(sf_dir: str):
+    """Context-window prep: overlapping 64-token chunks at stride 48 —
+    a pure flat_map-shaped expansion, no shuffle, layout-invariant."""
+    from deduplidog_ray.pipelines.chunking import chunk_docs
+
+    return chunk_docs(
+        _docs(sf_dir, columns=["doc_id", "text"]), chunk_tokens=64, stride=48
+    )
+
+
+def q_quantile_filter(sf_dir: str):
+    """Drop the bottom quartile by length: exact corpus-wide discrete
+    quantile from a histogram combiner (shuffle is |distinct values|-
+    bounded, never the corpus), threshold broadcast to a streaming
+    filter."""
+    from deduplidog_ray.pipelines.stats import quantile_threshold_filter
+
+    return quantile_threshold_filter(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]), "n_chars", q=0.25
+    )
+
+
 def q_source_quota(sf_dir: str):
     """Repetition control: at most 10 docs per source (first by doc_id) —
     per-key cap via hash-partitioned groupby + one lexsort per partition
@@ -1023,6 +1045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "sample_hash": q_sample_hash,
         "dataset_split": q_dataset_split,
+        "doc_chunks": q_doc_chunks,
+        "quantile_filter": q_quantile_filter,
         "source_quota": q_source_quota,
         "token_freq": q_token_freq,
         "corpus_prep": q_corpus_prep,
@@ -1291,6 +1315,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars
             FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) % 5 < 1
+        """,
+        # chunking: token windows of 64 at stride 48; same whitespace
+        # tokenization as top_tokens; (i-1)//48 = 0-based window ordinal
+        "doc_chunks": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), st AS (
+              SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts), 48)) AS i
+              FROM tok
+            )
+            SELECT doc_id,
+                   CAST((i - 1) // 48 AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(ts, i, least(i + 63, len(ts))))
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(
+                     list_slice(ts, i, least(i + 63, len(ts))), ' '
+                   ) AS chunk_text
+            FROM st
+        """,
+        # bottom-quartile length filter: threshold = exact quantile_disc
+        "quantile_filter": """
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE n_chars >= (
+              SELECT quantile_disc(n_chars, 0.25) FROM documents
+            )
         """,
         # 8/1/1 split on the same mix: bucket in [0,8) train, 8 val, 9 test
         "dataset_split": """

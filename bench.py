@@ -206,6 +206,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "dataset_split",
         "embedding_kmeans",
         "fuzzy_join",
+        "doc_chunks",
+        "quantile_filter",
     ]:
         timed(name, entry.queries()[name])
 

@@ -817,8 +817,9 @@ def audio_embedding_near_dup(
     8k→16k reship scores ~1.0, while distinct synthesized clips top out
     ≈ 0.95 — hence the 0.99 default.
 
-    Shape: string clip ids map to int63 hashes for the vec pipeline
-    (collision-checked per pair set at these scales by the 63-bit space);
+    Shape: string clip ids map to int63 hashes for the vec pipeline (the
+    resolution pass asserts the surviving-pair id mapping is 1:1, so a
+    63-bit collision is detected, not silently merged);
     the embedded table materializes ONCE (n × ~300 B — the near-dup
     pipeline consumes its input more than once), pairs come back tiny,
     and id resolution is one pairs-bounded ``pc.is_in`` streaming pass —
@@ -872,6 +873,11 @@ def audio_embedding_near_dup(
     names = vecs.map_batches(
         _names, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas().set_index("vec_id")[id_col]
+    if not names.index.is_unique:  # 63-bit collision among pair ids
+        raise ValueError(
+            "clip-id hash collision in the surviving pair set; "
+            "rerun with a different hash seed"
+        )
     out = pd.DataFrame(
         {
             "clip_a": names.loc[pair_df["a"]].to_numpy(),

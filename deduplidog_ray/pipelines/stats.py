@@ -67,6 +67,66 @@ def group_quantiles(
     return tagged.groupby("_part").map_groups(_quant, batch_format="pandas")
 
 
+def quantile_threshold_filter(
+    ds: ray.data.Dataset,
+    val_col: str,
+    q: float = 0.25,
+    keep: str = "ge",
+) -> ray.data.Dataset:
+    """Keep rows whose ``val_col`` clears the corpus-wide exact discrete
+    q-quantile (the "drop the bottom quartile by length/quality" filter).
+
+    Two streaming passes, zero shuffle:
+
+    1. **Histogram combiner** — each batch emits (value, count) partials
+       via one bincount-style value_counts; a single ``groupby(value)``
+       sum merges them. Shuffle volume is O(|distinct values|) — for
+       bounded-domain metrics (char counts, 0-100 scores) that's
+       constant in corpus size, the same |vocab|-bounded trick as
+       ``token_freq``. The exact quantile falls out of the histogram's
+       cumulative sum at 0-based index ``ceil(q*n) - 1`` (DuckDB
+       ``quantile_disc``, same rule as :func:`group_quantiles`).
+    2. **Broadcast filter** — the scalar threshold ships to a stateless
+       ``map_batches`` predicate.
+
+    Exact for any value type Arrow can group (int/float/string); never
+    sorts the corpus and never collects it.
+    """
+    if keep not in ("ge", "le"):
+        raise ValueError("keep must be 'ge' or 'le'")
+
+    def _hist(t: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            t[val_col].to_numpy(zero_copy_only=False)
+        ).value_counts()
+        return pa.table(
+            {"v": pa.array(vc.index.to_numpy()),
+             "c": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .sum("c")
+        .to_pandas()
+        .sort_values("v")
+    )
+    n = int(hist["sum(c)"].sum())
+    if n == 0:
+        return ds
+    idx = int(np.ceil(q * n)) - 1
+    cum = hist["sum(c)"].cumsum().to_numpy()
+    thr = hist["v"].to_numpy()[np.searchsorted(cum, idx + 1)]
+
+    def _filter(t: pa.Table) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        mask = v >= thr if keep == "ge" else v <= thr
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def top_tokens_per_key(
     ds: ray.data.Dataset,
     key_col: str = "source",

@@ -132,3 +132,55 @@ def test_group_quantiles_matches_duckdb_rule(ray_session):
            FROM t GROUP BY k ORDER BY k"""
     ).fetchdf()
     assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_chunk_docs_windows_and_edges(ray_session):
+    from deduplidog_ray.pipelines.chunking import chunk_docs
+
+    texts = [
+        " ".join(f"t{i}" for i in range(10)),   # starts 0,4,8 → 6,6,2
+        " ".join(f"u{i}" for i in range(5)),    # starts 0,4 → 5,1
+        "",                                      # empty → no chunks
+        None,                                    # null → no chunks
+        " ".join(f"w{i}" for i in range(12)),   # starts 0,4,8 → 6,6,4
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "text": pa.array(texts, type=pa.string())})
+    got = chunk_docs(
+        rd.from_arrow(t), chunk_tokens=6, stride=4
+    ).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    # doc 0: starts 0,4,8 → windows of 6,6,2
+    d0 = got[got.doc_id == 0]
+    assert list(d0.n_tokens) == [6, 6, 2]
+    assert d0.iloc[1].chunk_text == "t4 t5 t6 t7 t8 t9"
+    # doc 1: 5 tokens, starts 0,4 → windows of 5,1 (tail shorter)
+    d1 = got[got.doc_id == 1]
+    assert list(d1.n_tokens) == [5, 1]
+    assert d1.iloc[1].chunk_text == "u4"
+    # empty and null docs emit nothing
+    assert not len(got[got.doc_id.isin([2, 3])])
+    # layout invariance
+    re7 = chunk_docs(
+        rd.from_arrow(t).repartition(4), chunk_tokens=6, stride=4
+    ).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert re7.equals(got)
+
+
+def test_quantile_threshold_filter_matches_sorted_rule(ray_session):
+    from deduplidog_ray.pipelines.stats import quantile_threshold_filter
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 50, 997).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(np.arange(997, dtype=np.int64)),
+                  "n_chars": pa.array(vals)})
+    got = quantile_threshold_filter(
+        rd.from_arrow(t).repartition(9), "n_chars", q=0.25
+    ).to_pandas()
+    thr = np.sort(vals)[int(np.ceil(0.25 * len(vals))) - 1]  # quantile_disc
+    want = set(np.nonzero(vals >= thr)[0].tolist())
+    assert set(got["doc_id"]) == want
+    # 'le' keeps the complement-with-boundary
+    low = quantile_threshold_filter(
+        rd.from_arrow(t), "n_chars", q=0.25, keep="le"
+    ).to_pandas()
+    assert set(low["doc_id"]) == set(np.nonzero(vals <= thr)[0].tolist())
