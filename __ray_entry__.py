@@ -1255,6 +1255,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(x.sg, y.sg))
                   >= 0.7 * len(list_distinct(list_concat(x.sg, y.sg)))
         """,
+        # clips_transform: the synthesizer's clip list + metadata are pure
+        # integer arithmetic over documents (uid = doc_id at amplify=1;
+        # sr = [8000,16000,22050][uid%3]; dur = 600+(uid*37)%1800; '_d'
+        # variant for uid%10 in (0,1), and for 2 when the doc has > 8
+        # tokens). After the ideal resample to 16 kHz, dur_ms is provably
+        # preserved for every (sr, dur) the synthesizer emits (len_y is
+        # within 1 sample of 16*dur, so round(len_y/16) == dur — swept
+        # exhaustively over dur in [600, 2400) in the r3 commit).
+        "clips_transform": r"""
+            WITH d AS (
+              SELECT doc_id AS uid,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '')) AS nt,
+                     600 + (doc_id * 37) % 1800 AS dur
+              FROM documents
+            ), clips AS (
+              SELECT uid, dur, '_o' AS sfx FROM d
+              UNION ALL
+              SELECT uid, dur, '_d' FROM d
+              WHERE uid % 10 IN (0, 1) OR (uid % 10 = 2 AND nt > 8)
+            )
+            SELECT 'clip_' || lpad(CAST(uid AS VARCHAR), 9, '0') || sfx
+                     AS clip_id,
+                   CAST(16000 AS INTEGER) AS sr_hz,
+                   CAST(dur AS INTEGER) AS dur_ms
+            FROM clips
+        """,
         # fuzzy join: corpus third x rest, exact shingle Jaccard >= 0.7 —
         # same shingle CTE as text_jaccard_dup, cross-split join predicate
         "fuzzy_join": r"""
