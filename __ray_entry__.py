@@ -407,6 +407,19 @@ def q_embedding_kmeans(sf_dir: str):
     )
 
 
+def q_source_distinct_hll(sf_dir: str):
+    """Approximate distinct texts per source via mergeable HyperLogLog
+    registers (constant 4 KiB per (group, batch) partial regardless of
+    cardinality; register-max merge). Approximate ⇒ rows-only; the
+    pytest gate bounds every estimate within 5σ of exact and asserts
+    bit-identical results across block layouts."""
+    from deduplidog_ray.pipelines.sketches import hll_distinct_per_key
+
+    return hll_distinct_per_key(
+        _docs(sf_dir, columns=["source", "text"]), "source", "text"
+    )
+
+
 def q_text_near_dup(sf_dir: str):
     """MinHash-LSH + SimHash near-dup clusters over documents."""
     from deduplidog_ray.pipelines.textdedup import text_near_dedup
@@ -1066,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_audio_stats": q_clips_audio_stats,
         "clips_transform": q_clips_transform,
         "clips_embed_near_dup": q_clips_embed_near_dup,
+        "source_distinct_hll": q_source_distinct_hll,
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,

@@ -208,6 +208,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "fuzzy_join",
         "doc_chunks",
         "quantile_filter",
+        "source_distinct_hll",
     ]:
         timed(name, entry.queries()[name])
 

@@ -184,3 +184,36 @@ def test_quantile_threshold_filter_matches_sorted_rule(ray_session):
         rd.from_arrow(t), "n_chars", q=0.25, keep="le"
     ).to_pandas()
     assert set(low["doc_id"]) == set(np.nonzero(vals <= thr)[0].tolist())
+
+
+def test_hll_distinct_per_key_error_bound_and_layout_invariance(ray_session):
+    from deduplidog_ray.pipelines.sketches import hll_distinct_per_key
+
+    rng = np.random.default_rng(17)
+    # groups with very different cardinalities incl. a singleton
+    spec = {"s_small": 7, "s_mid": 800, "s_big": 20000, "s_one": 1}
+    keys, vals = [], []
+    for k, card in spec.items():
+        pool = rng.integers(0, 1 << 60, card)
+        draws = pool[rng.integers(0, card, card * 3)]  # repeats galore
+        keys += [k] * len(draws)
+        vals += draws.tolist()
+    t = pa.table({"source": pa.array(keys),
+                  "val": pa.array(np.asarray(vals, dtype=np.int64))})
+    got = hll_distinct_per_key(rd.from_arrow(t), "source", "val", p=12)
+    est = dict(zip(got["source"], got["approx_distinct"]))
+    for k, card in spec.items():
+        exact = len(set(np.asarray(vals)[np.asarray(keys) == k].tolist()))
+        sigma = 1.04 / np.sqrt(1 << 12)
+        assert abs(est[k] - exact) <= max(2, 5 * sigma * exact), (k, est[k], exact)
+    # register-max merge is associative/commutative: layout cannot change
+    # the estimate bit-for-bit
+    re9 = hll_distinct_per_key(
+        rd.from_arrow(t).repartition(9), "source", "val", p=12
+    )
+    assert re9.equals(got)
+    # string value column path
+    ts = pa.table({"source": pa.array(["a"] * 1000),
+                   "val": pa.array([f"v{i % 257}" for i in range(1000)])})
+    gs = hll_distinct_per_key(rd.from_arrow(ts), "source", "val", p=12)
+    assert abs(int(gs["approx_distinct"].iloc[0]) - 257) <= 20
