@@ -233,6 +233,35 @@ def q_events_nearest(sf_dir: str):
     )
 
 
+def q_events_range(sf_dir: str):
+    """Interval (range) join: every same-user event pair within ±300 s —
+    the all-matches member of the temporal-join family (as-of = latest
+    before, nearest = closest wins, range = all within window). Keyed
+    shuffle + one composite-searchsorted kernel per partition."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.joins import range_join_keyed
+
+    build = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    probes = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return range_join_keyed(
+        probes,
+        build,
+        key_col="user_id",
+        ts_col="ts",
+        probe_cols=["event_id"],
+        build_cols={"event_id": "match_id"},
+        range_seconds=300.0,
+        exclude_equal=("event_id", "match_id"),
+    ).select_columns(["event_id", "match_id", "match_ts"])
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (gap > 30 min ⇒ new session) over the events log —
     the stream-shaped workload pattern (ordered, keyed log + per-key
@@ -1045,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
         "events_nearest": q_events_nearest,
+        "events_range": q_events_range,
         "sessionize": q_sessionize,
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
@@ -1159,6 +1189,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN events e2
               ON e2.user_id = e1.user_id AND e2.ts < e1.ts
             GROUP BY e1.event_id
+        """,
+        "events_range": """
+            SELECT e1.event_id, e2.event_id AS match_id, e2.ts AS match_ts
+            FROM events e1
+            JOIN events e2
+              ON e2.user_id = e1.user_id
+             AND e2.event_id <> e1.event_id
+             AND abs(epoch_us(e2.ts) - epoch_us(e1.ts)) <= 300000000
         """,
         "events_nearest": """
             SELECT event_id, nearest_ts FROM (

@@ -167,6 +167,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "events_hourly",
         "events_asof",
         "events_nearest",
+        "events_range",
         "sessionize",
         "sliding_windows",
         "pricing_summary",

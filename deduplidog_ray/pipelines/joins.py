@@ -418,3 +418,159 @@ def broadcast_semi_join(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _range_partition(
+    g: pd.DataFrame,
+    key_col: str,
+    probe_cols: list[str],
+    build_out: list[str],
+    range_us: int,
+) -> pd.DataFrame:
+    """One hash partition of a range join, every key at once.
+
+    Vectorized interval probe: build rows sort by (key code, ts); probe
+    windows become TWO searchsorteds over a composite int64
+    ``code * SPAN + (ts - ts_min)`` where SPAN exceeds the partition's
+    time extent plus the window, so per-key segments occupy disjoint
+    composite ranges and one global binary search answers every key.
+    Match expansion is the counts/repeat/arange pattern — no Python
+    loops anywhere. Overflow guard: codes × SPAN must fit int64
+    (≈ 10^4 keys × decades of µs on one partition before it trips);
+    beyond that, raise rather than silently mis-join.
+    """
+    empty_cols = {c: pd.Series(dtype=g[c].dtype) for c in probe_cols}
+    empty_cols.update({c: pd.Series(dtype=g[c].dtype) for c in build_out})
+    empty_cols["match_ts"] = pd.Series(dtype="datetime64[us]")
+    if not len(g):
+        return pd.DataFrame(empty_cols)
+    codes, _ = pd.factorize(g[key_col], sort=False)
+    ts = g["_ts_us"].to_numpy()
+    rel = ts - ts.min()
+    span = int(rel.max()) + range_us + 2
+    if (int(codes.max()) + 1) * span >= (1 << 62):
+        raise OverflowError(
+            "range-join composite key overflow: re-partition finer or "
+            "bucket time coarser"
+        )
+    is_build = g["_side"].to_numpy() == 0
+    comp = codes.astype(np.int64) * span + rel
+    b_idx = np.flatnonzero(is_build)
+    p_idx = np.flatnonzero(~is_build)
+    if not len(b_idx) or not len(p_idx):
+        return pd.DataFrame(empty_cols)
+    b_sorted = b_idx[np.argsort(comp[b_idx], kind="stable")]
+    comp_b = comp[b_sorted]
+    lo = np.searchsorted(comp_b, comp[p_idx] - range_us, side="left")
+    hi = np.searchsorted(comp_b, comp[p_idx] + range_us, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return pd.DataFrame(empty_cols)
+    probe_rep = np.repeat(np.arange(len(p_idx)), counts)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    within = np.arange(total) - starts
+    build_rows = b_sorted[np.repeat(lo, counts) + within]
+    probe_rows = p_idx[probe_rep]
+    out = {c: g[c].to_numpy()[probe_rows] for c in probe_cols}
+    for c in build_out:
+        out[c] = g[c].to_numpy()[build_rows]
+    out["match_ts"] = (
+        ts[build_rows].astype("datetime64[us]")
+    )
+    return pd.DataFrame(out)
+
+
+def range_join_keyed(
+    probe_ds: ray.data.Dataset,
+    build_ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    probe_cols: list[str],
+    build_cols: dict[str, str],
+    range_seconds: float,
+    partitions: int = 64,
+    exclude_equal: tuple[str, str] | None = None,
+) -> ray.data.Dataset:
+    """Interval join: EVERY (probe, build) pair with equal key and
+    |Δts| ≤ range — the all-matches sibling of the as-of ("latest
+    before") and nearest ("closest wins") joins, completing the
+    temporal-join family the task sheet lists (as-of join, range join).
+
+    Same keyed-shuffle shape as :func:`asof_join_keyed` (both sides
+    hash-partition by key; every key's rows co-locate), one vectorized
+    interval kernel per partition (see :func:`_range_partition`).
+    ``build_cols`` renames build-side payloads into the output (so a
+    self-join can emit ``event_id`` vs ``match_id``); ``exclude_equal``
+    drops pairs where two output columns are equal (the ``e2.event_id
+    <> e1.event_id`` self-join guard). Output cardinality is the true
+    match count — callers bound it with the window, not the engine.
+
+    ≙ the reference's date-window predicate (deduplidog.py:744-756
+    accepts candidates within a timestamp tolerance) promoted from a
+    pair filter to a first-class join.
+    """
+    range_us = int(round(range_seconds * 1_000_000))
+    out_build = list(build_cols.values())
+
+    def _tag(side: int, rename: dict[str, str] | None):
+        def _f(t: pa.Table) -> pa.Table:
+            cols: dict = {}
+            src = {}
+            if rename:
+                for old, new in rename.items():
+                    src[new] = t[old]
+            for c in probe_cols + out_build:
+                if c in src:
+                    cols[c] = src[c]
+                elif c in t.column_names and rename is None:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.array(np.full(len(t), -1, dtype=np.int64))
+            cols[key_col] = t[key_col]
+            ts_arr = t[ts_col]
+            if pa.types.is_timestamp(ts_arr.type):
+                us = ts_arr.cast(pa.timestamp("us")).cast(pa.int64())
+            else:
+                us = ts_arr.cast(pa.int64())
+            cols["_ts_us"] = us
+            cols["_side"] = pa.array(np.full(len(t), side, dtype=np.int8))
+            key = t[key_col]
+            if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
+                from deduplidog_ray.stages.hashing import hash_strings_u64
+
+                h = hash_strings_u64(key.to_pylist(), seed=0x4A9E)
+            else:
+                from deduplidog_ray.stages.hashing import mix64
+
+                h = mix64(key.to_numpy().astype(np.uint64), seed=0x4A9E)
+            cols["_part"] = pa.array(
+                (h % np.uint64(partitions)).astype(np.int64)
+            )
+            return pa.table(cols)
+
+        return _f
+
+    tagged = build_ds.map_batches(
+        _tag(0, build_cols), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        probe_ds.map_batches(
+            _tag(1, None), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    joined = tagged.groupby("_part").map_groups(
+        lambda gg: _range_partition(gg, key_col, probe_cols, out_build,
+                                    range_us),
+        batch_format="pandas",
+    )
+    if exclude_equal is None:
+        return joined
+    ca, cb = exclude_equal
+
+    def _neq(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.equal(t[ca], t[cb])))
+
+    return joined.map_batches(_neq, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -96,3 +96,54 @@ def test_matches_quadratic_reference(ray_session):
         if best is not None:
             want[i] = best[1]
     assert got == want
+
+
+def test_range_join_matches_quadratic_reference(ray_session):
+    """range_join_keyed vs a brute-force all-pairs window scan, including
+    same-ts pairs, key isolation, and the exclude-self guard."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.joins import range_join_keyed
+
+    rng = np.random.default_rng(23)
+    n = 400
+    users = rng.integers(0, 9, n).astype(np.int64)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + rng.integers(0, 3_600_000_000, n).astype("timedelta64[us]")
+    ts[10] = ts[11]; users[10] = users[11]        # planted same-ts pair
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts),
+    })
+    w_us = 120_000_000                             # ±120 s
+    got = range_join_keyed(
+        rd.from_arrow(t), rd.from_arrow(t),
+        key_col="user_id", ts_col="ts",
+        probe_cols=["event_id"], build_cols={"event_id": "match_id"},
+        range_seconds=120.0, exclude_equal=("event_id", "match_id"),
+    ).to_pandas()
+    tsi = ts.astype(np.int64)
+    want = set()
+    for i in range(n):
+        for j in range(n):
+            if i != j and users[i] == users[j] and abs(tsi[i] - tsi[j]) <= w_us:
+                want.add((i, j))
+    got_pairs = set(zip(got["event_id"], got["match_id"]))
+    assert got_pairs == want
+    assert (10, 11) in want                        # planted pair is live
+    # match_ts carries the BUILD row's timestamp
+    m = got.set_index(["event_id", "match_id"])["match_ts"]
+    for (i, j) in list(want)[:50]:
+        assert np.datetime64(m.loc[(i, j)], "us") == ts[j]
+    # layout invariance
+    re6 = range_join_keyed(
+        rd.from_arrow(t).repartition(6), rd.from_arrow(t).repartition(5),
+        key_col="user_id", ts_col="ts",
+        probe_cols=["event_id"], build_cols={"event_id": "match_id"},
+        range_seconds=120.0, exclude_equal=("event_id", "match_id"),
+    ).to_pandas()
+    assert set(zip(re6["event_id"], re6["match_id"])) == want
