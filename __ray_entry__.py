@@ -829,16 +829,18 @@ def q_clips_audio_stats(sf_dir: str):
 
 def q_clips_transform(sf_dir: str):
     """Payload-rewrite chain: resample every clip to 16 kHz (ideal FFT
-    resampler) then peak-normalize to 0.9 FS — two composing actor-pool
-    stages that decode → transform → re-encode in the clip's own codec.
-    Rows-only (DuckDB cannot decode RIFF/µ-law); SNR/energy parity gates
-    in tests/test_audiotransform.py. Output is the metadata slice (the
-    rewritten payload stays on the workers)."""
+    resampler) then peak-normalize to 0.9 FS — a FUSED transform chain
+    (one decode + one re-encode per clip, not one per stage; the codec
+    work dominates at audio scale). Metadata output is SQL-checked (the
+    synthesizer's clip list + the provably-preserved dur_ms); SNR/energy
+    parity gates in tests/test_audiotransform.py. The rewritten payload
+    stays on the workers."""
     import ray.data
 
     from deduplidog_ray.pipelines.audiotransform import (
-        normalize_clips,
-        resample_clips,
+        PeakNormalize,
+        Resample,
+        transform_clips,
     )
     from deduplidog_ray.sources.from_documents import clips_from_documents
 
@@ -846,7 +848,10 @@ def q_clips_transform(sf_dir: str):
     ds = ray.data.read_parquet(
         clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
     )
-    out = normalize_clips(resample_clips(ds, target_sr=16000))
+    out = transform_clips(
+        ds, [(Resample, {"target_sr": 16000}), (PeakNormalize, {})],
+        concurrency=16,
+    )
     return out.select_columns(["clip_id", "sr_hz", "dur_ms"])
 
 

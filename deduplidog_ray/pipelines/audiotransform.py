@@ -171,6 +171,43 @@ class TrimSilence(_Transform):
         return pcm[lo:hi], sr
 
 
+class Chain(_Transform):
+    """Fused transform chain: decode ONCE, apply every step's ``_apply``
+    in order on the float PCM, re-encode ONCE. Composing stages as
+    separate ``map_batches`` calls costs a decode+encode per stage; at
+    audio-corpus scale the codec work dominates, so fusion is the
+    difference between N and 1 payload round-trips. ``steps`` is a list
+    of (TransformClass, kwargs) — same classes as the standalone stages.
+    """
+
+    def __init__(self, steps) -> None:
+        super().__init__()
+        self.steps = [cls(**kw) for cls, kw in steps]
+
+    def _apply(self, pcm: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        for step in self.steps:
+            pcm, sr = step._apply(pcm, sr)
+        return pcm, sr
+
+
+def transform_clips(ds: ray.data.Dataset, steps,
+                    concurrency: int = 8,
+                    batch_size: int = 256) -> ray.data.Dataset:
+    """Apply a fused transform chain (one decode / one encode per clip).
+
+    ``steps``: list of (TransformClass, kwargs), e.g.
+    ``[(Resample, {"target_sr": 16000}), (PeakNormalize, {})]``.
+    """
+    return ds.map_batches(
+        Chain,
+        fn_constructor_kwargs={"steps": steps},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=(1, concurrency),
+    )
+
+
 def _stage(cls_args, ds: ray.data.Dataset, concurrency: int,
            batch_size: int) -> ray.data.Dataset:
     cls, kwargs = cls_args

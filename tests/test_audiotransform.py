@@ -125,3 +125,44 @@ def test_trim_silence(ray_session):
     # the all-silent clip collapses to zero samples
     gs, _ = decode(out.loc["allsilent", "bytes"], "pcm_s16le")
     assert len(gs) == 0 and out.loc["allsilent", "dur_ms"] == 0
+
+
+def test_chain_equals_sequential_stages(ray_session):
+    """Fused Chain (decode once) must match the standalone stages run
+    back to back — up to the inter-stage codec re-quantization the
+    fusion deliberately skips, so decoded audio is compared at an
+    SNR gate far above codec loss."""
+    from deduplidog_ray.pipelines.audiotransform import (
+        Chain,
+        PeakNormalize,
+        Resample,
+        normalize_clips,
+        resample_clips,
+        transform_clips,
+    )
+
+    rows = []
+    for i, codec in enumerate(["pcm_s16le", "ulaw"]):
+        pcm = make_pcm(seed=40 + i, dur_ms=500, sr_hz=8000)
+        rows.append({"clip_id": f"c{i}", "bytes": encode(pcm, 8000, codec),
+                     "sr_hz": 8000, "dur_ms": 500, "codec": codec})
+    t = pa.Table.from_pylist(rows)
+    steps = [(Resample, {"target_sr": 16000}), (PeakNormalize, {})]
+    fused = transform_clips(rd.from_arrow(t), steps).to_pandas()
+    seq = normalize_clips(
+        resample_clips(rd.from_arrow(t), target_sr=16000)
+    ).to_pandas()
+    fused = fused.set_index("clip_id").sort_index()
+    seq = seq.set_index("clip_id").sort_index()
+    for cid in fused.index:
+        # sequential path re-quantizes to the codec between stages; fused
+        # skips that round-trip, so compare DECODED audio, gated well
+        # above codec loss
+        codec = fused.loc[cid, "codec"]
+        a, sra = decode(fused.loc[cid, "bytes"], codec)
+        b, srb = decode(seq.loc[cid, "bytes"], codec)
+        assert sra == srb == 16000
+        gate = 30 if codec == "ulaw" else 50
+        assert snr_db(np.asarray(b, np.float64), np.asarray(a, np.float64)) > gate
+    assert (fused["sr_hz"] == seq["sr_hz"]).all()
+    assert (fused["dur_ms"] == seq["dur_ms"]).all()
