@@ -191,8 +191,8 @@ class Chain(_Transform):
 
 
 def transform_clips(ds: ray.data.Dataset, steps,
-                    concurrency: int = 8,
-                    batch_size: int = 256) -> ray.data.Dataset:
+                    concurrency: int = 32,
+                    batch_size: int = 128) -> ray.data.Dataset:
     """Apply a fused transform chain (one decode / one encode per clip).
 
     ``steps``: list of (TransformClass, kwargs), e.g.
