@@ -535,6 +535,18 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_longest_docs(sf_dir: str):
+    """Global top-100 docs by length — ORDER BY n_chars DESC, doc_id
+    LIMIT 100 as per-batch partial top-k + a blocks×100 driver merge
+    (shuffle volume independent of corpus size; no full sort)."""
+    from deduplidog_ray.pipelines.stats import global_top_n
+
+    return global_top_n(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]),
+        by="n_chars", n=100, tie_col="doc_id",
+    )
+
+
 def q_quantile_filter(sf_dir: str):
     """Drop the bottom quartile by length: exact corpus-wide discrete
     quantile from a histogram combiner (shuffle is |distinct values|-
@@ -1095,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": q_dataset_split,
         "doc_chunks": q_doc_chunks,
         "quantile_filter": q_quantile_filter,
+        "longest_docs": q_longest_docs,
         "source_quota": q_source_quota,
         "token_freq": q_token_freq,
         "corpus_prep": q_corpus_prep,
@@ -1421,6 +1434,12 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(ts, i, least(i + 63, len(ts))), ' '
                    ) AS chunk_text
             FROM st
+        """,
+        "longest_docs": """
+            SELECT doc_id, n_chars
+            FROM documents
+            ORDER BY n_chars DESC, doc_id
+            LIMIT 100
         """,
         # bottom-quartile length filter: threshold = exact quantile_disc
         "quantile_filter": """

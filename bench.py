@@ -210,6 +210,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "doc_chunks",
         "quantile_filter",
         "source_distinct_hll",
+        "longest_docs",
     ]:
         timed(name, entry.queries()[name])
 

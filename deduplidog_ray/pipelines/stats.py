@@ -67,6 +67,48 @@ def group_quantiles(
     return tagged.groupby("_part").map_groups(_quant, batch_format="pandas")
 
 
+def global_top_n(
+    ds: ray.data.Dataset,
+    by: str,
+    n: int = 100,
+    ascending: bool = False,
+    tie_col: str | None = None,
+) -> pd.DataFrame:
+    """Global ORDER BY ``by`` LIMIT ``n`` without sorting the corpus.
+
+    The scale-right top-N shape: every batch emits only its local top-n
+    rows (one ``argpartition`` + small argsort per batch — O(B + n log n),
+    not O(B log B)), and the driver merges blocks × n candidate rows.
+    A ``ds.sort().limit()`` plan would shuffle and sort EVERY row to
+    discard all but n; here shuffle volume is O(blocks × n), independent
+    of corpus size. ``tie_col`` breaks equal ``by`` values
+    deterministically (ascending), making the result total-order stable
+    and SQL-exact (ORDER BY by [DESC], tie_col LIMIT n).
+    """
+    sign = 1 if ascending else -1
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        v = t[by].to_numpy(zero_copy_only=False)
+        k = min(n, len(v))
+        if tie_col is not None:
+            tie = t[tie_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie, sign * v))
+            take = order[:k]
+        else:
+            part = np.argpartition(sign * v, k - 1)[:k]
+            take = part[np.argsort(sign * v[part], kind="stable")]
+        return t.take(pa.array(take))
+
+    cand = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    keys = [by] if tie_col is None else [by, tie_col]
+    asc = [ascending] if tie_col is None else [ascending, True]
+    return cand.sort_values(keys, ascending=asc).head(n).reset_index(drop=True)
+
+
 def quantile_threshold_filter(
     ds: ray.data.Dataset,
     val_col: str,

@@ -217,3 +217,34 @@ def test_hll_distinct_per_key_error_bound_and_layout_invariance(ray_session):
                    "val": pa.array([f"v{i % 257}" for i in range(1000)])})
     gs = hll_distinct_per_key(rd.from_arrow(ts), "source", "val", p=12)
     assert abs(int(gs["approx_distinct"].iloc[0]) - 257) <= 20
+
+
+def test_global_top_n_matches_sorted_rule(ray_session):
+    from deduplidog_ray.pipelines.stats import global_top_n
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 40, 1000).astype(np.int64)   # heavy ties
+    t = pa.table({"doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+                  "n_chars": pa.array(vals)})
+    got = global_top_n(
+        rd.from_arrow(t).repartition(11), by="n_chars", n=50,
+        tie_col="doc_id",
+    )
+    want = (
+        t.to_pandas()
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(50).reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns.tolist()])
+    # ascending variant
+    lo = global_top_n(rd.from_arrow(t), by="n_chars", n=7,
+                      ascending=True, tie_col="doc_id")
+    want_lo = (
+        t.to_pandas().sort_values(["n_chars", "doc_id"]).head(7)
+        .reset_index(drop=True)
+    )
+    assert lo.equals(want_lo[lo.columns.tolist()])
+    # n larger than the corpus degrades to a full sorted table
+    allr = global_top_n(rd.from_arrow(t), by="n_chars", n=5000,
+                        tie_col="doc_id")
+    assert len(allr) == 1000
