@@ -436,6 +436,53 @@ def q_embedding_kmeans(sf_dir: str):
     )
 
 
+def q_images_near_dup(sf_dir: str):
+    """Image near-dup with REAL pixels end to end (no PIL needed):
+    deterministic PPM images synthesized per document (noisy / brightness
+    variants planted at a fixed rate), pure-numpy NETPBM decode →
+    average hash → Manku block-key Hamming-ball pairs. Rows-only (SQL
+    cannot decode pixels); brute-force pair parity in
+    tests/test_imagededup.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.imagededup import image_near_dup_pairs
+
+    def _synth(t: pa.Table) -> pa.Table:
+        from deduplidog_ray.images.codecs import encode_ppm
+        from deduplidog_ray.images.synth import make_image
+
+        ids_out, bufs = [], []
+        for did in t["doc_id"].to_pylist():
+            img = make_image(seed=did, h=32, w=40)
+            ids_out.append(f"im_{did:09d}")
+            bufs.append(encode_ppm(img))
+            m = did % 10
+            if m == 0:
+                rng = np.random.default_rng(did)
+                noisy = np.clip(
+                    img.astype(np.float32) + rng.normal(0, 4, img.shape),
+                    0, 255,
+                ).astype(np.uint8)
+                ids_out.append(f"im_{did:09d}_n")
+                bufs.append(encode_ppm(noisy))
+            elif m == 1:
+                bright = np.clip(
+                    img.astype(np.int16) + 25, 0, 255
+                ).astype(np.uint8)
+                ids_out.append(f"im_{did:09d}_b")
+                bufs.append(encode_ppm(bright))
+        return pa.table(
+            {"image_id": pa.array(ids_out, type=pa.string()),
+             "bytes": pa.array(bufs, type=pa.binary())}
+        )
+
+    images = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return image_near_dup_pairs(images, max_hamming=4)
+
+
 def q_source_distinct_hll(sf_dir: str):
     """Approximate distinct texts per source via mergeable HyperLogLog
     registers (constant 4 KiB per (group, batch) partial regardless of
@@ -1128,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_transform": q_clips_transform,
         "clips_embed_near_dup": q_clips_embed_near_dup,
         "source_distinct_hll": q_source_distinct_hll,
+        "images_near_dup": q_images_near_dup,
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,

@@ -211,6 +211,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "quantile_filter",
         "source_distinct_hll",
         "longest_docs",
+        "images_near_dup",
     ]:
         timed(name, entry.queries()[name])
 

@@ -1,13 +1,15 @@
-"""Multimodal (image / video) actor-pool stages — plumbing real, decode stubbed.
+"""Multimodal (image / video) actor-pool stages.
 
 The task sheet requires image/audio/video treated as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches``
-stages. Audio is fully real in this engine (stages/decode.py). The
-image/video libraries (PIL, cv2, ffmpeg) are NOT in this container, so per
-instructions the decode kernels here are STUBS gated behind import-try —
-a clearly-marked deterministic fake stands in so the Ray-side plumbing
-(schema, batch sizing, actor signature, quarantine, output layout) is real
-and tested.
+stages. Audio is fully real in this engine (stages/decode.py). Images
+are REAL for uncompressed NETPBM payloads (P5/P6) via the pure-numpy
+decoder in ``deduplidog_ray/images/codecs.py`` — pixels actually flow
+through the average hash. Only COMPRESSED image formats (JPEG/PNG) and
+video remain gated behind import-try (PIL/cv2 are not in this
+container); for those a clearly-marked deterministic fake stands in so
+the Ray-side plumbing (schema, batch sizing, actor signature,
+quarantine, output layout) is real and tested.
 
 ≙ reference ST1 image-hash preloader (deduplidog/deduplidog.py:327-346,
 helpers.py:43-53) and ST2 cv2 frame-count probe (utils.py:96-102).
@@ -60,6 +62,15 @@ class ImageHashStage:
         self.have_pil = HAVE_PIL
 
     def _decode_8x8(self, buf: bytes) -> np.ndarray:
+        if buf[:2] in (b"P5", b"P6"):
+            # REAL pixel path — pure-numpy NETPBM decode + area-mean 8x8
+            from deduplidog_ray.images.codecs import (
+                block_mean_resize,
+                decode_image,
+                to_gray,
+            )
+
+            return block_mean_resize(to_gray(decode_image(buf)), 8, 8)
         if self.have_pil:  # pragma: no cover
             import io
 

@@ -1,0 +1,109 @@
+"""Real-pixel image near-dup: NETPBM decode, average hash, Hamming LSH —
+exact pair parity vs a brute-force scan over planted variants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from deduplidog_ray.images.codecs import (
+    average_hash_u64,
+    decode_image,
+    encode_pgm,
+    encode_ppm,
+)
+from deduplidog_ray.images.synth import make_image
+from deduplidog_ray.pipelines.imagededup import (
+    image_hashes,
+    image_near_dup_pairs,
+)
+
+_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _ham(a: np.uint64, b: np.uint64) -> int:
+    x = np.uint64(a) ^ np.uint64(b)
+    return int(_POP[np.array([x], dtype=np.uint64).view(np.uint8)].sum())
+
+
+def _corpus():
+    rng = np.random.default_rng(3)
+    rows = []
+    imgs = {}
+    for i in range(40):
+        img = make_image(seed=i)
+        imgs[f"img{i:03d}"] = img
+        rows.append({"image_id": f"img{i:03d}", "bytes": encode_ppm(img)})
+    # planted variants of img000..img009
+    for i in range(10):
+        base = imgs[f"img{i:03d}"].astype(np.float32)
+        noisy = np.clip(base + rng.normal(0, 4, base.shape), 0, 255)
+        rows.append({"image_id": f"img{i:03d}_noise",
+                     "bytes": encode_ppm(noisy.astype(np.uint8))})
+        imgs[f"img{i:03d}_noise"] = noisy.astype(np.uint8)
+        bright = np.clip(base + 25, 0, 255).astype(np.uint8)
+        rows.append({"image_id": f"img{i:03d}_bright",
+                     "bytes": encode_ppm(bright)})
+        imgs[f"img{i:03d}_bright"] = bright
+    # truncated NETPBM payload → exercises the REAL decoder's error path
+    # (non-NETPBM bytes intentionally fall through to the compressed-format
+    # stand-in, see stages/multimodal.py)
+    rows.append({"image_id": "poison", "bytes": b"P6\n999 999\n255\nxx"})
+    return rows, imgs
+
+
+def test_image_hash_real_pixels(ray_session):
+    rows, imgs = _corpus()
+    t = pa.Table.from_pylist(rows)
+    out = image_hashes(rd.from_arrow(t)).to_pandas().set_index("image_id")
+    # stage hash == direct pixel hash (real decode, not a bytes-hash fake)
+    for iid in ["img000", "img007", "img003_noise"]:
+        want = int(average_hash_u64(imgs[iid]))
+        got = int(np.array([out.loc[iid, "img_hash"]],
+                           dtype=np.int64).view(np.uint64)[0])
+        assert got == want, iid
+    # a brightness shift barely moves the mean-thresholded hash
+    h0 = np.array([out.loc["img000", "img_hash"]], np.int64).view(np.uint64)[0]
+    hb = np.array([out.loc["img000_bright", "img_hash"]],
+                  np.int64).view(np.uint64)[0]
+    assert _ham(h0, hb) <= 2
+    # gray PGM path decodes too
+    g = make_image(seed=99)[:, :, 1]
+    tg = pa.Table.from_pylist(
+        [{"image_id": "gray", "bytes": encode_pgm(g)}]
+    )
+    og = image_hashes(rd.from_arrow(tg)).to_pandas()
+    assert og["img_error"].isna().all()
+    rgb = decode_image(encode_pgm(g))
+    assert int(np.array(og["img_hash"], np.int64).view(np.uint64)[0]) == int(
+        average_hash_u64(rgb)
+    )
+    # poison row quarantined
+    assert out.loc["poison", "img_error"]
+
+
+def test_image_near_dup_pairs_exact_vs_bruteforce(ray_session):
+    rows, imgs = _corpus()
+    t = pa.Table.from_pylist(rows)
+    k = 4
+    got = image_near_dup_pairs(rd.from_arrow(t), max_hamming=k)
+    pairs = set(zip(got["a"], got["b"]))
+    hs = {iid: average_hash_u64(img) for iid, img in imgs.items()}
+    ids = sorted(hs)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if _ham(hs[ids[i]], hs[ids[j]]) <= k:
+                want.add((ids[i], ids[j]))
+    assert pairs == want
+    # the planted families are actually found (non-vacuous)
+    found_noise = sum(1 for i in range(10)
+                      if (f"img{i:03d}", f"img{i:03d}_noise") in pairs)
+    found_bright = sum(1 for i in range(10)
+                       if (f"img{i:03d}", f"img{i:03d}_bright") in pairs)
+    assert found_noise >= 8 and found_bright >= 8
+    # hamming column carries the true distance
+    for _, r in got.iterrows():
+        assert r["hamming"] == _ham(hs[r["a"]], hs[r["b"]])
