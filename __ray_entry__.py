@@ -483,6 +483,53 @@ def q_images_near_dup(sf_dir: str):
     return image_near_dup_pairs(images, max_hamming=4)
 
 
+def q_videos_frame_stats(sf_dir: str):
+    """Video frame probe with REAL pixels: deterministic y4m clips
+    synthesized per document (frame count = pure doc_id arithmetic),
+    then the actor stage walks the actual container structure and
+    hashes sampled luma frames. The SQL oracle recomputes the counts
+    from doc_id — parity proves the real walk, not the synthesizer."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplidog_ray.stages.multimodal import VideoFrameSampleStage
+
+    def _synth(t: pa.Table) -> pa.Table:
+        from deduplidog_ray.images.video import encode_y4m
+
+        ids_out, bufs = [], []
+        for did in t["doc_id"].to_pylist():
+            n = 12 + (did * 7) % 24
+            rng = np.random.default_rng(np.uint64(did) ^ np.uint64(0x51DE0))
+            frames = np.clip(
+                128
+                + 40 * np.sin(np.arange(n)[:, None, None] / 3)
+                + rng.normal(0, 6, (n, 16, 24)),
+                0, 255,
+            ).astype(np.uint8)
+            ids_out.append(f"vid_{did:09d}")
+            bufs.append(encode_y4m(frames, fps=24))
+        return pa.table(
+            {"video_id": pa.array(ids_out, type=pa.string()),
+             "bytes": pa.array(bufs, type=pa.binary())}
+        )
+
+    videos = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = videos.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"sample_every_n": 8},
+        batch_format="pyarrow",
+        batch_size=64,
+        zero_copy_batch=True,
+        concurrency=(1, 16),
+    )
+    return out.select_columns(
+        ["video_id", "n_frames_video", "n_sampled_frames"]
+    )
+
+
 def q_source_distinct_hll(sf_dir: str):
     """Approximate distinct texts per source via mergeable HyperLogLog
     registers (constant 4 KiB per (group, batch) partial regardless of
@@ -1176,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_embed_near_dup": q_clips_embed_near_dup,
         "source_distinct_hll": q_source_distinct_hll,
         "images_near_dup": q_images_near_dup,
+        "videos_frame_stats": q_videos_frame_stats,
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,
@@ -1482,6 +1530,17 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(ts, i, least(i + 63, len(ts))), ' '
                    ) AS chunk_text
             FROM st
+        """,
+        # real y4m container walk vs the synthesizer's arithmetic:
+        # n_frames = 12 + (doc_id*7) % 24, sampled every 8 → ceil(n/8)
+        "videos_frame_stats": """
+            SELECT 'vid_' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                     AS video_id,
+                   CAST(12 + (doc_id * 7) % 24 AS INTEGER)
+                     AS n_frames_video,
+                   CAST((12 + (doc_id * 7) % 24 + 7) // 8 AS INTEGER)
+                     AS n_sampled_frames
+            FROM documents
         """,
         "longest_docs": """
             SELECT doc_id, n_chars

@@ -212,6 +212,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "source_distinct_hll",
         "longest_docs",
         "images_near_dup",
+        "videos_frame_stats",
     ]:
         timed(name, entry.queries()[name])
 

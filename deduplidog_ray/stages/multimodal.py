@@ -103,13 +103,15 @@ class ImageHashStage:
 
 
 class VideoFrameSampleStage:
-    """Actor-pool stage: video ``bytes`` → sampled-frame count + stride plan.
+    """Actor-pool stage: video ``bytes`` → frame count + sampled-frame
+    perceptual hashes.
 
-    ≙ the cv2 frame-count probe (reference utils.py:96-102). Without cv2
-    this STUB derives a deterministic fake frame count from the payload
-    size + a declared fps column, and raises ``NotImplementedError`` for
-    the actual pixel sampling — the schema/actor plumbing is the tested
-    surface.
+    ≙ the cv2 frame-count probe (reference utils.py:96-102). For
+    uncompressed YUV4MPEG2 payloads the probe and the pixel sampling are
+    REAL (pure-numpy container walk + per-frame average hash,
+    ``images/video.py``). Compressed containers (mp4/webm) would need
+    cv2/ffmpeg — absent here, a clearly-marked deterministic fake stands
+    in for the count and the hash list stays empty.
     """
 
     def __init__(self, sample_every_n: int = 30) -> None:
@@ -117,13 +119,22 @@ class VideoFrameSampleStage:
         self.have_cv2 = HAVE_CV2
 
     def frame_count(self, buf: bytes, fps: float, bitrate_bps: int) -> int:
+        if buf[:9] == b"YUV4MPEG2":
+            from deduplidog_ray.images.video import frame_count
+
+            return frame_count(buf)                    # REAL: exact walk
         if self.have_cv2:  # pragma: no cover
             raise NotImplementedError("real cv2 probe wiring pending")
         # deterministic fake: duration ≈ bytes / (bitrate/8) seconds
         dur_s = len(buf) / max(1.0, bitrate_bps / 8)
         return int(dur_s * fps)
 
-    def sample_frames(self, buf: bytes):  # pragma: no cover - stub
+    def sample_frames(self, buf: bytes) -> np.ndarray:
+        """Sampled-frame 64-bit average hashes (real for y4m)."""
+        if buf[:9] == b"YUV4MPEG2":
+            from deduplidog_ray.images.video import frame_hashes_u64
+
+            return frame_hashes_u64(buf, self.sample_every_n)
         raise NotImplementedError(
             "pixel decode requires cv2/ffmpeg (not in this container)"
         )
@@ -139,9 +150,25 @@ class VideoFrameSampleStage:
         )
         counts = np.zeros(len(batch), dtype=np.int32)
         sampled = np.zeros(len(batch), dtype=np.int32)
+        hashes: list[list[int]] = [[] for _ in range(len(batch))]
+        errors: list[str | None] = [None] * len(batch)
         for i in range(len(batch)):
-            v = col[i].as_py() or b""
-            counts[i] = self.frame_count(bytes(v), float(fps[i]), 1_000_000)
-            sampled[i] = counts[i] // self.sample_every_n
+            v = bytes(col[i].as_py() or b"")
+            try:
+                counts[i] = self.frame_count(v, float(fps[i]), 1_000_000)
+                if v[:9] == b"YUV4MPEG2":
+                    fh = self.sample_frames(v)
+                    hashes[i] = fh.view(np.int64).tolist()
+                    sampled[i] = len(fh)
+                else:
+                    sampled[i] = counts[i] // self.sample_every_n
+            except Exception as e:  # quarantine, never fail the block
+                errors[i] = str(e)
         out = batch.append_column("n_frames_video", pa.array(counts))
-        return out.append_column("n_sampled_frames", pa.array(sampled))
+        out = out.append_column("n_sampled_frames", pa.array(sampled))
+        out = out.append_column(
+            "frame_hashes", pa.array(hashes, type=pa.list_(pa.int64()))
+        )
+        return out.append_column(
+            "video_error", pa.array(errors, type=pa.string())
+        )

@@ -107,3 +107,56 @@ def test_image_near_dup_pairs_exact_vs_bruteforce(ray_session):
     # hamming column carries the true distance
     for _, r in got.iterrows():
         assert r["hamming"] == _ham(hs[r["a"]], hs[r["b"]])
+
+
+def test_y4m_real_frame_probe_and_hashes(ray_session):
+    """Uncompressed video: exact frame count from the container walk and
+    real per-frame average hashes, through the actor stage."""
+    import ray.data as rd
+
+    from deduplidog_ray.images.codecs import block_mean_resize
+    from deduplidog_ray.images.video import (
+        encode_y4m,
+        frame_count,
+        frame_hashes_u64,
+        read_luma_frames,
+    )
+    from deduplidog_ray.stages.multimodal import VideoFrameSampleStage
+
+    rng = np.random.default_rng(7)
+    frames = np.stack([
+        np.clip(
+            128 + 50 * np.sin(i / 3) + rng.normal(0, 8, (32, 48)), 0, 255
+        ).astype(np.uint8)
+        for i in range(75)
+    ])
+    buf = encode_y4m(frames, fps=25)
+    assert frame_count(buf) == 75
+    back = read_luma_frames(buf)
+    assert (back == frames).all()                  # lossless luma round-trip
+    # direct hash parity for sampled frames
+    fh = frame_hashes_u64(buf, every_n=30)
+    assert len(fh) == 3                            # frames 0, 30, 60
+    for k, fi in enumerate([0, 30, 60]):
+        g = block_mean_resize(frames[fi].astype(np.float32), 8, 8)
+        bits = (g > g.mean()).astype(np.uint8).reshape(-1)
+        want = np.packbits(bits)[::-1].copy().view(np.uint64)[0]
+        assert fh[k] == want
+    # through the Ray stage: real path + quarantine for truncated payload
+    t = pa.Table.from_pylist([
+        {"video_id": "v0", "bytes": buf},
+        {"video_id": "trunc", "bytes": buf[: len(buf) // 2]},
+        {"video_id": "fake", "bytes": b"\x00mp4-ish" * 4000},
+    ])
+    out = (
+        rd.from_arrow(t)
+        .map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                     concurrency=(1, 2), batch_size=8)
+        .to_pandas().set_index("video_id")
+    )
+    assert out.loc["v0", "n_frames_video"] == 75
+    assert out.loc["v0", "n_sampled_frames"] == 3
+    assert list(out.loc["v0", "frame_hashes"]) == fh.view(np.int64).tolist()
+    assert out.loc["trunc", "video_error"]        # truncated → quarantined
+    assert out.loc["fake", "video_error"] is None  # stand-in path, no error
+    assert len(out.loc["fake", "frame_hashes"]) == 0
