@@ -221,7 +221,7 @@ def embed_clips(
     nfft: int = 256,
     n_bands: int = 32,
     out_col: str = "embedding",
-    concurrency=(1, 8),
+    concurrency=(1, 16),
     batch_size: int = 128,
 ):
     """clips → clips + spectral ``embedding`` column (actor pool)."""
