@@ -530,6 +530,56 @@ def q_videos_frame_stats(sf_dir: str):
     )
 
 
+def q_videos_near_dup(sf_dir: str):
+    """Video near-dup over REAL sampled-frame hashes: deterministic y4m
+    clips per document with planted noisy re-encodes (doc_id%10==0) and
+    trimmed prefix copies (%10==1); pairs at frame-hash-set overlap ≥
+    0.5 of the smaller video. Rows-only; brute-force overlap parity in
+    tests/test_imagededup.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.imagededup import video_near_dup_pairs
+
+    def _synth(t: pa.Table) -> pa.Table:
+        from deduplidog_ray.images.video import encode_y4m
+
+        ids_out, bufs = [], []
+        for did in t["doc_id"].to_pylist():
+            n = 16 + (did * 11) % 16
+            r = np.random.default_rng(np.uint64(did) ^ np.uint64(0x71DE0))
+            frames = np.stack([
+                np.repeat(np.repeat(
+                    r.choice(np.array([35, 220], dtype=np.uint8),
+                             size=(8, 8)), 2, axis=0), 3, axis=1)
+                for _ in range(n)
+            ])
+            ids_out.append(f"v_{did:09d}")
+            bufs.append(encode_y4m(frames, fps=24))
+            m = did % 10
+            if m == 0:
+                noisy = np.clip(
+                    frames.astype(np.float32)
+                    + np.random.default_rng(did).normal(0, 2, frames.shape),
+                    0, 255,
+                ).astype(np.uint8)
+                ids_out.append(f"v_{did:09d}_n")
+                bufs.append(encode_y4m(noisy, fps=24))
+            elif m == 1:
+                ids_out.append(f"v_{did:09d}_t")
+                bufs.append(encode_y4m(frames[: max(4, (2 * n) // 3)],
+                                       fps=24))
+        return pa.table(
+            {"video_id": pa.array(ids_out, type=pa.string()),
+             "bytes": pa.array(bufs, type=pa.binary())}
+        )
+
+    videos = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return video_near_dup_pairs(videos, sample_every_n=4, min_overlap=0.5)
+
+
 def q_source_distinct_hll(sf_dir: str):
     """Approximate distinct texts per source via mergeable HyperLogLog
     registers (constant 4 KiB per (group, batch) partial regardless of
@@ -1224,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinct_hll": q_source_distinct_hll,
         "images_near_dup": q_images_near_dup,
         "videos_frame_stats": q_videos_frame_stats,
+        "videos_near_dup": q_videos_near_dup,
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,

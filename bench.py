@@ -213,6 +213,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "longest_docs",
         "images_near_dup",
         "videos_frame_stats",
+        "videos_near_dup",
     ]:
         timed(name, entry.queries()[name])
 

@@ -160,3 +160,66 @@ def test_y4m_real_frame_probe_and_hashes(ray_session):
     assert out.loc["trunc", "video_error"]        # truncated → quarantined
     assert out.loc["fake", "video_error"] is None  # stand-in path, no error
     assert len(out.loc["fake", "frame_hashes"]) == 0
+
+
+def test_video_near_dup_pairs_vs_bruteforce(ray_session):
+    """Shared-frame-hash video dedup: noisy re-encode and trimmed-prefix
+    copies found; parity vs a brute-force set-overlap scan."""
+    import ray.data as rd
+
+    from deduplidog_ray.images.video import encode_y4m, frame_hashes_u64
+    from deduplidog_ray.pipelines.imagededup import video_near_dup_pairs
+
+    rng = np.random.default_rng(13)
+
+    def vid(seed, n):
+        # high-contrast 8x8 block structure per frame (like real imagery,
+        # hash bits sit far from the mean threshold → robust to noise)
+        r = np.random.default_rng(seed)
+        return np.stack([
+            np.repeat(np.repeat(
+                r.choice(np.array([35, 220], dtype=np.uint8), size=(8, 8)),
+                2, axis=0), 3, axis=1)
+            for _ in range(n)
+        ])
+
+    rows, raw = [], {}
+    for i in range(15):
+        f = vid(seed=i, n=40)
+        raw[f"v{i:02d}"] = f
+        rows.append({"video_id": f"v{i:02d}", "bytes": encode_y4m(f)})
+    # noisy re-encode of v00 (tiny noise: frame hashes mostly unchanged)
+    noisy = np.clip(
+        raw["v00"].astype(np.float32) + rng.normal(0, 1.5, raw["v00"].shape),
+        0, 255,
+    ).astype(np.uint8)
+    raw["v00_noise"] = noisy
+    rows.append({"video_id": "v00_noise", "bytes": encode_y4m(noisy)})
+    # trimmed copy of v01 (first 24 of 40 frames)
+    raw["v01_trim"] = raw["v01"][:24]
+    rows.append({"video_id": "v01_trim", "bytes": encode_y4m(raw["v01_trim"])})
+
+    got = video_near_dup_pairs(
+        rd.from_arrow(pa.Table.from_pylist(rows)),
+        sample_every_n=4, min_overlap=0.5,
+    )
+    pairs = set(zip(got["a"], got["b"]))
+
+    # brute force on the same sampled hashes
+    hs = {k: set(frame_hashes_u64(encode_y4m(v), every_n=4).tolist())
+          for k, v in raw.items()}
+    want = set()
+    ids = sorted(hs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(hs[ids[i]] & hs[ids[j]])
+            if inter / max(1, min(len(hs[ids[i]]), len(hs[ids[j]]))) >= 0.5:
+                want.add((ids[i], ids[j]))
+    assert pairs == want
+    assert ("v00", "v00_noise") in pairs        # noisy re-encode caught
+    assert ("v01", "v01_trim") in pairs         # prefix copy caught
+    # overlap column carries the true ratio
+    for _, r in got.iterrows():
+        inter = len(hs[r["a"]] & hs[r["b"]])
+        m = min(len(hs[r["a"]]), len(hs[r["b"]]))
+        assert abs(r["overlap"] - inter / m) < 1e-12
