@@ -703,6 +703,16 @@ def q_quantile_filter(sf_dir: str):
     )
 
 
+def q_balance_sources(sf_dir: str):
+    """Data-mixing downsample: every source kept at ≈ the smallest
+    source's row count via pure-integer hash thresholds
+    ((2^32·n_min)//n_key) — uniform within source, layout/run-stable,
+    bit-replicable in SQL."""
+    from deduplidog_ray.pipelines.sampling import balance_sources
+
+    return balance_sources(_docs(sf_dir, columns=["doc_id", "source"]))
+
+
 def q_source_quota(sf_dir: str):
     """Repetition control: at most 10 docs per source (first by doc_id) —
     per-key cap via hash-partitioned groupby + one lexsort per partition
@@ -1253,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": q_quantile_filter,
         "longest_docs": q_longest_docs,
         "source_quota": q_source_quota,
+        "balance_sources": q_balance_sources,
         "token_freq": q_token_freq,
         "corpus_prep": q_corpus_prep,
         "incremental_exact": q_incremental_exact,
@@ -1618,6 +1629,17 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'test'
                    END AS split
             FROM documents
+        """,
+        # mixing: keep each source at ~n_min rows; threshold is pure
+        # bigint arithmetic so membership replicates bit-for-bit
+        "balance_sources": """
+            WITH cnt AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), mn AS (SELECT min(n) AS n_min FROM cnt)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN cnt c ON c.source = d.source, mn
+            WHERE ((d.doc_id * 2654435761) % 4294967296)
+                  < (4294967296 * mn.n_min) // c.n
         """,
         "source_quota": """
             SELECT doc_id, source, n_chars

@@ -179,6 +179,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "decontaminate",
         "sample_hash",
         "source_quota",
+        "balance_sources",
         "token_freq",
         "corpus_prep",
         "incremental_exact",

@@ -97,6 +97,58 @@ def split_by_hash(
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def balance_sources(
+    ds: ray.data.Dataset,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Data-mixing downsample: keep each key's rows with probability
+    ``n_min / n_key`` (n_min = smallest key's row count), so every
+    source contributes ≈ n_min rows to the training mix.
+
+    Unlike :func:`quota_per_key` (which keeps each key's FIRST n rows —
+    a biased head), membership here is the Knuth hash predicate, so the
+    kept rows are a uniform slice of each source and remain stable
+    across runs/layouts. Two streaming passes, no data shuffle:
+
+    1. per-key counts via ``groupby().count()`` over a key column only
+       (shuffle is \\|keys\\|-bounded);
+    2. driver turns counts into PURE-INTEGER thresholds
+       ``(2^32 * n_min) // n_key`` — no float in the membership rule, so
+       the SQL oracle replicates selection bit-for-bit — broadcast as a
+       dict, applied as a stateless filter.
+
+    Generalize to arbitrary target mixes by swapping the threshold
+    formula; the two-pass shape (tiny aggregate → broadcast scalar map →
+    streaming filter) is the same as stats.quantile_threshold_filter.
+    """
+    counts = (
+        ds.map_batches(
+            lambda t: t.select([key_col]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby(key_col)
+        .count()
+        .to_pandas()
+    )
+    n_min = int(counts["count()"].min())
+    thresh = {
+        k: (np.uint64(1 << 32) * np.uint64(n_min)) // np.uint64(n)
+        for k, n in zip(counts[key_col], counts["count()"])
+    }
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        h = ((ids + np.uint64(salt)) * _KNUTH32) % _MOD32
+        th = np.array(
+            [thresh[k] for k in t[key_col].to_pylist()], dtype=np.uint64
+        )
+        return t.filter(pa.array(h < th))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quota_per_key(
     ds: ray.data.Dataset,
     key_col: str = "source",

@@ -248,3 +248,30 @@ def test_global_top_n_matches_sorted_rule(ray_session):
     allr = global_top_n(rd.from_arrow(t), by="n_chars", n=5000,
                         tie_col="doc_id")
     assert len(allr) == 1000
+
+
+def test_balance_sources_integer_thresholds(ray_session):
+    from deduplidog_ray.pipelines.sampling import balance_sources
+
+    rng = np.random.default_rng(41)
+    # skewed sources: 40 / 400 / 2000 rows
+    srcs = np.array(["tiny"] * 40 + ["mid"] * 400 + ["big"] * 2000)
+    ids = np.arange(len(srcs), dtype=np.int64)
+    perm = rng.permutation(len(srcs))
+    t = pa.table({"doc_id": pa.array(ids[perm]),
+                  "source": pa.array(srcs[perm])})
+    got = balance_sources(rd.from_arrow(t).repartition(7)).to_pandas()
+    # exact membership rule: ((id*K) mod 2^32) < (2^32 * n_min) // n_key
+    n = {"tiny": 40, "mid": 400, "big": 2000}
+    kept = set(got["doc_id"])
+    for did, s in zip(ids[perm], srcs[perm]):
+        h = (np.uint64(did) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        th = (np.uint64(1 << 32) * np.uint64(40)) // np.uint64(n[s])
+        assert (did in kept) == bool(h < th), (did, s)
+    # the smallest source keeps everything; big sources shrink toward n_min
+    by = got.groupby("source").size()
+    assert by["tiny"] == 40
+    assert 15 <= by["mid"] <= 70 and 15 <= by["big"] <= 70
+    # layout invariance
+    re3 = balance_sources(rd.from_arrow(t).repartition(3)).to_pandas()
+    assert set(re3["doc_id"]) == kept
