@@ -436,6 +436,18 @@ def q_embedding_kmeans(sf_dir: str):
     )
 
 
+def q_source_quantiles_sketch(sf_dir: str):
+    """Approximate per-source length quantiles via the mergeable ε-rank
+    summary (≤ k weighted points per (group, batch), any cardinality) —
+    the sketch path beside the exact source_quantiles. Approximate ⇒
+    rows-only; the ε-rank bound is pytest-gated across layouts."""
+    from deduplidog_ray.pipelines.sketches import quantile_sketch_per_key
+
+    return quantile_sketch_per_key(
+        _docs(sf_dir, columns=["source", "n_chars"]), "source", "n_chars"
+    )
+
+
 def q_images_near_dup(sf_dir: str):
     """Image near-dup with REAL pixels end to end (no PIL needed):
     deterministic PPM images synthesized per document (noisy / brightness
@@ -1283,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_transform": q_clips_transform,
         "clips_embed_near_dup": q_clips_embed_near_dup,
         "source_distinct_hll": q_source_distinct_hll,
+        "source_quantiles_sketch": q_source_quantiles_sketch,
         "images_near_dup": q_images_near_dup,
         "videos_frame_stats": q_videos_frame_stats,
         "videos_near_dup": q_videos_near_dup,

@@ -211,6 +211,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "doc_chunks",
         "quantile_filter",
         "source_distinct_hll",
+        "source_quantiles_sketch",
         "longest_docs",
         "images_near_dup",
         "videos_frame_stats",

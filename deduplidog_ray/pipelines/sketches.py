@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches: per-group HyperLogLog distinct counts.
+"""Mergeable sketches: per-group HyperLogLog distinct counts and an
+ε-rank quantile summary.
 
 Exact per-group COUNT DISTINCT (`pipelines/exact.py:dup_stats_by_group`)
 shuffles one row per distinct key — correct, but at 10^12-row scale a
@@ -127,3 +128,77 @@ def hll_distinct_per_key(
         out_est.append(int(round(est)))
     out = pd.DataFrame({key_col: out_keys, "approx_distinct": out_est})
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def quantile_sketch_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    k: int = 512,
+) -> pd.DataFrame:
+    """Approximate per-key quantiles via a mergeable rank summary —
+    the extreme-cardinality path promised by ``stats.group_quantiles``
+    (exact needs every group value co-located; the sketch ships ≤ k
+    (value, weight) rows per (group, batch) no matter the cardinality).
+
+    Summary rule (deterministic, RNG-free): each batch sorts its group's
+    values and keeps the elements at ranks ``floor((i+0.5)·m/k)`` with
+    weight ``m/k`` — a uniform rank thinning whose per-partial rank
+    error is ≤ m/(2k). Merging concatenates weighted points; errors add
+    across partials, so the TOTAL rank error is ≤ n/(2k) for any block
+    layout (ε = 1/(2k) relative). The estimate for quantile q is the
+    smallest value whose cumulative weight reaches q·n.
+
+    Unlike the HLL register-max, weighted-point merging is layout-
+    SENSITIVE in its exact output (different batch splits thin different
+    elements) — but the ε-rank guarantee holds for every layout, which
+    is what the pytest gate asserts (exact answers, when required, come
+    from ``group_quantiles``).
+    """
+    names = [f"p{int(round(q * 100))}" for q in qs]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keys, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, keys))
+        keys_s, vals_s = keys[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
+        lens = np.diff(np.r_[starts, len(keys_s)])
+        out_k, out_v, out_w = [], [], []
+        for st, m in zip(starts.tolist(), lens.tolist()):
+            kk = min(k, m)
+            ranks = np.floor((np.arange(kk) + 0.5) * m / kk).astype(np.int64)
+            out_k.extend([uniq[keys_s[st]]] * kk)
+            out_v.append(vals_s[st + ranks])
+            out_w.append(np.full(kk, m / kk))
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "v": pa.array(np.concatenate(out_v) if out_v
+                              else np.empty(0, np.float64)),
+                "w": pa.array(np.concatenate(out_w) if out_w
+                              else np.empty(0, np.float64)),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["v"].to_numpy(), kind="stable")
+        v = g["v"].to_numpy()[order]
+        w = g["w"].to_numpy()[order]
+        cum = np.cumsum(w)
+        n = cum[-1]
+        row = {key_col: [g[key_col].iloc[0]]}
+        for q, name in zip(qs, names):
+            idx = int(np.searchsorted(cum, q * n, side="left"))
+            row[name] = [v[min(idx, len(v) - 1)]]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(key_col)
+        .reset_index(drop=True)
+    )

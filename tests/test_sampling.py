@@ -275,3 +275,38 @@ def test_balance_sources_integer_thresholds(ray_session):
     # layout invariance
     re3 = balance_sources(rd.from_arrow(t).repartition(3)).to_pandas()
     assert set(re3["doc_id"]) == kept
+
+
+def test_quantile_sketch_rank_error_bound(ray_session):
+    """ε-rank guarantee (ε = 1/(2k) + merge slack) holds across layouts
+    and group shapes, including a group smaller than k (exact there)."""
+    from deduplidog_ray.pipelines.sketches import quantile_sketch_per_key
+
+    rng = np.random.default_rng(53)
+    keys, vals = [], []
+    spec = {"a": 20000, "b": 3000, "small": 40}
+    for s, m in spec.items():
+        keys += [s] * m
+        # lognormal-ish: quantiles far from the mean, ties rare
+        vals.append(np.exp(rng.normal(0, 1, m)) * 100)
+    vals = np.concatenate(vals)
+    t = pa.table({"source": pa.array(keys), "n_chars": pa.array(vals)})
+    k = 256
+    for parts in (1, 13):
+        ds = rd.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = quantile_sketch_per_key(
+            ds, "source", "n_chars", qs=(0.25, 0.5, 0.75), k=k
+        ).set_index("source")
+        for s, m in spec.items():
+            sv = np.sort(vals[np.asarray(keys) == s])
+            for q, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+                est = got.loc[s, name]
+                # translate value error into RANK error
+                rank = np.searchsorted(sv, est, side="left")
+                tol = max(2, 2 * m / k)   # ε·n with merge slack
+                assert abs(rank - q * m) <= tol, (s, name, rank, q * m)
+        # the tiny group is exact (fewer than k values → nothing thinned)
+        sv = np.sort(vals[np.asarray(keys) == "small"])
+        assert got.loc["small", "p50"] in sv
