@@ -134,6 +134,28 @@ def q_doc_stats_by_lang(sf_dir: str):
     )
 
 
+def q_jsonl_doc_stats(sf_dir: str):
+    """Same grouped counters as doc_stats_by_lang but ingested from a
+    JSONL mirror of the documents table (sources/text_io.py) — proves
+    the operator surface is storage-format-agnostic and the JSONL
+    reader round-trips values exactly (the oracle still reads the
+    parquet view)."""
+    import os as _os
+
+    from ray.data.aggregate import Count, Sum
+
+    from deduplidog_ray.sources.text_io import (
+        jsonl_cache_for,
+        read_documents_jsonl,
+    )
+
+    path = jsonl_cache_for(_os.path.join(sf_dir, "documents.parquet"))
+    ds = read_documents_jsonl(path, columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
 def q_lang_filter(sf_dir: str):
     """Suffix-whitelist filter ≙ F2/F5 media-type partition
     (deduplidog.py:27-29, :478-480) as a pushed-down predicate + count."""
@@ -1276,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_docs": q_longest_docs,
         "source_quota": q_source_quota,
         "balance_sources": q_balance_sources,
+        "jsonl_doc_stats": q_jsonl_doc_stats,
         "token_freq": q_token_freq,
         "corpus_prep": q_corpus_prep,
         "incremental_exact": q_incremental_exact,
@@ -1357,6 +1380,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        # identical answer expected from the JSONL ingestion path
+        "jsonl_doc_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang

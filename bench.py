@@ -180,6 +180,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "sample_hash",
         "source_quota",
         "balance_sources",
+        "jsonl_doc_stats",
         "token_freq",
         "corpus_prep",
         "incremental_exact",
