@@ -568,8 +568,17 @@ def q_videos_near_dup(sf_dir: str):
     """Video near-dup over REAL sampled-frame hashes: deterministic y4m
     clips per document with planted noisy re-encodes (doc_id%10==0) and
     trimmed prefix copies (%10==1); pairs at frame-hash-set overlap ≥
-    0.5 of the smaller video. Rows-only; brute-force overlap parity in
-    tests/test_imagededup.py."""
+    0.5 of the smaller video.
+
+    SQL-checked: the synthesizer's frames are high-contrast 2×3-pixel
+    blocks, so every 8×8 block mean is exactly 35 or 220 and the
+    average hash equals the binary pattern — σ=2 noise shifts a block
+    mean by <1 against a ≥45 margin (can never flip a bit) and a
+    trimmed prefix samples a subset of the original's frames. The pair
+    set is therefore exactly the planted pairs (a cross-video pair
+    would need a 64-bit frame-pattern collision, p ≈ (n·8)²/2⁶⁴ ≈
+    10⁻¹⁰), which the oracle derives from doc_id arithmetic — parity
+    proves the real decode→hash→set-overlap pipeline end to end."""
     import numpy as np
     import pyarrow as pa
 
@@ -611,7 +620,8 @@ def q_videos_near_dup(sf_dir: str):
     videos = _docs(sf_dir, columns=["doc_id"]).map_batches(
         _synth, batch_format="pyarrow", zero_copy_batch=True
     )
-    return video_near_dup_pairs(videos, sample_every_n=4, min_overlap=0.5)
+    out = video_near_dup_pairs(videos, sample_every_n=4, min_overlap=0.5)
+    return out[["a", "b"]]
 
 
 def q_source_distinct_hll(sf_dir: str):
@@ -1634,6 +1644,18 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(ts, i, least(i + 63, len(ts))), ' '
                    ) AS chunk_text
             FROM st
+        """,
+        # the planted pair set (see q_videos_near_dup: bit-flip-proof
+        # block frames make the perceptual pipeline deterministic)
+        "videos_near_dup": """
+            SELECT 'v_' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS a,
+                   'v_' || lpad(CAST(doc_id AS VARCHAR), 9, '0') || '_n'
+                     AS b
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT 'v_' || lpad(CAST(doc_id AS VARCHAR), 9, '0'),
+                   'v_' || lpad(CAST(doc_id AS VARCHAR), 9, '0') || '_t'
+            FROM documents WHERE doc_id % 10 = 1
         """,
         # real y4m container walk vs the synthesizer's arithmetic:
         # n_frames = 12 + (doc_id*7) % 24, sampled every 8 → ceil(n/8)
