@@ -1,5 +1,6 @@
 """Degenerate-input robustness: empty tables, single rows, all-poison."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -213,3 +214,57 @@ def test_boilerplate_masking_edges(ray_session):
         assert out.loc[i, "n_removed"] == 3
     assert out.loc[6, "clean_text"] == "x y" and out.loc[6, "n_removed"] == 0
     assert out.loc[7, "clean_text"] == "tail6" and out.loc[7, "n_removed"] == 3
+
+
+def test_fuzzy_join_empty_and_null_texts(ray_session):
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.textdedup import fuzzy_join_text
+
+    left = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", "", None]),
+    })
+    right = pa.table({
+        "doc_id": pa.array([10, 11], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", ""]),
+    })
+    got = fuzzy_join_text(
+        rd.from_arrow(left), rd.from_arrow(right), threshold=0.7
+    ).to_pandas()
+    # defined semantics (matches the text_jaccard_dup SQL oracle's
+    # whole-doc-gram rule for short docs): empty and null texts carry ONE
+    # empty gram, so empty==empty pairs at jaccard 1; the real-text
+    # duplicate pairs too
+    assert set(zip(got["left_id"], got["right_id"])) == {
+        (1, 10), (2, 11), (3, 11)
+    }
+    assert (got["jaccard"] == 1.0).all()
+
+
+def test_balance_sources_single_source_keeps_everything(ray_session):
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.sampling import balance_sources
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+        "source": pa.array(["only"] * 100),
+    })
+    got = balance_sources(rd.from_arrow(t)).to_pandas()
+    # n_min == n_key → threshold 2^32 → every hash qualifies
+    assert len(got) == 100
+
+
+def test_chunk_docs_rejects_bad_params(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.chunking import chunk_docs
+
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array(["a b c"])})
+    with _pytest.raises(ValueError):
+        chunk_docs(rd.from_arrow(t), chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_docs(rd.from_arrow(t), stride=-1)
