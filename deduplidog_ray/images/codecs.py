@@ -132,3 +132,142 @@ def average_hash_u64(rgb: np.ndarray) -> np.uint64:
     g = block_mean_resize(to_gray(rgb), 8, 8)
     bits = (g > g.mean()).astype(np.uint8).reshape(-1)
     return np.packbits(bits)[::-1].copy().view(np.uint64)[0]
+
+
+# ---------------------------------------------------------------------------
+# PNG (from scratch; stdlib zlib only) — 8-bit gray / gray+alpha / RGB /
+# RGBA, non-interlaced, all five scanline filters.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CT_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 → PNG (filter 0 rows, one IDAT)."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        ct, ch = 0, 1
+        data = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        ct, ch = 2, 3
+        data = a
+    else:
+        raise ImageCodecError(f"expected HxW or HxWx3, got {a.shape}")
+    h, w = a.shape[:2]
+    raw = b"".join(
+        b"\x00" + data[y].tobytes() for y in range(h)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_row(f: int, cur: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """One PNG scanline filter inverse (RFC 2083 §6). ``cur`` is the
+    filtered bytes; ``prev`` the reconstructed previous row (zeros for
+    the first). Sub is vectorized per byte-phase cumsum; Average and
+    Paeth carry a true left dependency and run as per-byte loops —
+    correctness over speed (decoders feed an 8×8 hash, not a display
+    path)."""
+    n = len(cur)
+    out = np.empty(n, dtype=np.uint8)
+    if f == 0:                                   # None
+        return cur.copy()
+    if f == 1:                                   # Sub
+        for phase in range(bpp):
+            seg = cur[phase::bpp].astype(np.uint64)
+            out[phase::bpp] = np.cumsum(seg).astype(np.uint8)
+        return out
+    if f == 2:                                   # Up
+        return (cur.astype(np.uint16) + prev).astype(np.uint8)
+    if f == 3:                                   # Average
+        for i in range(n):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        return out
+    if f == 4:                                   # Paeth
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+            out[i] = (int(cur[i]) + pred) & 0xFF
+        return out
+    raise ImageCodecError(f"unknown PNG filter {f}")
+
+
+def decode_png(buf) -> np.ndarray:
+    """PNG bytes → HxWx3 uint8 (alpha dropped, gray promoted). Supports
+    8-bit depth, color types 0/2/4/6, non-interlaced."""
+    import struct
+    import zlib
+
+    mv = memoryview(buf)
+    if bytes(mv[:8]) != _PNG_SIG:
+        raise ImageCodecError("not a PNG payload")
+    off = 8
+    w = h = ct = None
+    idat = []
+    total = len(mv)
+    while off + 8 <= total:
+        ln, tag = struct.unpack(">I4s", mv[off: off + 8])
+        body = bytes(mv[off + 8: off + 8 + ln])
+        if len(body) < ln:
+            raise ImageCodecError("truncated PNG chunk")
+        off += 12 + ln                            # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ct, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ImageCodecError(f"unsupported bit depth {depth}")
+            if ct not in _CT_CHANNELS:
+                raise ImageCodecError(f"unsupported color type {ct}")
+            if inter:
+                raise ImageCodecError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ImageCodecError("missing IHDR/IDAT")
+    ch = _CT_CHANNELS[ct]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ImageCodecError(f"bad IDAT stream: {e}") from None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ImageCodecError("PNG pixel payload size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _unfilter_row(int(rows[y, 0]), rows[y, 1:], prev, ch)
+        out[y] = prev
+    px = out.reshape(h, w, ch)
+    if ct == 0:
+        return np.repeat(px, 3, axis=2)
+    if ct == 2:
+        return px
+    if ct == 4:                                   # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]                           # RGBA → RGB

@@ -71,6 +71,15 @@ class ImageHashStage:
             )
 
             return block_mean_resize(to_gray(decode_image(buf)), 8, 8)
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            # REAL compressed path — from-scratch PNG (stdlib zlib only)
+            from deduplidog_ray.images.codecs import (
+                block_mean_resize,
+                decode_png,
+                to_gray,
+            )
+
+            return block_mean_resize(to_gray(decode_png(buf)), 8, 8)
         if self.have_pil:  # pragma: no cover
             import io
 

@@ -223,3 +223,81 @@ def test_video_near_dup_pairs_vs_bruteforce(ray_session):
         inter = len(hs[r["a"]] & hs[r["b"]])
         m = min(len(hs[r["a"]]), len(hs[r["b"]]))
         assert abs(r["overlap"] - inter / m) < 1e-12
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose scanline y uses filters[y % len] — a
+    reference FORWARD filter implementation, so the decoder's inverse
+    paths (Sub/Up/Average/Paeth) are all exercised against truth."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    assert ch == 3
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            left = np.r_[np.zeros(ch, np.int64), cur[:-ch]]
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            left = np.r_[np.zeros(ch, np.int64), cur[:-ch]]
+            enc = cur - (left + prev) // 2
+        elif f == 4:
+            enc = np.empty_like(cur)
+            for i in range(len(cur)):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else c)
+                enc[i] = cur[i] - pred
+        raw.append(f)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decoder_all_filters_and_stage(ray_session):
+    import ray.data as rd
+
+    from deduplidog_ray.images.codecs import decode_png, encode_png
+
+    img = make_image(seed=21, h=33, w=47)        # odd dims on purpose
+    # every filter type, mixed per scanline
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        buf = _png_with_filters(img, filters)
+        assert (decode_png(buf) == img).all(), filters
+    # gray and RGBA color types via the round trip + PIL-free truncation
+    assert (decode_png(encode_png(img)) == img).all()
+    # the hash stage dispatches PNG to the real decoder
+    from deduplidog_ray.pipelines.imagededup import image_hashes
+
+    t = pa.Table.from_pylist([
+        {"image_id": "png", "bytes": encode_png(img)},
+        {"image_id": "ppm", "bytes": encode_ppm(img)},
+        {"image_id": "bad", "bytes": b"\x89PNG\r\n\x1a\nnot-chunks"},
+    ])
+    out = image_hashes(rd.from_arrow(t)).to_pandas().set_index("image_id")
+    # identical pixels → identical hash regardless of container
+    assert out.loc["png", "img_hash"] == out.loc["ppm", "img_hash"]
+    assert int(np.array([out.loc["png", "img_hash"]],
+                        np.int64).view(np.uint64)[0]) == int(
+        average_hash_u64(img))
+    assert out.loc["bad", "img_error"]           # malformed → quarantined
