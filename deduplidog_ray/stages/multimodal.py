@@ -3,13 +3,15 @@
 The task sheet requires image/audio/video treated as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages. Audio is fully real in this engine (stages/decode.py). Images
-are REAL for uncompressed NETPBM payloads (P5/P6) via the pure-numpy
-decoder in ``deduplidog_ray/images/codecs.py`` — pixels actually flow
-through the average hash. Only COMPRESSED image formats (JPEG/PNG) and
-video remain gated behind import-try (PIL/cv2 are not in this
-container); for those a clearly-marked deterministic fake stands in so
-the Ray-side plumbing (schema, batch sizing, actor signature,
-quarantine, output layout) is real and tested.
+are REAL for NETPBM (P5/P6, pure numpy) AND for PNG (from-scratch
+decoder, stdlib zlib; all five scanline filters) via
+``deduplidog_ray/images/codecs.py`` — pixels actually flow through the
+average hash. Video is REAL for uncompressed YUV4MPEG2
+(``images/video.py``). Only JPEG/WebP images and compressed video
+containers (mp4/webm) remain gated behind import-try (PIL/cv2 are not
+in this container); for those a clearly-marked deterministic fake
+stands in so the Ray-side plumbing (schema, batch sizing, actor
+signature, quarantine, output layout) is real and tested.
 
 ≙ reference ST1 image-hash preloader (deduplidog/deduplidog.py:327-346,
 helpers.py:43-53) and ST2 cv2 frame-count probe (utils.py:96-102).
