@@ -472,18 +472,20 @@ def q_source_quantiles_sketch(sf_dir: str):
 
 def q_images_near_dup(sf_dir: str):
     """Image near-dup with REAL pixels end to end (no PIL needed):
-    deterministic PPM images synthesized per document (noisy / brightness
-    variants planted at a fixed rate), pure-numpy NETPBM decode →
-    average hash → Manku block-key Hamming-ball pairs. Rows-only (SQL
-    cannot decode pixels); brute-force pair parity in
-    tests/test_imagededup.py."""
+    deterministic images synthesized per document (noisy / brightness
+    variants planted at a fixed rate), decoded by the pure-numpy NETPBM
+    path AND the from-scratch PNG decoder (noisy variants ship as PNG,
+    everything else as PPM — cross-container pairs prove both decoders
+    land on identical pixels) → average hash → Manku block-key
+    Hamming-ball pairs. Rows-only (SQL cannot decode pixels);
+    brute-force pair parity in tests/test_imagededup.py."""
     import numpy as np
     import pyarrow as pa
 
     from deduplidog_ray.pipelines.imagededup import image_near_dup_pairs
 
     def _synth(t: pa.Table) -> pa.Table:
-        from deduplidog_ray.images.codecs import encode_ppm
+        from deduplidog_ray.images.codecs import encode_png, encode_ppm
         from deduplidog_ray.images.synth import make_image
 
         ids_out, bufs = [], []
@@ -499,7 +501,7 @@ def q_images_near_dup(sf_dir: str):
                     0, 255,
                 ).astype(np.uint8)
                 ids_out.append(f"im_{did:09d}_n")
-                bufs.append(encode_ppm(noisy))
+                bufs.append(encode_png(noisy))   # PNG container on purpose
             elif m == 1:
                 bright = np.clip(
                     img.astype(np.int16) + 25, 0, 255
