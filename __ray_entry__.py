@@ -706,6 +706,27 @@ def q_sample_hash(sf_dir: str):
     )
 
 
+def q_cluster_sizes(sf_dir: str):
+    """Duplicate-family size distribution — the nested aggregate
+    (GROUP BY size over GROUP BY key), both shuffles bounded (keys,
+    then distinct sizes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.exact import cluster_size_histogram
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _addk(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "k", pc.utf8_slice_codeunits(t["text"], 0, 50)
+        )
+
+    keyed = docs.map_batches(_addk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return cluster_size_histogram(keyed, key_cols=["k"])
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic 8/1/1 train/val/test assignment — a pure-key-function
     CASE over the same Knuth mix as sample_hash: streaming, no shuffle,
@@ -1305,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "sample_hash": q_sample_hash,
         "dataset_split": q_dataset_split,
+        "cluster_sizes": q_cluster_sizes,
         "doc_chunks": q_doc_chunks,
         "quantile_filter": q_quantile_filter,
         "longest_docs": q_longest_docs,
@@ -1624,6 +1646,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars
             FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) % 5 < 1
+        """,
+        # nested aggregate: histogram of duplicate-key family sizes
+        "cluster_sizes": """
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (
+              SELECT left(text, 50) AS k, CAST(count(*) AS BIGINT) AS size
+              FROM documents GROUP BY k
+            )
+            GROUP BY size
         """,
         # chunking: token windows of 64 at stride 48; same whitespace
         # tokenization as top_tokens; (i-1)//48 = 0-based window ordinal

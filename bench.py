@@ -181,6 +181,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "source_quota",
         "balance_sources",
         "jsonl_doc_stats",
+        "cluster_sizes",
         "token_freq",
         "corpus_prep",
         "incremental_exact",

@@ -184,3 +184,44 @@ def dup_stats_by_group(
         )
 
     return agg.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_size_histogram(
+    ds: ray.data.Dataset,
+    key_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Duplicate-cluster size distribution: (size, n_clusters) — the
+    corpus-QA question "how big are the duplicate families?" (the
+    reference's run summary counts only totals, deduplidog.py:317-325;
+    at corpus scale the SHAPE of the distribution drives dedup policy).
+
+    Two-level aggregation, both shuffles bounded: level 1 groups by the
+    duplicate key (same exchange as :func:`dedupe_exact` — \\|keys\\|
+    rows out), level 2 histograms the sizes via per-batch ``value_counts``
+    partials + one tiny grouped sum (\\|distinct sizes\\| rows — dozens).
+    Equals SQL's nested aggregate GROUP BY size over GROUP BY key.
+    """
+    key_cols = key_cols or ["key"]
+    sizes = ds.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).count()
+
+    def _hist(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["count()"].to_numpy(zero_copy_only=False)
+                       ).value_counts()
+        return pa.table(
+            {"size": pa.array(vc.index.to_numpy().astype(np.int64)),
+             "_n": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    out = (
+        sizes.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("size")
+        .sum("_n")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"size": t["size"],
+             "n_clusters": t["sum(_n)"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
