@@ -1186,6 +1186,31 @@ def q_embedding_clusters(sf_dir: str):
     return embedding_near_dedup(ds, threshold=0.35, bands=64, bits_per_band=4)
 
 
+def q_embedding_clusters_dist(sf_dir: str):
+    """Same component semantics as `embedding_clusters`, but the closure
+    itself runs DISTRIBUTED: alternating large-star/small-star rounds
+    (pipelines/components.py) instead of the driver-side DSU — the scale
+    path for pair streams too large for one process. Proven against the
+    IDENTICAL recursive-CTE min-label oracle."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.components import connected_components
+    from deduplidog_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dup_pairs(
+        ds, threshold=0.35, bands=64, bits_per_band=4
+    )
+    labels = connected_components(pairs, a_col="a", b_col="b", partitions=16)
+    return labels.map_batches(
+        lambda t: t.rename_columns(["vec_id", "cluster_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_knn_cosine_lsh(sf_dir: str):
     """Approximate top-10 (multi-probe hyperplane LSH) — the scale path."""
     import pyarrow.parquet as pq
@@ -1359,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,
+        "embedding_clusters_dist": q_embedding_clusters_dist,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "embedding_kmeans": q_embedding_kmeans,
@@ -2066,6 +2092,27 @@ def oracle_sql() -> dict[str, str]:
         # propagation (walk carries every label that reaches a node; the
         # component minimum reaches everything in the component)
         "embedding_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+              WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
+            ), nodes AS (
+              SELECT a AS id FROM pairs UNION SELECT b FROM pairs
+            ), edges AS (
+              SELECT a, b FROM pairs
+              UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), walk(id, lbl) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b AS id, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+            )
+            SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY id
+        """,
+        # the distributed-closure variant must produce the SAME answer —
+        # identical oracle, different engine path (large-star/small-star
+        # rounds instead of the driver DSU)
+        "embedding_clusters_dist": """
             WITH RECURSIVE pairs AS (
               SELECT x.vec_id AS a, y.vec_id AS b
               FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
