@@ -458,6 +458,26 @@ def q_embedding_kmeans(sf_dir: str):
     )
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means buckets the corpus, pairwise
+    cosine forms only INSIDE each bucket, each within-bucket duplicate
+    component keeps its least-prototypical member (lowest centroid
+    cosine). Emits the full audit table (vec_id, cluster, ccos, keep).
+    Iterative k-means → rows-only; pytest gates bit-equal parity vs a
+    numpy reference of the same spec (tests/test_semdedup.py)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.semdedup import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    # the synthetic embeddings' near-dup structure lives at cos >= 0.35
+    # (see embedding_near_dup); k=6 keeps buckets worker-sized at any sf
+    return semantic_dedup(ds, k=6, threshold=0.35, iters=5)
+
+
 def q_source_quantiles_sketch(sf_dir: str):
     """Approximate per-source length quantiles via the mergeable ε-rank
     summary (≤ k weighted points per (group, batch), any cardinality) —
@@ -1388,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "embedding_kmeans": q_embedding_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "clips_exact_clusters": q_clips_exact_clusters,
         "clips_near_dedup": q_clips_near_dedup,
     }

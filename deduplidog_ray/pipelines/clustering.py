@@ -82,21 +82,18 @@ def _seed_centroids(
     return _normalize(mat)
 
 
-def kmeans_embeddings(
+def kmeans_centroids(
     ds: ray.data.Dataset,
     k: int = 8,
     iters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0x5EED,
-) -> ray.data.Dataset:
-    """Full-corpus spherical k-means → assignment dataset
-    ``(vec_id, cluster:int64, cos:float64)``.
-
-    ``k × d`` centroids broadcast per iteration; per-batch combiner
-    partials keep every pass streaming. See module docstring for the
-    execution shape and determinism contract.
-    """
+) -> np.ndarray:
+    """Train the ``(k, d)`` unit centroid matrix only (no assignment
+    pass) — the reusable half of ``kmeans_embeddings``, consumed by
+    downstream operators that need both the assignment and the vectors
+    in one pass (``semdedup.semantic_dedup``)."""
     cent = _seed_centroids(ds, k, id_col, vec_col, seed)
     d = cent.shape[1]
 
@@ -133,7 +130,27 @@ def kmeans_embeddings(
         new = cent.copy()  # empty clusters keep previous centroid
         new[nz] = sums[nz] / counts[nz, None]
         cent = _normalize(new)
+    return cent
 
+
+def kmeans_embeddings(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> ray.data.Dataset:
+    """Full-corpus spherical k-means → assignment dataset
+    ``(vec_id, cluster:int64, cos:float64)``.
+
+    ``k × d`` centroids broadcast per iteration; per-batch combiner
+    partials keep every pass streaming. See module docstring for the
+    execution shape and determinism contract.
+    """
+    cent = kmeans_centroids(
+        ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
     ref = ray.put(cent)
 
     def _assign(t: pa.Table) -> pa.Table:
