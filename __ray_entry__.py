@@ -494,11 +494,12 @@ def q_images_near_dup(sf_dir: str):
     """Image near-dup with REAL pixels end to end (no PIL needed):
     deterministic images synthesized per document (noisy / brightness
     variants planted at a fixed rate), decoded by the pure-numpy NETPBM
-    path AND the from-scratch PNG decoder (noisy variants ship as PNG,
-    everything else as PPM — cross-container pairs prove both decoders
-    land on identical pixels) → average hash → Manku block-key
-    Hamming-ball pairs. Rows-only (SQL cannot decode pixels);
-    brute-force pair parity in tests/test_imagededup.py."""
+    path, the from-scratch PNG decoder AND the from-scratch baseline
+    JPEG decoder (noisy variants ship as PNG, every tenth doc's copy as
+    a lossy q92 JPEG re-encode, everything else as PPM — cross-container
+    pairs prove all three decoders land on compatible pixels) → average
+    hash → Manku block-key Hamming-ball pairs. Rows-only (SQL cannot
+    decode pixels); brute-force pair parity in tests/test_imagededup.py."""
     import numpy as np
     import pyarrow as pa
 
@@ -528,6 +529,13 @@ def q_images_near_dup(sf_dir: str):
                 ).astype(np.uint8)
                 ids_out.append(f"im_{did:09d}_b")
                 bufs.append(encode_ppm(bright))
+            elif m == 2:
+                from deduplidog_ray.images.jpeg import encode_jpeg
+
+                # lossy re-encode of the SAME pixels: the decoded copy
+                # stays within Hamming ≤3 of the PPM original at q92
+                ids_out.append(f"im_{did:09d}_j")
+                bufs.append(encode_jpeg(img, quality=92))
         return pa.table(
             {"image_id": pa.array(ids_out, type=pa.string()),
              "bytes": pa.array(bufs, type=pa.binary())}

@@ -6,12 +6,15 @@ stages. Audio is fully real in this engine (stages/decode.py). Images
 are REAL for NETPBM (P5/P6, pure numpy) AND for PNG (from-scratch
 decoder, stdlib zlib; all five scanline filters) via
 ``deduplidog_ray/images/codecs.py`` — pixels actually flow through the
-average hash. Video is REAL for uncompressed YUV4MPEG2
-(``images/video.py``). Only JPEG/WebP images and compressed video
-containers (mp4/webm) remain gated behind import-try (PIL/cv2 are not
-in this container); for those a clearly-marked deterministic fake
-stands in so the Ray-side plumbing (schema, batch sizing, actor
-signature, quarantine, output layout) is real and tested.
+average hash, AND for baseline JPEG (from-scratch T.81 codec,
+``images/jpeg.py`` — Huffman entropy decode, any chroma sampling,
+restart markers). Video is REAL for uncompressed YUV4MPEG2
+(``images/video.py``). Only WebP / progressive-JPEG images and
+compressed video containers (mp4/webm) remain gated behind import-try
+(PIL/cv2 are not in this container); for those a clearly-marked
+deterministic fake stands in so the Ray-side plumbing (schema, batch
+sizing, actor signature, quarantine, output layout) is real and
+tested.
 
 ≙ reference ST1 image-hash preloader (deduplidog/deduplidog.py:327-346,
 helpers.py:43-53) and ST2 cv2 frame-count probe (utils.py:96-102).
@@ -82,6 +85,15 @@ class ImageHashStage:
             )
 
             return block_mean_resize(to_gray(decode_png(buf)), 8, 8)
+        if buf[:2] == b"\xFF\xD8":
+            # REAL compressed path — from-scratch baseline JPEG (T.81)
+            from deduplidog_ray.images.codecs import (
+                block_mean_resize,
+                to_gray,
+            )
+            from deduplidog_ray.images.jpeg import decode_jpeg
+
+            return block_mean_resize(to_gray(decode_jpeg(buf)), 8, 8)
         if self.have_pil:  # pragma: no cover
             import io
 

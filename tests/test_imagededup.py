@@ -14,6 +14,7 @@ from deduplidog_ray.images.codecs import (
     encode_pgm,
     encode_ppm,
 )
+from deduplidog_ray.images.jpeg import decode_jpeg, encode_jpeg
 from deduplidog_ray.images.synth import make_image
 from deduplidog_ray.pipelines.imagededup import (
     image_hashes,
@@ -47,6 +48,13 @@ def _corpus():
         rows.append({"image_id": f"img{i:03d}_bright",
                      "bytes": encode_ppm(bright)})
         imgs[f"img{i:03d}_bright"] = bright
+    # lossy JPEG re-encodes of img010..img014 — the stage must decode
+    # them with the from-scratch T.81 path; the brute-force oracle hashes
+    # the DECODED pixels, so any decode drift would break pair parity
+    for i in range(10, 15):
+        buf = encode_jpeg(imgs[f"img{i:03d}"], quality=92)
+        rows.append({"image_id": f"img{i:03d}_jpg", "bytes": buf})
+        imgs[f"img{i:03d}_jpg"] = decode_jpeg(buf)
     # truncated NETPBM payload → exercises the REAL decoder's error path
     # (non-NETPBM bytes intentionally fall through to the compressed-format
     # stand-in, see stages/multimodal.py)
@@ -59,7 +67,7 @@ def test_image_hash_real_pixels(ray_session):
     t = pa.Table.from_pylist(rows)
     out = image_hashes(rd.from_arrow(t)).to_pandas().set_index("image_id")
     # stage hash == direct pixel hash (real decode, not a bytes-hash fake)
-    for iid in ["img000", "img007", "img003_noise"]:
+    for iid in ["img000", "img007", "img003_noise", "img012_jpg"]:
         want = int(average_hash_u64(imgs[iid]))
         got = int(np.array([out.loc[iid, "img_hash"]],
                            dtype=np.int64).view(np.uint64)[0])
@@ -104,6 +112,9 @@ def test_image_near_dup_pairs_exact_vs_bruteforce(ray_session):
     found_bright = sum(1 for i in range(10)
                        if (f"img{i:03d}", f"img{i:03d}_bright") in pairs)
     assert found_noise >= 8 and found_bright >= 8
+    found_jpg = sum(1 for i in range(10, 15)
+                    if (f"img{i:03d}", f"img{i:03d}_jpg") in pairs)
+    assert found_jpg >= 4
     # hamming column carries the true distance
     for _, r in got.iterrows():
         assert r["hamming"] == _ham(hs[r["a"]], hs[r["b"]])
