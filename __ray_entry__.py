@@ -548,17 +548,21 @@ def q_images_near_dup(sf_dir: str):
 
 
 def q_videos_frame_stats(sf_dir: str):
-    """Video frame probe with REAL pixels: deterministic y4m clips
-    synthesized per document (frame count = pure doc_id arithmetic),
-    then the actor stage walks the actual container structure and
-    hashes sampled luma frames. The SQL oracle recomputes the counts
-    from doc_id — parity proves the real walk, not the synthesizer."""
+    """Video frame probe with REAL pixels: deterministic clips
+    synthesized per document (frame count = pure doc_id arithmetic) in
+    TWO containers — uncompressed y4m, and MJPEG-in-AVI for every 4th
+    doc — then the actor stage walks the actual container structure
+    (y4m FRAME markers / RIFF movi chunks) and hashes sampled luma
+    frames (AVI frames are Huffman-decoded baseline JPEGs). The SQL
+    oracle recomputes the counts from doc_id — parity proves both real
+    walks, not the synthesizer."""
     import numpy as np
     import pyarrow as pa
 
     from deduplidog_ray.stages.multimodal import VideoFrameSampleStage
 
     def _synth(t: pa.Table) -> pa.Table:
+        from deduplidog_ray.images.avi import encode_avi_mjpeg
         from deduplidog_ray.images.video import encode_y4m
 
         ids_out, bufs = [], []
@@ -572,7 +576,13 @@ def q_videos_frame_stats(sf_dir: str):
                 0, 255,
             ).astype(np.uint8)
             ids_out.append(f"vid_{did:09d}")
-            bufs.append(encode_y4m(frames, fps=24))
+            # every 4th doc ships COMPRESSED (MJPEG-in-AVI): the count
+            # parity below then proves the real RIFF movi walk, since
+            # the oracle knows only doc_id arithmetic, not the container
+            if did % 4 == 1:
+                bufs.append(encode_avi_mjpeg(frames, fps=24, quality=88))
+            else:
+                bufs.append(encode_y4m(frames, fps=24))
         return pa.table(
             {"video_id": pa.array(ids_out, type=pa.string()),
              "bytes": pa.array(bufs, type=pa.binary())}

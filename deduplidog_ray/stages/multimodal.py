@@ -9,8 +9,9 @@ decoder, stdlib zlib; all five scanline filters) via
 average hash, AND for baseline JPEG (from-scratch T.81 codec,
 ``images/jpeg.py`` — Huffman entropy decode, any chroma sampling,
 restart markers). Video is REAL for uncompressed YUV4MPEG2
-(``images/video.py``). Only WebP / progressive-JPEG images and
-compressed video containers (mp4/webm) remain gated behind import-try
+(``images/video.py``) AND for compressed MJPEG-in-AVI
+(``images/avi.py``). Only WebP / progressive-JPEG images and
+inter-frame video codecs (mp4/webm) remain gated behind import-try
 (PIL/cv2 are not in this container); for those a clearly-marked
 deterministic fake stands in so the Ray-side plumbing (schema, batch
 sizing, actor signature, quarantine, output layout) is real and
@@ -132,20 +133,31 @@ class VideoFrameSampleStage:
     ≙ the cv2 frame-count probe (reference utils.py:96-102). For
     uncompressed YUV4MPEG2 payloads the probe and the pixel sampling are
     REAL (pure-numpy container walk + per-frame average hash,
-    ``images/video.py``). Compressed containers (mp4/webm) would need
-    cv2/ffmpeg — absent here, a clearly-marked deterministic fake stands
-    in for the count and the hash list stays empty.
+    ``images/video.py``), and for MJPEG-in-AVI the probe is a real
+    RIFF ``movi`` walk and sampling Huffman-decodes the selected JPEG
+    frames (``images/avi.py``) — a real COMPRESSED video path. Other
+    containers (mp4/webm) would need cv2/ffmpeg — absent here, a
+    clearly-marked deterministic fake stands in for the count and the
+    hash list stays empty.
     """
 
     def __init__(self, sample_every_n: int = 30) -> None:
         self.sample_every_n = sample_every_n
         self.have_cv2 = HAVE_CV2
 
+    @staticmethod
+    def _is_avi(buf: bytes) -> bool:
+        return buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+
     def frame_count(self, buf: bytes, fps: float, bitrate_bps: int) -> int:
         if buf[:9] == b"YUV4MPEG2":
             from deduplidog_ray.images.video import frame_count
 
             return frame_count(buf)                    # REAL: exact walk
+        if self._is_avi(buf):
+            from deduplidog_ray.images.avi import frame_count
+
+            return frame_count(buf)       # REAL: compressed movi walk
         if self.have_cv2:  # pragma: no cover
             raise NotImplementedError("real cv2 probe wiring pending")
         # deterministic fake: duration ≈ bytes / (bitrate/8) seconds
@@ -153,9 +165,14 @@ class VideoFrameSampleStage:
         return int(dur_s * fps)
 
     def sample_frames(self, buf: bytes) -> np.ndarray:
-        """Sampled-frame 64-bit average hashes (real for y4m)."""
+        """Sampled-frame 64-bit average hashes (real for y4m AND
+        MJPEG-AVI — the latter Huffman-decodes the sampled JPEGs)."""
         if buf[:9] == b"YUV4MPEG2":
             from deduplidog_ray.images.video import frame_hashes_u64
+
+            return frame_hashes_u64(buf, self.sample_every_n)
+        if self._is_avi(buf):
+            from deduplidog_ray.images.avi import frame_hashes_u64
 
             return frame_hashes_u64(buf, self.sample_every_n)
         raise NotImplementedError(
@@ -179,7 +196,7 @@ class VideoFrameSampleStage:
             v = bytes(col[i].as_py() or b"")
             try:
                 counts[i] = self.frame_count(v, float(fps[i]), 1_000_000)
-                if v[:9] == b"YUV4MPEG2":
+                if v[:9] == b"YUV4MPEG2" or self._is_avi(v):
                     fh = self.sample_frames(v)
                     hashes[i] = fh.view(np.int64).tolist()
                     sampled[i] = len(fh)
