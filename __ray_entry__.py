@@ -784,6 +784,38 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_paths_display(sf_dir: str):
+    """Display-path shortening (≙ reference G3 common-prefix trimming,
+    deduplidog.py:698-705): synthesize a path per document, compute the
+    corpus-wide common prefix DISTRIBUTED (per-block lexicographic
+    min/max partials — the prefix of N strings equals the prefix of
+    their min and max — then an O(blocks) driver reduce), snap to the
+    last '/', strip vectorized. The oracle reproduces the min/max +
+    substring arithmetic in SQL, so parity checks the distributed
+    prefix computation itself."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.display import shorten_paths
+
+    def _mk(t: pa.Table) -> pa.Table:
+        path = pc.binary_join_element_wise(
+            pa.scalar("/corpus/"),
+            t["source"],
+            pa.scalar("/doc_"),
+            pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), 9, "0"),
+            pa.scalar(".txt"),
+            pa.scalar(""),
+        )
+        return pa.table({"doc_id": t["doc_id"], "path": path})
+
+    paths = _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
+        _mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out, _prefix = shorten_paths(paths, "path")
+    return out
+
+
 def q_longest_docs(sf_dir: str):
     """Global top-100 docs by length — ORDER BY n_chars DESC, doc_id
     LIMIT 100 as per-batch partial top-k + a blocks×100 driver merge
@@ -1393,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "quantile_filter": q_quantile_filter,
         "longest_docs": q_longest_docs,
+        "paths_display": q_paths_display,
         "source_quota": q_source_quota,
         "balance_sources": q_balance_sources,
         "jsonl_doc_stats": q_jsonl_doc_stats,
@@ -1771,6 +1804,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY n_chars DESC, doc_id
             LIMIT 100
+        """,
+        # common-prefix display trim: prefix(all) = prefix(min, max),
+        # snapped back to the last '/', '(basedir)' when nothing is left
+        "paths_display": """
+            WITH paths AS (
+              SELECT doc_id,
+                     '/corpus/' || source || '/doc_'
+                       || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                       || '.txt' AS path
+              FROM documents
+            ),
+            mm AS (SELECT min(path) AS a, max(path) AS b FROM paths),
+            cp AS (
+              SELECT coalesce(max(u.i), 0) AS n
+              FROM mm, unnest(generate_series(
+                     1, least(length(mm.a), length(mm.b)))) AS u(i)
+              WHERE substr(mm.a, 1, CAST(u.i AS INTEGER))
+                    = substr(mm.b, 1, CAST(u.i AS INTEGER))
+            ),
+            snap AS (
+              SELECT length(regexp_replace(
+                       substr((SELECT a FROM mm), 1, CAST(n AS INTEGER)),
+                       '[^/]*$', '')) AS m
+              FROM cp
+            )
+            SELECT p.doc_id, p.path,
+                   CASE WHEN substr(p.path, CAST(s.m AS INTEGER) + 1) = ''
+                        THEN '(basedir)'
+                        ELSE substr(p.path, CAST(s.m AS INTEGER) + 1)
+                   END AS path_disp
+            FROM paths p, snap s
         """,
         # bottom-quartile length filter: threshold = exact quantile_disc
         "quantile_filter": """

@@ -215,6 +215,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "source_distinct_hll",
         "source_quantiles_sketch",
         "longest_docs",
+        "paths_display",
         "images_near_dup",
         "videos_frame_stats",
         "videos_near_dup",
