@@ -784,6 +784,20 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_span_dedup(sf_dir: str):
+    """C4-style span-level exact dedup (keep first occurrence by
+    (doc_id, pos)): every repeated 8-token span after its global first
+    is cut from its document. Three bounded exchanges — Arrow-C++ span
+    explode, ONE span-hash groupby with true-key winner selection
+    in-partition, losers (∝ duplicates) joined back by doc-hash bucket
+    for the splice. Oracle: window row_number + filtered string_agg."""
+    from deduplidog_ray.pipelines.spandedup import dedup_repeated_spans
+
+    return dedup_repeated_spans(
+        _docs(sf_dir, columns=["doc_id", "text"]), span_tokens=8
+    )
+
+
 def q_paths_display(sf_dir: str):
     """Display-path shortening (≙ reference G3 common-prefix trimming,
     deduplidog.py:698-705): synthesize a path per document, compute the
@@ -1426,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": q_quantile_filter,
         "longest_docs": q_longest_docs,
         "paths_display": q_paths_display,
+        "span_dedup": q_span_dedup,
         "source_quota": q_source_quota,
         "balance_sources": q_balance_sources,
         "jsonl_doc_stats": q_jsonl_doc_stats,
@@ -1804,6 +1819,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY n_chars DESC, doc_id
             LIMIT 100
+        """,
+        # C4-style span dedup: rn=1 instances survive, text re-spliced
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ),
+            spans AS (
+              SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                     array_to_string(
+                       list_slice(ts, (u.i - 1) * 8 + 1, u.i * 8), ' '
+                     ) AS span
+              FROM toks, unnest(generate_series(
+                     1, CAST(ceil(len(ts) / 8.0) AS BIGINT))) u(i)
+            ),
+            ranked AS (
+              SELECT doc_id, pos, span,
+                     row_number() OVER (
+                       PARTITION BY span ORDER BY doc_id, pos) AS rn
+              FROM spans
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(span, ' ' ORDER BY pos)
+                              FILTER (WHERE rn = 1), '') AS text_dedup,
+                   CAST(count(*) AS INTEGER) AS n_spans,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS INTEGER)
+                     AS n_dropped
+            FROM ranked GROUP BY doc_id
         """,
         # common-prefix display trim: prefix(all) = prefix(min, max),
         # snapped back to the last '/', '(basedir)' when nothing is left

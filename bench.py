@@ -216,6 +216,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "source_quantiles_sketch",
         "longest_docs",
         "paths_display",
+        "span_dedup",
         "images_near_dup",
         "videos_frame_stats",
         "videos_near_dup",
