@@ -784,6 +784,31 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_bigram_counts(sf_dir: str):
+    """Corpus bigram statistics (tokenizer-prep): adjacent-pair counts
+    with combiner partials per batch (one row per DISTINCT pair per
+    batch), one |pairs|-bounded multi-key groupby. Pairs never cross
+    document boundaries."""
+    from deduplidog_ray.pipelines.bpe import bigram_counts
+
+    return bigram_counts(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich): ONE distributed weighted
+    word-count pass, then the deterministic merge loop over the counted
+    |vocab|-bounded table (count desc / pair asc tie-break → a pure
+    function of the corpus multiset). Rows-only: the merge loop is
+    inherently iterative (merge r+1 depends on r) — determinism,
+    hand-checked merges and encode≡training parity are pytest-gated in
+    tests/test_bpe.py."""
+    from deduplidog_ray.pipelines.bpe import train_bpe
+
+    return train_bpe(
+        _docs(sf_dir, columns=["doc_id", "text"]), n_merges=40
+    )
+
+
 def q_span_dedup(sf_dir: str):
     """C4-style span-level exact dedup (keep first occurrence by
     (doc_id, pos)): every repeated 8-token span after its global first
@@ -1441,6 +1466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_docs": q_longest_docs,
         "paths_display": q_paths_display,
         "span_dedup": q_span_dedup,
+        "bigram_counts": q_bigram_counts,
+        "bpe_merges": q_bpe_merges,
         "source_quota": q_source_quota,
         "balance_sources": q_balance_sources,
         "jsonl_doc_stats": q_jsonl_doc_stats,
@@ -1819,6 +1846,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY n_chars DESC, doc_id
             LIMIT 100
+        """,
+        # adjacent-pair counts, pairs bounded to each document
+        "bigram_counts": """
+            WITH toks AS (
+              SELECT string_split(text, ' ') AS ts FROM documents
+            ),
+            pairs AS (
+              SELECT ts[CAST(u.i AS INTEGER)] AS a,
+                     ts[CAST(u.i AS INTEGER) + 1] AS b
+              FROM toks, unnest(generate_series(1, len(ts) - 1)) u(i)
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY a, b
         """,
         # C4-style span dedup: rn=1 instances survive, text re-spliced
         "span_dedup": """

@@ -217,6 +217,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "longest_docs",
         "paths_display",
         "span_dedup",
+        "bigram_counts",
+        "bpe_merges",
         "images_near_dup",
         "videos_frame_stats",
         "videos_near_dup",
