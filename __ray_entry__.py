@@ -784,6 +784,57 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_decontam_bloom(sf_dir: str):
+    """Bloom-filter decontamination — the constant-size-broadcast scale
+    path of `decontaminate` (same train/holdout split, same distinct-
+    3-gram accounting). Rows-only (membership is probabilistic on the
+    FP side); pytest gates: flagged ⊇ exact-flagged row for row (no
+    false negatives by construction), FP bound, OR-merge bit equality
+    across layouts."""
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.sketches import decontaminate_bloom
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _split(holdout_side: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 17) == 0
+            return t.filter(pa.array(m if holdout_side else ~m))
+
+        return _f
+
+    train = docs.map_batches(_split(False), batch_format="pyarrow")
+    holdout = docs.map_batches(_split(True), batch_format="pyarrow")
+    return decontaminate_bloom(train, holdout, k=3)
+
+
+def q_token_freq_cms(sf_dir: str):
+    """Count-Min token frequencies: constant depth×width partial per
+    block, LINEAR merge (partials sum to exactly the single-pass
+    sketch — bit-testable, unlike probabilistic merges). Rows-only
+    (the probe hashes aren't SQL-reproducible); pytest gates: est ≥
+    truth always, est ≤ truth + εN, linearity bit equality."""
+    import pandas as pd
+
+    from deduplidog_ray.pipelines.sketches import (
+        cms_estimate,
+        cms_token_counts,
+    )
+    from deduplidog_ray.pipelines.textops import token_freq
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    sketch, seeds = cms_token_counts(docs, width=1 << 14, depth=4)
+    vocab = sorted(
+        r["token"] for r in token_freq(docs).take_all()
+    )  # |vocab|-bounded
+    est = cms_estimate(
+        sketch, hash_strings_u64(vocab, seed=0xC0DE), seeds
+    )
+    return pd.DataFrame({"token": vocab, "n_est": est.astype("int64")})
+
+
 def q_bigram_counts(sf_dir: str):
     """Corpus bigram statistics (tokenizer-prep): adjacent-pair counts
     with combiner partials per batch (one row per DISTINCT pair per
@@ -1468,6 +1519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": q_span_dedup,
         "bigram_counts": q_bigram_counts,
         "bpe_merges": q_bpe_merges,
+        "decontam_bloom": q_decontam_bloom,
+        "token_freq_cms": q_token_freq_cms,
         "source_quota": q_source_quota,
         "balance_sources": q_balance_sources,
         "jsonl_doc_stats": q_jsonl_doc_stats,

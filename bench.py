@@ -219,6 +219,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "span_dedup",
         "bigram_counts",
         "bpe_merges",
+        "decontam_bloom",
+        "token_freq_cms",
         "images_near_dup",
         "videos_frame_stats",
         "videos_near_dup",

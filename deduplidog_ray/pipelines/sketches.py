@@ -202,3 +202,199 @@ def quantile_sketch_per_key(
         .sort_values(key_col)
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the broadcastable membership sketch (no false negatives)
+# ---------------------------------------------------------------------------
+#
+# Completes the mergeable family: HLL (distinct counts, max-merge),
+# ε-rank summary (quantiles, weighted merge), Bloom (membership,
+# OR-merge), CMS (frequencies, +-merge). The Bloom path is the documented
+# scale upgrade for `pipelines/decontam.py`: the exact holdout-gram array
+# grows ∝ distinct grams (8 B each), while a Bloom at the same recall
+# (recall is ALWAYS 1 — no false negatives by construction) is a fixed
+# 2^b-bit broadcast whose false-positive rate, not correctness, is the
+# tuning knob. A Bloom FP only FLAGS a clean train doc — the same safe
+# asymmetry documented in decontam.py.
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(h: np.ndarray, n_hashes: int, n_bits: int) -> np.ndarray:
+    """(n_hashes, n) bit positions via Kirsch–Mitzenmacher double
+    hashing: pos_i = h1 + i·h2 (h2 forced odd). n_bits must be 2^b."""
+    h1 = h
+    h2 = ((h * _BLOOM_MIX) ^ (h >> np.uint64(31))) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :])
+            & np.uint64(n_bits - 1)).astype(np.int64)
+
+
+def _bloom_set(words: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(
+        words, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+    )
+
+
+def bloom_contains(words: np.ndarray, h: np.ndarray,
+                   n_hashes: int) -> np.ndarray:
+    """Vectorized membership probe: True ⇔ all k probe bits set."""
+    if len(h) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(h, n_hashes, len(words) * 64)
+    bits = (words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) \
+        & np.uint64(1)
+    return bits.all(axis=0)
+
+
+def build_ngram_bloom(
+    holdout_ds: ray.data.Dataset,
+    k: int = 3,
+    seed: int = 0x5EED,
+    text_col: str = "text",
+    log2_bits: int = 22,
+    n_hashes: int = 7,
+) -> np.ndarray:
+    """Bloom over the holdout's token-k-gram hashes (shingle semantics
+    identical to decontam.holdout_ngram_set). One streaming pass emits a
+    fixed 2^log2_bits-bit partial per block; the merge is bitwise OR —
+    associative/commutative/idempotent, so layout and retries cannot
+    change the filter (pytest-gated bit equality)."""
+    from deduplidog_ray.stages.signatures import shingle_hashes
+
+    n_bits = 1 << log2_bits
+    n_words = n_bits // 64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        flat, _ = shingle_hashes(t[text_col].to_pylist(), k, seed)
+        if len(flat):
+            _bloom_set(words, _bloom_positions(flat, n_hashes, n_bits))
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    out = np.zeros(n_words, dtype=np.uint64)
+    for b in holdout_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        for blob in b["words"].to_pylist():
+            out |= np.frombuffer(blob, dtype=np.uint64)
+    return out
+
+
+def decontaminate_bloom(
+    train_ds: ray.data.Dataset,
+    holdout_ds: ray.data.Dataset,
+    k: int = 3,
+    seed: int = 0x5EED,
+    text_col: str = "text",
+    min_hits: int = 1,
+    log2_bits: int = 22,
+    n_hashes: int = 7,
+) -> ray.data.Dataset:
+    """`decontam.decontaminate(mode="flag")` with the holdout set
+    replaced by a constant-size Bloom broadcast. Guarantees: every doc
+    the exact path flags is flagged here too (no false negatives);
+    extra flags are Bloom FPs at the documented rate
+    (≈ (1 − e^{−kn/m})^k). Columns: ``n_hits_est``, ``contaminated``."""
+    import ray as _ray
+
+    from deduplidog_ray.stages.signatures import shingle_hashes
+
+    words_ref = _ray.put(build_ngram_bloom(
+        holdout_ds, k, seed, text_col, log2_bits, n_hashes))
+
+    def _score(t: pa.Table) -> pa.Table:
+        words = _ray.get(words_ref)  # plasma view, cached per worker
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        flat, off = shingle_hashes(texts, k, seed)
+        # DISTINCT grams per doc — identical accounting to the exact
+        # path (decontam.py:_score), so flagged ⊇ exact-flagged holds
+        # row for row, not just in aggregate
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((flat, doc_idx))
+        d_s, f_s = doc_idx[order], flat[order]
+        keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])] \
+            if len(f_s) else np.zeros(0, dtype=bool)
+        d_u, f_u = d_s[keep], f_s[keep]
+        hit = bloom_contains(words, f_u, n_hashes)
+        n_hits = np.bincount(d_u[hit], minlength=n).astype(np.int64)
+        t = t.append_column("n_hits_est", pa.array(n_hits))
+        return t.append_column(
+            "contaminated", pa.array(n_hits >= min_hits)
+        )
+
+    return train_ds.map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — LINEAR frequency summary (+-merge is exact)
+# ---------------------------------------------------------------------------
+
+
+def cms_add(
+    sketch: np.ndarray, h: np.ndarray, counts: np.ndarray, seeds: np.ndarray
+) -> None:
+    """Add ``counts`` for hashed keys ``h`` into a (depth, width) CMS."""
+    depth, width = sketch.shape
+    for d in range(depth):
+        cols = (mix64(h, seed=int(seeds[d])) % np.uint64(width)).astype(
+            np.int64
+        )
+        np.add.at(sketch[d], cols, counts)
+
+
+def cms_estimate(sketch: np.ndarray, h: np.ndarray,
+                 seeds: np.ndarray) -> np.ndarray:
+    """Point-query estimates (≥ true count always; ≤ true + εN w.h.p.,
+    ε = e/width)."""
+    depth, width = sketch.shape
+    est = None
+    for d in range(depth):
+        cols = (mix64(h, seed=int(seeds[d])) % np.uint64(width)).astype(
+            np.int64
+        )
+        v = sketch[d][cols]
+        est = v if est is None else np.minimum(est, v)
+    return est
+
+
+def cms_token_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    width: int = 1 << 14,
+    depth: int = 4,
+    seed: int = 0xC0DE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sketch, row_seeds): corpus token-frequency CMS. The sketch is
+    LINEAR (CMS(A ⊎ B) = CMS(A) + CMS(B) elementwise), so per-block
+    partials sum to EXACTLY the single-pass sketch — layout, ordering
+    and retry-free-ness are bit-testable, unlike probabilistic merges.
+    Per-block partial size is a constant depth×width×8 bytes."""
+    import pyarrow.compute as pc
+
+    seeds = (np.uint64(seed) + np.arange(depth, dtype=np.uint64)
+             * np.uint64(0x9E37)).astype(np.uint64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sk = np.zeros((depth, width), dtype=np.int64)
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(t[text_col], ""), pattern=" ")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks):
+            vc = pd.Series(toks.to_pandas(), dtype="object").value_counts()
+            h = hash_strings_u64(list(vc.index), seed=seed)
+            cms_add(sk, h, vc.to_numpy().astype(np.int64), seeds)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    out = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        for blob in b["sk"].to_pylist():
+            out += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return out, seeds
