@@ -206,6 +206,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "text_embed_near_dup",
         "embedding_near_dup",
         "embedding_clusters",
+        "embedding_clusters_dist",
+        "semantic_dedup",
         "clips_exact_clusters",
         "dataset_split",
         "embedding_kmeans",
