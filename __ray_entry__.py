@@ -784,6 +784,17 @@ def q_doc_chunks(sf_dir: str):
     )
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (search prep): distinct (token, doc_id)
+    pairs deduped per batch before the ONE token-hash groupby
+    (P-bounded dispatch); postings emitted as the comma-joined
+    ascending id string so the oracle's list_sort(array_agg) compares
+    hash-exactly."""
+    from deduplidog_ray.pipelines.textops import inverted_index
+
+    return inverted_index(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_decontam_bloom(sf_dir: str):
     """Bloom-filter decontamination — the constant-size-broadcast scale
     path of `decontaminate` (same train/holdout split, same distinct-
@@ -1521,6 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "decontam_bloom": q_decontam_bloom,
         "token_freq_cms": q_token_freq_cms,
+        "inverted_index": q_inverted_index,
         "source_quota": q_source_quota,
         "balance_sources": q_balance_sources,
         "jsonl_doc_stats": q_jsonl_doc_stats,
@@ -1899,6 +1911,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY n_chars DESC, doc_id
             LIMIT 100
+        """,
+        # inverted index: postings as comma-joined sorted id strings
+        "inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT d.doc_id, t.token
+              FROM documents d,
+                   unnest(string_split(d.text, ' ')) t(token)
+              WHERE t.token <> ''
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(list_sort(array_agg(doc_id)), ',')
+                     AS doc_ids
+            FROM pairs GROUP BY token
         """,
         # adjacent-pair counts, pairs bounded to each document
         "bigram_counts": """

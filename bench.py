@@ -223,6 +223,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "bpe_merges",
         "decontam_bloom",
         "token_freq_cms",
+        "inverted_index",
         "images_near_dup",
         "videos_frame_stats",
         "videos_near_dup",

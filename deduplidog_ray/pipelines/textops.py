@@ -220,3 +220,62 @@ def quality_score(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Datase
         TextScore, batch_format="pyarrow", batch_size=2048,
         zero_copy_batch=True, concurrency=(1, concurrency),
     )
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Inverted index build: (token, df, doc_ids) — the artifact a
+    retrieval/search stage consumes, and the canonical explode → dedup →
+    regroup shape.
+
+    Scale: the exchange is (token, doc_id) pairs DISTINCT per batch
+    (pandas drop_duplicates partial — repeated tokens inside a doc never
+    leave the worker), hash-partitioned by token into P buckets so UDF
+    dispatch is P-bounded, not |vocab|-bounded. Postings are emitted as
+    a comma-joined ascending id string (the SQL-comparable encoding of
+    list_sort(array_agg(...))); at real scale the postings for a stop
+    word dominate — cap or tier them upstream with `balance_sources`-
+    style thresholds if needed (documented, not silently truncated)."""
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.exact import add_key_hash
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t[text_col], ""), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values.to_pandas().to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, np.diff(off))
+        df = pd.DataFrame({"token": flat, id_col: doc})
+        df = df[df["token"] != ""].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    hashed = add_key_hash(pairs, ["token"], partitions=partitions)
+
+    def _build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token", id_col]).sort_values(
+            ["token", id_col], kind="stable"
+        )
+        gb = g.groupby("token", sort=False)
+        sizes = gb.size()
+        return pd.DataFrame(
+            {
+                "token": sizes.index.to_numpy(),
+                "df": sizes.to_numpy().astype("int64"),
+                "doc_ids": gb[id_col]
+                .agg(lambda s: ",".join(s.astype(str)))
+                .to_numpy(),
+            }
+        )
+
+    return hashed.groupby("_part").map_groups(
+        _build, batch_format="pandas"
+    )
