@@ -1488,6 +1488,107 @@ def q_clips_near_dedup(sf_dir: str):
     )
 
 
+def q_order_lines(sf_dir: str):
+    """Large x large co-partitioned hash equi-join (pipelines/joins.py:
+    hash_join): high-value orders row-joined to their lineitems. Both
+    sides stream and shuffle ONCE on hash(key) — the general two-big-table
+    join the broadcast family can't do (≙ reference J1's stem-index dict,
+    deduplidog.py:285-288, with both sides distributed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], pa.scalar(470000.0)))
+        return t.drop_columns(["o_totalprice"]).rename_columns(
+            ["orderkey", "o_orderpriority"]
+        )
+
+    orders = orders.map_batches(_prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag"],
+    ).map_batches(
+        lambda t: t.rename_columns(["orderkey", "l_linenumber",
+                                    "l_returnflag"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return hash_join(
+        orders, li, "orderkey",
+        ["o_orderpriority"], ["l_linenumber", "l_returnflag"],
+        how="inner",
+    )
+
+
+def q_top_orders_revenue(sf_dir: str):
+    """TPC-H-Q3-shaped composite: broadcast semi-join (customer segment)
+    → large x large hash join (orders x lineitem) → integer-cents revenue
+    per order → global top-10, chaining four engine operators. Revenue is
+    exact bigint arithmetic (cents x basis points) so the SQL oracle
+    hashes bit-identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.joins import broadcast_semi_join, hash_join
+    from deduplidog_ray.pipelines.stats import global_top_n
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    seg_keys = cust.filter(
+        pc.less(cust["c_nationkey"], pa.scalar(5, pa.int64()))
+    )["c_custkey"].to_numpy()
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    orders = broadcast_semi_join(orders, seg_keys, "o_custkey")
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderpriority"]).rename_columns(
+            ["orderkey", "o_orderpriority"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(10000.0))), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(10000, pa.int64()),
+                                               disc_bp))
+        return pa.table({"orderkey": t["l_orderkey"], "rev_cbp": rev})
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(orders, li, "orderkey", ["o_orderpriority"],
+                       ["rev_cbp"], how="inner")
+    from ray.data.aggregate import Sum
+
+    per_order = joined.groupby(["orderkey", "o_orderpriority"]).aggregate(
+        Sum("rev_cbp", alias_name="revenue_cbp")
+    )
+    return global_top_n(per_order, by="revenue_cbp", n=10,
+                        ascending=False, tie_col="orderkey")
+
+
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -1569,6 +1670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "clips_exact_clusters": q_clips_exact_clusters,
         "clips_near_dedup": q_clips_near_dedup,
+        "order_lines": q_order_lines,
+        "top_orders_revenue": q_top_orders_revenue,
     }
 
 
@@ -2393,5 +2496,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "order_lines": """
+            SELECT o.o_orderkey AS orderkey, o.o_orderpriority,
+                   l.l_linenumber, l.l_returnflag
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_totalprice > 470000
+        """,
+        "top_orders_revenue": """
+            SELECT o.o_orderkey AS orderkey, o.o_orderpriority,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+                       AS revenue_cbp
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+            GROUP BY o.o_orderkey, o.o_orderpriority
+            ORDER BY revenue_cbp DESC, orderkey
+            LIMIT 10
         """,
     }

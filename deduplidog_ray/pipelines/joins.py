@@ -574,3 +574,138 @@ def range_join_keyed(
 
     return joined.map_batches(_neq, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def _pa_schema(ds: ray.data.Dataset) -> dict[str, pa.DataType]:
+    s = ds.schema()
+    return dict(zip(s.names, s.types))
+
+
+_NULLABLE_PD = {
+    pa.int64(): "Int64",
+    pa.int32(): "Int32",
+    pa.int16(): "Int16",
+    pa.int8(): "Int8",
+    pa.float64(): "float64",
+    pa.float32(): "float32",
+    pa.bool_(): "boolean",
+}
+
+
+def _join_partition(
+    t: pa.Table,
+    key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str,
+    out_schema: pa.Schema,
+) -> pa.Table:
+    """One hash partition of the join, every key at once.
+
+    The hash is only the ROUTER: equal keys co-locate, and the in-partition
+    merge compares the TRUE key column — two distinct keys colliding in 64
+    bits never join (same collision rule as pipelines/exact.py)."""
+    side = t["_side"].to_numpy(zero_copy_only=False)
+    lt = t.filter(pa.array(side == 0)).select([key] + left_cols)
+    rt = t.filter(pa.array(side == 1)).select([key] + right_cols)
+    l = lt.to_pandas()
+    if how in ("semi", "anti"):
+        keys_r = rt[key].to_numpy(zero_copy_only=False)
+        mask = l[key].isin(keys_r)
+        out = l[~mask] if how == "anti" else l[mask]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+    r = rt.to_pandas()
+    out = l.merge(r, on=key, how=how, sort=False)
+    if how == "left":
+        # unmatched rows NaN-promote integer right payloads to float64;
+        # restore via pandas nullable ints so every partition emits the
+        # same Arrow type (int with nulls), not a float/int schema split
+        for c in right_cols:
+            want = out_schema.field(c).type
+            pd_t = _NULLABLE_PD.get(want)
+            if pd_t and str(out[c].dtype) != pd_t:
+                out[c] = out[c].astype(pd_t)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+
+def hash_join(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Large x large co-partitioned hash equi-join — the general relational
+    join the broadcast family (:func:`broadcast_semi_join`,
+    ``asof/nearest/range``) deliberately avoids building until both sides
+    are too big to broadcast.
+
+    Shape (the module docstring's "explicit bucket-hash join", made a
+    first-class operator): each side is tagged with ``_part =
+    hash64(key) % P`` in a vectorized ``map_batches``, the union shuffles
+    ONCE on ``_part`` (every row moves exactly once, keyed shuffle volume
+    = |left| + |right|), and each of the P partition tasks runs ONE
+    vectorized pandas hash-merge over true keys. P bounds UDF dispatch
+    count — never one task per distinct key. Skewed keys: P spreads
+    distinct keys, a single mega-key still lands in one task; callers with
+    a known hot key pre-split it (the dedup band shuffle's salting,
+    stages/candidates.py, is the worked example).
+
+    ``how``: ``inner`` | ``left`` | ``semi`` | ``anti`` (semi/anti return
+    left columns only — J5 semantics at two-large-table scale;
+    ≙ invert_selection, deduplidog.py:513-516). Key must carry the same
+    name on both sides (rename upstream); payload names must not collide.
+
+    ≙ reference J1 generalized: the stem-index dict (deduplidog.py:285-288)
+    is a single-process hash join of work files against originals — here
+    the dict becomes the partitioner and both sides stream.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    overlap = set(left_cols) & set(right_cols)
+    if overlap or key in left_cols or key in right_cols:
+        raise ValueError(f"column collision in join output: {overlap}")
+    lt_types = _pa_schema(left_ds)
+    rt_types = _pa_schema(right_ds)
+    right_cols = [] if how in ("semi", "anti") else list(right_cols)
+    out_schema = pa.schema(
+        [pa.field(key, lt_types[key])]
+        + [pa.field(c, lt_types[c]) for c in left_cols]
+        + [pa.field(c, rt_types[c]) for c in right_cols]
+    )
+    all_cols = [key] + list(left_cols) + right_cols
+    types = {f.name: f.type for f in out_schema}
+
+    from deduplidog_ray.stages.hashing import hash_arrow_u64
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols: dict = {}
+            for c in all_cols:
+                cols[c] = t[c] if c in t.column_names else pa.nulls(
+                    n, type=types[c]
+                )
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            h = hash_arrow_u64(t[key], seed=0x10A5)
+            cols["_part"] = pa.array(
+                (h % np.uint64(partitions)).astype(np.int64)
+            )
+            return pa.table(cols)
+
+        return _f
+
+    tagged = left_ds.map_batches(
+        _tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right_ds.map_batches(_tag(1), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    )
+    return tagged.groupby("_part").map_groups(
+        lambda g: _join_partition(
+            g, key, list(left_cols), right_cols, how, out_schema
+        ),
+        batch_format="pyarrow",
+    )
