@@ -1488,6 +1488,19 @@ def q_clips_near_dedup(sf_dir: str):
     )
 
 
+def q_docs_by_len_rank(sf_dir: str):
+    """Distributed global sort (pipelines/sort.py): documents totally
+    ordered by (n_chars DESC, doc_id) with exact 1-based ranks — sample
+    boundaries, exact count offsets, one full-data shuffle."""
+    from deduplidog_ray.pipelines.sort import distributed_sort_rank
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return distributed_sort_rank(
+        ds, key_col="n_chars", tie_col="doc_id", descending=True,
+        partitions=32,
+    )
+
+
 def q_order_lines(sf_dir: str):
     """Large x large co-partitioned hash equi-join (pipelines/joins.py:
     hash_join): high-value orders row-joined to their lineitems. Both
@@ -1672,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_near_dedup": q_clips_near_dedup,
         "order_lines": q_order_lines,
         "top_orders_revenue": q_top_orders_revenue,
+        "docs_by_len_rank": q_docs_by_len_rank,
     }
 
 
@@ -2515,5 +2529,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderpriority
             ORDER BY revenue_cbp DESC, orderkey
             LIMIT 10
+        """,
+        "docs_by_len_rank": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents
         """,
     }
