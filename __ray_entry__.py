@@ -1488,6 +1488,22 @@ def q_clips_near_dedup(sf_dir: str):
     )
 
 
+def q_knn_self(sf_dir: str):
+    """All-pairs kNN self-join (similarity.py:nn_self_join): every
+    embedding's top-3 nearest OTHER vectors by cosine — the corpus IS the
+    query set, output streams batch-by-batch against the once-broadcast
+    normalized matrix."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.similarity import nn_self_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return nn_self_join(ds, k=3)
+
+
 def q_docs_by_len_rank(sf_dir: str):
     """Distributed global sort (pipelines/sort.py): documents totally
     ordered by (n_chars DESC, doc_id) with exact 1-based ranks — sample
@@ -1686,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lines": q_order_lines,
         "top_orders_revenue": q_top_orders_revenue,
         "docs_by_len_rank": q_docs_by_len_rank,
+        "knn_self": q_knn_self,
     }
 
 
@@ -2534,5 +2551,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
             FROM documents
+        """,
+        "knn_self": """
+            SELECT e.vec_id, q.vec_id AS nn_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding,
+                                                       e.embedding) DESC,
+                                q.vec_id
+                   ) AS rn
+            FROM embeddings e JOIN embeddings q ON q.vec_id <> e.vec_id
+            QUALIFY rn <= 3
         """,
     }

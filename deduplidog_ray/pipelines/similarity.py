@@ -891,3 +891,73 @@ def audio_embedding_near_dup(
         swap, ["clip_b", "clip_a"]
     ].to_numpy()
     return out.sort_values(["clip_a", "clip_b"]).reset_index(drop=True)
+
+
+def nn_self_join(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dtype=np.float64,
+) -> ray.data.Dataset:
+    """All-pairs kNN self-join: for EVERY row, its top-k nearest OTHER
+    rows by cosine (ties broken by ascending neighbor id) →
+    (vec_id, nn_id, rn).
+
+    Differs from :func:`knn_cosine_bruteforce` (a fixed small query set
+    probing the corpus): here every corpus row is a query, so the output
+    streams — each batch answers its own rows against the once-broadcast
+    normalized matrix and emits B x k rows; nothing concentrates on the
+    driver. Exclusion is by TRUE id equality, not position, so duplicate
+    vectors still pair with each other.
+
+    Scale path: the broadcast matrix is O(N·d) per node — right while
+    the corpus fits the object store (same envelope as every brute-force
+    ANN baseline). Beyond that, route through the IVF cells of
+    `kmeans_embeddings` / `semantic_dedup`: per-cell self-joins with
+    nprobe>1 neighbor cells, identical output contract.
+    """
+    # one pass to materialize the broadcast side (ids + normalized rows)
+    mats, ids = [], []
+    for b in ds.map_batches(
+        lambda t: t.select([id_col, vec_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        mats.append(_normalize(_mat_from_list_col(b[vec_col], dtype)))
+        ids.append(b[id_col].to_numpy(zero_copy_only=False))
+    full = np.concatenate(mats) if mats else np.zeros((0, 1), dtype=dtype)
+    full_ids = (np.concatenate(ids) if ids
+                else np.zeros(0, dtype=np.int64)).astype(np.int64)
+    ref = ray.put((full, full_ids))
+
+    def _probe(t: pa.Table) -> pa.Table:
+        m_full, m_ids = ray.get(ref)            # plasma-local, zero-copy
+        q = _normalize(_mat_from_list_col(t[vec_col], dtype))
+        qids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = q @ m_full.T                     # (B, N)
+        sims[qids[:, None] == m_ids[None, :]] = -np.inf   # exclude self
+        kk = min(k, max(0, m_full.shape[0] - 1))
+        if kk == 0 or not len(qids):
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "nn_id": pa.array([], type=pa.int64()),
+                "rn": pa.array([], type=pa.int64()),
+            })
+        # top-k with deterministic (cos desc, nn_id asc) tie-break:
+        # argpartition a small candidate pool, then lexsort it exactly
+        pool = min(sims.shape[1], kk + 8)
+        cand = np.argpartition(-sims, pool - 1, axis=1)[:, :pool]
+        rows = np.repeat(np.arange(len(qids)), pool)
+        cs = sims[rows, cand.reshape(-1)].reshape(len(qids), pool)
+        nid = m_ids[cand]
+        order = np.lexsort((nid, -cs), axis=1)[:, :kk]
+        take = np.take_along_axis
+        return pa.table({
+            id_col: pa.array(np.repeat(qids, kk)),
+            "nn_id": pa.array(take(nid, order, axis=1).reshape(-1)),
+            "rn": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                   len(qids))),
+        })
+
+    return ds.map_batches(_probe, batch_format="pyarrow",
+                          batch_size=2048, zero_copy_batch=True)

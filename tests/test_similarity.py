@@ -156,3 +156,72 @@ def test_embedding_near_dup_path_parity(ray_session):
     assert (small["a"] == parted["a"]).all()
     assert (small["b"] == parted["b"]).all()
     assert np.allclose(small["cos"], parted["cos"])
+
+
+class TestNNSelfJoin:
+    """nn_self_join: every row's top-k OTHER neighbors, exact."""
+
+    def _brute(self, m, ids, k):
+        sims = m @ m.T
+        sims[ids[:, None] == ids[None, :]] = -np.inf
+        out = {}
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -sims[i]))[:k]
+            out[int(ids[i])] = [int(ids[j]) for j in order]
+        return out
+
+    def test_bruteforce_parity_and_dup_vectors(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deduplidog_ray.pipelines.similarity import (
+            _normalize, nn_self_join,
+        )
+
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(60, 8))
+        m[7] = m[3]          # exact duplicate vectors, distinct ids
+        ids = np.arange(100, 160, dtype=np.int64)
+        t = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        out = nn_self_join(rd.from_arrow(t), k=3).to_pandas()
+        mm = _normalize(
+            np.stack([np.asarray(r, dtype=np.float64) for r in
+                      t["embedding"].to_pylist()])
+        )
+        want = self._brute(mm, ids, 3)
+        got = {
+            int(v): g.sort_values("rn")["nn_id"].tolist()
+            for v, g in out.groupby("vec_id")
+        }
+        assert got == want
+        # the duplicate pair must be each other's top-1 (exclusion is by
+        # id, not by vector equality)
+        assert got[103][0] == 107 and got[107][0] == 103
+
+    def test_layout_invariance(self, ray_session):
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from deduplidog_ray.pipelines.similarity import nn_self_join
+
+        rng = np.random.default_rng(5)
+        m = rng.normal(size=(40, 6)).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+        })
+
+        def run(ds):
+            df = nn_self_join(ds, k=2).to_pandas()
+            return sorted(map(tuple, df.to_numpy()))
+
+        a = run(rd.from_arrow(t))
+        parts = [t.slice(0, 13), t.slice(13, 20), t.slice(33, 7)]
+        b = run(rd.from_arrow_refs([ray.put(p) for p in parts]))
+        assert a == b
