@@ -1488,6 +1488,20 @@ def q_clips_near_dedup(sf_dir: str):
     )
 
 
+def q_docs_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (stats.py:rollup_agg): per-(source, lang) doc
+    counts + char sums with source subtotals and a grand total — one
+    distributed leaf aggregate, coarser levels derived exactly from the
+    |groups|-bounded leaf table."""
+    from deduplidog_ray.pipelines.stats import rollup_agg
+
+    ds = _docs(sf_dir, columns=["source", "lang", "n_chars"])
+    return rollup_agg(
+        ds, ["source", "lang"], "n_chars",
+        count_alias="n_docs", sum_alias="sum_chars",
+    )
+
+
 def q_knn_self(sf_dir: str):
     """All-pairs kNN self-join (similarity.py:nn_self_join): every
     embedding's top-3 nearest OTHER vectors by cosine — the corpus IS the
@@ -1703,6 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_revenue": q_top_orders_revenue,
         "docs_by_len_rank": q_docs_by_len_rank,
         "knn_self": q_knn_self,
+        "docs_rollup": q_docs_rollup,
     }
 
 
@@ -2562,5 +2577,13 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rn
             FROM embeddings e JOIN embeddings q ON q.vec_id <> e.vec_id
             QUALIFY rn <= 3
+        """,
+        "docs_rollup": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(GROUPING(source) + GROUPING(lang) AS BIGINT) AS lvl
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
         """,
     }

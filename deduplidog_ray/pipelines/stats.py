@@ -242,3 +242,76 @@ def top_tokens_per_key(
         .groupby("_part")
         .map_groups(_topk, batch_format="pandas")
     )
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    count_alias: str = "n_rows",
+    sum_alias: str = "sum_val",
+    lvl_col: str = "lvl",
+) -> pd.DataFrame:
+    """GROUP BY ROLLUP(c1, .., ck): the hierarchical-subtotal aggregate.
+
+    Exactly ONE distributed aggregation — the leaf level
+    ``groupby(group_cols)`` with combiner-style partials (Ray Data's
+    hash aggregate) — then every coarser level is derived from the leaf
+    table, which is |leaf groups|-bounded (never the corpus). Count and
+    integer sums are exactly additive, so deriving upper levels from
+    the leaf is bit-exact, not an approximation; ``value_col`` must be
+    integer-typed for that guarantee (float re-summation differs in
+    rounding — refuse rather than drift from the oracle).
+
+    Rolled-up key columns are NULL; ``lvl_col`` carries how many
+    trailing keys were rolled (0 = leaf .. k = grand total), matching
+    SQL ``GROUPING(c1)+..+GROUPING(ck)`` so genuine NULL key values
+    stay distinguishable from subtotal rows.
+
+    ≙ reference G1 run counters (deduplidog.py:317-325) generalized to
+    the subtotal hierarchy a corpus report prints per (source, lang, ..).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    schema = dict(zip(ds.schema().names, ds.schema().types))
+    if not pa.types.is_integer(schema[value_col]):
+        raise TypeError(
+            f"rollup_agg needs an integer value column for exact "
+            f"re-aggregation; {value_col} is {schema[value_col]}"
+        )
+    leaf = (
+        ds.groupby(group_cols)
+        .aggregate(
+            Count(alias_name=count_alias),
+            Sum(value_col, alias_name=sum_alias),
+        )
+        .to_pandas()
+    )
+    k = len(group_cols)
+    out = [leaf.assign(**{lvl_col: 0})]
+    for i in range(k - 1, -1, -1):
+        keep = group_cols[:i]
+        if keep:
+            lvl = (
+                leaf.groupby(keep, sort=False, dropna=False)[
+                    [count_alias, sum_alias]
+                ]
+                .sum()
+                .reset_index()
+            )
+        else:
+            lvl = pd.DataFrame(
+                {
+                    count_alias: [int(leaf[count_alias].sum())],
+                    sum_alias: [int(leaf[sum_alias].sum())],
+                }
+            )
+        for c in group_cols[i:]:
+            lvl[c] = None
+        lvl[lvl_col] = k - i
+        out.append(lvl[group_cols + [count_alias, sum_alias, lvl_col]])
+    res = pd.concat(out, ignore_index=True)
+    res[count_alias] = res[count_alias].astype(np.int64)
+    res[sum_alias] = res[sum_alias].astype(np.int64)
+    res[lvl_col] = res[lvl_col].astype(np.int64)
+    return res
