@@ -1488,6 +1488,34 @@ def q_clips_near_dedup(sf_dir: str):
     )
 
 
+def q_user_running_totals(sf_dir: str):
+    """Ordered-frame window aggregate (windows.py:running_agg_per_key):
+    per-user running event-value totals + per-user row ordinal — SQL's
+    ROWS UNBOUNDED PRECEDING frame, one keyed shuffle, cents-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.windows import running_agg_per_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+                    pa.int64())
+        return t.drop_columns(["value"]).append_column("val_cents", c)
+
+    ds = ds.map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True)
+    return running_agg_per_key(
+        ds, key_col="user_id", ts_col="ts", tie_col="event_id",
+        val_col="val_cents", out_cols=["event_id", "user_id"],
+    )
+
+
 def q_docs_rollup(sf_dir: str):
     """GROUP BY ROLLUP (stats.py:rollup_agg): per-(source, lang) doc
     counts + char sums with source subtotals and a grand total — one
@@ -1718,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_len_rank": q_docs_by_len_rank,
         "knn_self": q_knn_self,
         "docs_rollup": q_docs_rollup,
+        "user_running_totals": q_user_running_totals,
     }
 
 
@@ -2585,5 +2614,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(source) + GROUPING(lang) AS BIGINT) AS lvl
             FROM documents
             GROUP BY ROLLUP(source, lang)
+        """,
+        "user_running_totals": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn_k,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS run_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
     }

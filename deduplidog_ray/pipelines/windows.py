@@ -171,3 +171,72 @@ def sliding_window_counts(
         lambda g: _slide_partition(g, key_col, ts_col, slide_seconds, k),
         batch_format="pandas",
     )
+
+
+def _running_partition(
+    g: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    out_cols: list[str],
+) -> pd.DataFrame:
+    """One hash partition: every key's running window at once.
+
+    lexsort by (key code, ts, tie) → segment starts where the key code
+    changes → per-row ordinal and running int64 sum by one cumsum with
+    the segment-start offset subtracted. No per-key dispatch, no Python
+    loop."""
+    if not len(g):
+        out = {c: g[c] for c in out_cols}
+        out["rn_k"] = pd.Series(dtype=np.int64)
+        out["run_sum"] = pd.Series(dtype=np.int64)
+        return pd.DataFrame(out)
+    codes, _ = pd.factorize(g[key_col], sort=False)
+    ts = g[ts_col].to_numpy()
+    ts = ts.astype("datetime64[us]").astype(np.int64) if ts.dtype.kind == "M" \
+        else ts.astype(np.int64)
+    tie = g[tie_col].to_numpy()
+    order = np.lexsort((tie, ts, codes))
+    v = g[val_col].to_numpy().astype(np.int64)[order]
+    c_sorted = codes[order]
+    starts = np.flatnonzero(np.r_[True, c_sorted[1:] != c_sorted[:-1]])
+    lens = np.diff(np.r_[starts, len(c_sorted)])
+    cum = np.cumsum(v)
+    base = np.repeat(cum[starts] - v[starts], lens)
+    rn = np.arange(len(c_sorted), dtype=np.int64) - np.repeat(starts, lens) + 1
+    out = {c: g[c].to_numpy()[order] for c in out_cols}
+    out["rn_k"] = rn
+    out["run_sum"] = cum - base
+    return pd.DataFrame(out)
+
+
+def running_agg_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    val_col: str,
+    out_cols: list[str] | None = None,
+    partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """Running (cumulative) window aggregate per key — SQL's
+    ``row_number() / sum(v) OVER (PARTITION BY key ORDER BY ts, tie
+    ROWS UNBOUNDED PRECEDING)`` — the ordered-frame window primitive
+    next to the tumbling/sliding/session family above.
+
+    Same exchange as every windows op here: ONE ``groupby(hash(key)%P)``
+    shuffle, then each partition answers every key with one lexsort +
+    one cumsum (segment offsets), P UDF dispatches total. ``val_col``
+    must be integer (exact running sums; convert currency to cents
+    upstream — float running sums drift from the oracle by summation
+    order). Emits ``rn_k`` (1-based ordinal within key) and ``run_sum``.
+    """
+    out_cols = out_cols or [tie_col, key_col]
+    hashed = _add_part(ds, key_col, partitions)
+    return hashed.groupby("_part").map_groups(
+        lambda g: _running_partition(
+            g, key_col, ts_col, tie_col, val_col, out_cols
+        ),
+        batch_format="pandas",
+    )
