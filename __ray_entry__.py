@@ -1488,6 +1488,17 @@ def q_clips_near_dedup(sf_dir: str):
     )
 
 
+def q_edit_dup_pairs(sf_dir: str):
+    """Typo-level near-dup (pipelines/editdedup.py): doc pairs whose
+    24-char key prefixes are within 1 Levenshtein edit — FastSS
+    deletion-neighborhood candidates (complete by theorem), vectorized
+    bounded-DP verify, |pairs|-bounded final dedup."""
+    from deduplidog_ray.pipelines.editdedup import edit_distance_dup_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return edit_distance_dup_pairs(ds, key_len=24, max_edits=1)
+
+
 def q_user_running_totals(sf_dir: str):
     """Ordered-frame window aggregate (windows.py:running_agg_per_key):
     per-user running event-value totals + per-user row ordinal — SQL's
@@ -1747,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self": q_knn_self,
         "docs_rollup": q_docs_rollup,
         "user_running_totals": q_user_running_totals,
+        "edit_dup_pairs": q_edit_dup_pairs,
     }
 
 
@@ -2623,5 +2635,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "edit_dup_pairs": """
+            WITH p AS (SELECT doc_id, substr(text, 1, 24) AS key
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM p a JOIN p b
+              ON a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 1
         """,
     }
