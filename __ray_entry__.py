@@ -1488,6 +1488,40 @@ def q_clips_near_dedup(sf_dir: str):
     )
 
 
+def q_repeat_users(sf_dir: str):
+    """INTERSECT of two LARGE sides (set-op family beyond unique_docs'
+    EXCEPT): users with events in both halves of the month — distinct
+    left via the exact-dedup exchange, then hash_join(how='semi') with
+    both sides streaming (no broadcast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.exact import dedupe_exact
+    from deduplidog_ray.pipelines.joins import hash_join
+
+    cut = pd.Timestamp("2024-01-16")
+
+    def _half(before: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            m = (pc.less(t["ts"], pa.scalar(cut)) if before
+                 else pc.greater_equal(t["ts"], pa.scalar(cut)))
+            return t.filter(m).select(["user_id"])
+
+        return _f
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    first = ray.data.read_parquet(ev, columns=["user_id", "ts"]).map_batches(
+        _half(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    second = ray.data.read_parquet(ev, columns=["user_id", "ts"]).map_batches(
+        _half(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    first = dedupe_exact(first, ["user_id"], "user_id")
+    return hash_join(first, second, "user_id", [], [], how="semi")
+
+
 def q_edit_dup_pairs(sf_dir: str):
     """Typo-level near-dup (pipelines/editdedup.py): doc pairs whose
     24-char key prefixes are within 1 Levenshtein edit — FastSS
@@ -1497,6 +1531,60 @@ def q_edit_dup_pairs(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return edit_distance_dup_pairs(ds, key_len=24, max_edits=1)
+
+
+def q_revenue_by_region(sf_dir: str):
+    """Star-schema flattening: the region<-nation<-customer dim chain is
+    composed driver-side (all dimension tables, tiny), broadcast ONCE,
+    and orders stream through a single vectorized lookup + grouped
+    integer-cents aggregate — three joins, zero shuffles on the fact
+    table beyond the |regions|-bounded final groupby."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).to_pandas()
+    dim = cust.merge(
+        nation.rename(columns={"n_nationkey": "c_nationkey"}),
+        on="c_nationkey",
+    ).merge(
+        region.rename(columns={"r_regionkey": "n_regionkey"}),
+        on="n_regionkey",
+    )[["c_custkey", "r_name"]]
+    ck = dim["c_custkey"].to_numpy()
+    order = np.argsort(ck, kind="stable")
+    names = dim["r_name"].to_numpy()[order]
+    ref = ray.put((ck[order], names))
+
+    def _lookup(t: pa.Table) -> pa.Table:
+        keys, rnames = ray.get(ref)
+        import pyarrow.compute as pc
+
+        custkey = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, custkey)
+        cents = pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "r_name": pa.array(rnames[pos]),
+            "cents": cents,
+        })
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(_lookup, batch_format="pyarrow", zero_copy_batch=True)
+    return orders.groupby("r_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("cents", alias_name="revenue_cents"),
+    )
 
 
 def q_user_running_totals(sf_dir: str):
@@ -1536,6 +1624,29 @@ def q_docs_rollup(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["source", "lang", "n_chars"])
     return rollup_agg(
+        ds, ["source", "lang"], "n_chars",
+        count_alias="n_docs", sum_alias="sum_chars",
+    )
+
+
+def q_dup_gram_ratio(sf_dir: str):
+    """Per-doc duplicated-text score (repetition.py:dup_gram_ratio):
+    fraction of each doc's distinct token 3-grams occurring in >= 2
+    docs — census + broadcast + streaming score, corpus never shuffles."""
+    from deduplidog_ray.pipelines.repetition import dup_gram_ratio
+
+    return dup_gram_ratio(_docs(sf_dir, columns=["doc_id", "text"]), k=3)
+
+
+def q_docs_cube(sf_dir: str):
+    """GROUP BY CUBE (stats.py:cube_agg): every subset of (source, lang)
+    — one distributed leaf aggregate, 2^k levels derived exactly; lvl is
+    the GROUPING bitmask so subtotal rows never collide with genuine
+    NULL keys."""
+    from deduplidog_ray.pipelines.stats import cube_agg
+
+    ds = _docs(sf_dir, columns=["source", "lang", "n_chars"])
+    return cube_agg(
         ds, ["source", "lang"], "n_chars",
         count_alias="n_docs", sum_alias="sum_chars",
     )
@@ -1759,6 +1870,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": q_docs_rollup,
         "user_running_totals": q_user_running_totals,
         "edit_dup_pairs": q_edit_dup_pairs,
+        "repeat_users": q_repeat_users,
+        "revenue_by_region": q_revenue_by_region,
+        "docs_cube": q_docs_cube,
+        "dup_gram_ratio": q_dup_gram_ratio,
     }
 
 
@@ -2642,5 +2757,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM p a JOIN p b
               ON a.doc_id < b.doc_id AND levenshtein(a.key, b.key) <= 1
+        """,
+        "repeat_users": """
+            SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'
+            INTERSECT
+            SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
+        """,
+        "docs_cube": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT)
+                       AS lvl
+            FROM documents
+            GROUP BY CUBE(source, lang)
+        """,
+        "dup_gram_ratio": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), gx AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, greatest(len(ts) - 2, 0)),
+                  i -> array_to_string(list_slice(ts, i, i + 2), chr(30))
+                )) AS g
+                FROM tok
+              )
+            ), df AS (
+              SELECT g FROM gx GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT gx.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(df.g) AS BIGINT) AS n_dup,
+                   CAST(count(df.g) AS DOUBLE) / count(*) AS dup_ratio
+            FROM gx LEFT JOIN df USING (g)
+            GROUP BY gx.doc_id
         """,
     }

@@ -227,6 +227,17 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "images_near_dup",
         "videos_frame_stats",
         "videos_near_dup",
+        "order_lines",
+        "top_orders_revenue",
+        "revenue_by_region",
+        "repeat_users",
+        "docs_by_len_rank",
+        "knn_self",
+        "docs_rollup",
+        "docs_cube",
+        "user_running_totals",
+        "edit_dup_pairs",
+        "dup_gram_ratio",
     ]:
         timed(name, entry.queries()[name])
 

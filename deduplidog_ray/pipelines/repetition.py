@@ -175,3 +175,67 @@ def lm_score(
         zero_copy_batch=True,
         concurrency=(1, concurrency),
     )
+
+
+def dup_gram_ratio(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    seed: int = 0xD0C5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc duplicated-text score (C4/RefinedWeb-style): among each
+    document's DISTINCT token k-grams, the fraction that occur in >= 2
+    distinct documents corpus-wide → (doc_id, n_grams, n_dup, dup_ratio).
+
+    Two streaming passes + one |distinct grams|-bounded shuffle:
+    the boilerplate census (`frequent_gram_set`, min_docs=2) yields the
+    duplicated-gram hash set, broadcast ONCE; the scoring pass recomputes
+    each doc's distinct grams and answers membership with one
+    searchsorted — no per-row Python, corpus never shuffles. Docs with
+    fewer than k tokens emit no row (no grams to score). dup_ratio is a
+    single int/int IEEE division, so the SQL oracle hashes bit-equal.
+
+    Same 64-bit-hash membership asymmetry as `decontaminate` /
+    `strip_boilerplate` (ADVICE r2 #4): a collision (~n²·2⁻⁶⁴) can only
+    nudge a score, never drop data.
+    """
+    from deduplidog_ray.pipelines.boilerplate import (
+        frequent_gram_set,
+        positional_gram_hashes,
+    )
+
+    dup = frequent_gram_set(ds, k=k, min_docs=2, seed=seed,
+                            text_col=text_col)
+    ref = ray.put(dup)
+
+    def _score(t: pa.Table) -> pa.Table:
+        dup_sorted = ray.get(ref)
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        flat, off, _, _ = positional_gram_hashes(texts, k, seed)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((flat, doc_idx))
+        d_s, f_s = doc_idx[order], flat[order]
+        keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])] \
+            if len(d_s) else np.zeros(0, dtype=bool)
+        d_u, f_u = d_s[keep], f_s[keep]
+        pos = np.searchsorted(dup_sorted, f_u)
+        isdup = (pos < len(dup_sorted)) & (dup_sorted[np.minimum(
+            pos, max(len(dup_sorted) - 1, 0))] == f_u) \
+            if len(dup_sorted) else np.zeros(len(f_u), dtype=bool)
+        n_grams = np.bincount(d_u, minlength=n).astype(np.int64)
+        n_dup = np.bincount(d_u, weights=isdup.astype(np.float64),
+                            minlength=n).astype(np.int64)
+        mask = n_grams > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False)[mask]
+        ng, nd = n_grams[mask], n_dup[mask]
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_grams": pa.array(ng),
+            "n_dup": pa.array(nd),
+            "dup_ratio": pa.array(nd.astype(np.float64) / ng),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow",
+                          zero_copy_batch=True)

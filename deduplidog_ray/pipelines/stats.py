@@ -315,3 +315,73 @@ def rollup_agg(
     res[sum_alias] = res[sum_alias].astype(np.int64)
     res[lvl_col] = res[lvl_col].astype(np.int64)
     return res
+
+
+def cube_agg(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    count_alias: str = "n_rows",
+    sum_alias: str = "sum_val",
+    lvl_col: str = "lvl",
+) -> pd.DataFrame:
+    """GROUP BY CUBE(c1, .., ck): every subset of the grouping keys.
+
+    Same execution contract as :func:`rollup_agg` — ONE distributed
+    leaf aggregate, every other level derived exactly from the
+    |groups|-bounded leaf — but over all 2^k subsets. ``lvl_col`` is
+    the GROUPING bitmask (bit i set = group_cols[i] rolled up, MSB
+    first, matching SQL ``GROUPING(c1)*2^(k-1) + .. + GROUPING(ck)``),
+    which — unlike a rolled-count — uniquely identifies the subset, so
+    genuine NULL key values never collide with subtotal rows."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    schema = dict(zip(ds.schema().names, ds.schema().types))
+    if not pa.types.is_integer(schema[value_col]):
+        raise TypeError(
+            f"cube_agg needs an integer value column; {value_col} is "
+            f"{schema[value_col]}"
+        )
+    leaf = (
+        ds.groupby(group_cols)
+        .aggregate(
+            Count(alias_name=count_alias),
+            Sum(value_col, alias_name=sum_alias),
+        )
+        .to_pandas()
+    )
+    k = len(group_cols)
+    out = []
+    for keep_n in range(k, -1, -1):
+        for keep in combinations(range(k), keep_n):
+            keep_cols = [group_cols[i] for i in keep]
+            if keep_cols == group_cols:
+                lvl = leaf.copy()
+            elif keep_cols:
+                lvl = (
+                    leaf.groupby(keep_cols, sort=False, dropna=False)[
+                        [count_alias, sum_alias]
+                    ]
+                    .sum()
+                    .reset_index()
+                )
+            else:
+                lvl = pd.DataFrame(
+                    {
+                        count_alias: [int(leaf[count_alias].sum())],
+                        sum_alias: [int(leaf[sum_alias].sum())],
+                    }
+                )
+            mask = 0
+            for i in range(k):
+                if i not in keep:
+                    lvl[group_cols[i]] = None
+                    mask |= 1 << (k - 1 - i)
+            lvl[lvl_col] = mask
+            out.append(lvl[group_cols + [count_alias, sum_alias, lvl_col]])
+    res = pd.concat(out, ignore_index=True)
+    for c in (count_alias, sum_alias, lvl_col):
+        res[c] = res[c].astype(np.int64)
+    return res

@@ -59,3 +59,58 @@ def test_float_value_refused(ray_session):
     t = pa.table({"a": pa.array(["x"]), "v": pa.array([1.5])})
     with pytest.raises(TypeError):
         rollup_agg(rd.from_arrow(t), ["a"], "v")
+
+
+def test_cube_levels(ray_session):
+    from deduplidog_ray.pipelines.stats import cube_agg
+
+    out = cube_agg(rd.from_arrow(_t()), ["a", "b"], "v")
+    # bitmask levels: 0=leaf, 1=(a), 2=(b), 3=total
+    assert set(out["lvl"].unique()) == {0, 1, 2, 3}
+    b_lvl = out[out["lvl"] == 2].set_index("b")
+    assert int(b_lvl.loc["p", "sum_val"]) == 29   # 1+4+8+16
+    assert int(b_lvl.loc["q", "sum_val"]) == 2
+    assert int(out[out["lvl"] == 3]["sum_val"].iloc[0]) == 31
+    # (a)-subtotals and (b)-subtotals never collide even though both
+    # roll exactly one column
+    a_lvl = out[out["lvl"] == 1]
+    assert a_lvl["b"].isna().all() and a_lvl["a"].notna().sum() == 2
+
+
+def test_dup_gram_ratio_bruteforce(ray_session):
+    from collections import Counter
+
+    from deduplidog_ray.pipelines.repetition import dup_gram_ratio
+
+    texts = [
+        "a b c d e",          # shares grams with doc 1
+        "a b c x y",          # 'a b c' duplicated
+        "u v w z q",          # unique
+        "a b",                # too short: no grams, no row
+        "u v w z q",          # exact dup of doc 2
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    out = dup_gram_ratio(rd.from_arrow(t), k=3).to_pandas().set_index(
+        "doc_id"
+    )
+    # brute force
+    def grams(s):
+        ts = s.split()
+        return {tuple(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    docs_per = Counter()
+    for s in texts:
+        for g in grams(s):
+            docs_per[g] += 1
+    for i, s in enumerate(texts):
+        gs = grams(s)
+        if not gs:
+            assert i not in out.index
+            continue
+        nd = sum(1 for g in gs if docs_per[g] >= 2)
+        assert int(out.loc[i, "n_grams"]) == len(gs)
+        assert int(out.loc[i, "n_dup"]) == nd
+        assert out.loc[i, "dup_ratio"] == nd / len(gs)
