@@ -1629,6 +1629,22 @@ def q_docs_rollup(sf_dir: str):
     )
 
 
+def q_last_event_per_user(sf_dir: str):
+    """Greatest-row-per-group as an associative combiner
+    (stats.py:argmax_per_key): each user's latest event — batches reduce
+    to one row per key BEFORE the exchange, so only winners ship."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.stats import argmax_per_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return argmax_per_key(ds, key_col="user_id", order_col="ts",
+                          tie_col="event_id", ascending=False)
+
+
 def q_dup_gram_ratio(sf_dir: str):
     """Per-doc duplicated-text score (repetition.py:dup_gram_ratio):
     fraction of each doc's distinct token 3-grams occurring in >= 2
@@ -1718,7 +1734,7 @@ def q_order_lines(sf_dir: str):
     return hash_join(
         orders, li, "orderkey",
         ["o_orderpriority"], ["l_linenumber", "l_returnflag"],
-        how="inner",
+        how="inner", runtime_filter=True,
     )
 
 
@@ -1772,7 +1788,7 @@ def q_top_orders_revenue(sf_dir: str):
     ).map_batches(_cents, batch_format="pyarrow", zero_copy_batch=True)
 
     joined = hash_join(orders, li, "orderkey", ["o_orderpriority"],
-                       ["rev_cbp"], how="inner")
+                       ["rev_cbp"], how="inner", runtime_filter=True)
     from ray.data.aggregate import Sum
 
     per_order = joined.groupby(["orderkey", "o_orderpriority"]).aggregate(
@@ -1874,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": q_revenue_by_region,
         "docs_cube": q_docs_cube,
         "dup_gram_ratio": q_dup_gram_ratio,
+        "last_event_per_user": q_last_event_per_user,
     }
 
 
@@ -2807,5 +2824,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(df.g) AS DOUBLE) / count(*) AS dup_ratio
             FROM gx LEFT JOIN df USING (g)
             GROUP BY gx.doc_id
+        """,
+        "last_event_per_user": """
+            SELECT event_id, user_id, ts, event_type
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id
+            ) = 1
         """,
     }

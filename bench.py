@@ -238,6 +238,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "user_running_totals",
         "edit_dup_pairs",
         "dup_gram_ratio",
+        "last_event_per_user",
     ]:
         timed(name, entry.queries()[name])
 

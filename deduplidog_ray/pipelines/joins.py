@@ -604,16 +604,41 @@ def _join_partition(
 
     The hash is only the ROUTER: equal keys co-locate, and the in-partition
     merge compares the TRUE key column — two distinct keys colliding in 64
-    bits never join (same collision rule as pipelines/exact.py)."""
+    bits never join (same collision rule as pipelines/exact.py).
+
+    NULL keys follow SQL semantics (NULL never equals NULL — pandas'
+    NaN-matches-NaN merge rule must NOT leak through): null-key right
+    rows never match; null-key left rows drop under inner/semi and
+    survive unmatched under left/anti. They are split off IN ARROW,
+    before the pandas round-trip would NaN-promote integer keys."""
+    import pyarrow.compute as pc
+
     side = t["_side"].to_numpy(zero_copy_only=False)
-    lt = t.filter(pa.array(side == 0)).select([key] + left_cols)
-    rt = t.filter(pa.array(side == 1)).select([key] + right_cols)
+    valid = pc.is_valid(t[key]).to_numpy(zero_copy_only=False)
+    lt = t.filter(pa.array((side == 0) & valid)).select([key] + left_cols)
+    rt = t.filter(pa.array((side == 1) & valid)).select([key] + right_cols)
+    l_null = (
+        t.filter(pa.array((side == 0) & ~valid)).select([key] + left_cols)
+        if how in ("left", "anti") else None
+    )
+
+    def _with_nulls(res: pa.Table) -> pa.Table:
+        if l_null is None or len(l_null) == 0:
+            return res
+        pad = l_null
+        for c in right_cols:
+            pad = pad.append_column(
+                c, pa.nulls(len(pad), type=out_schema.field(c).type)
+            )
+        return pa.concat_tables([res, pad.select(out_schema.names)])
+
     l = lt.to_pandas()
     if how in ("semi", "anti"):
         keys_r = rt[key].to_numpy(zero_copy_only=False)
         mask = l[key].isin(keys_r)
         out = l[~mask] if how == "anti" else l[mask]
-        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+        res = pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+        return _with_nulls(res)
     r = rt.to_pandas()
     out = l.merge(r, on=key, how=how, sort=False)
     if how == "left":
@@ -625,7 +650,8 @@ def _join_partition(
             pd_t = _NULLABLE_PD.get(want)
             if pd_t and str(out[c].dtype) != pd_t:
                 out[c] = out[c].astype(pd_t)
-    return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+    res = pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+    return _with_nulls(res)
 
 
 def hash_join(
@@ -636,11 +662,23 @@ def hash_join(
     right_cols: list[str],
     how: str = "inner",
     partitions: int = 64,
+    runtime_filter: bool = False,
+    filter_max_keys: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Large x large co-partitioned hash equi-join — the general relational
     join the broadcast family (:func:`broadcast_semi_join`,
     ``asof/nearest/range``) deliberately avoids building until both sides
     are too big to broadcast.
+
+    ``runtime_filter=True`` adds the classic join-pushdown: one
+    keys-only pass collects the left side's DISTINCT key hashes
+    (bounded by ``filter_max_keys`` — above that the filter is skipped,
+    logged, and the plain join runs); the sorted array broadcasts once
+    and prunes right-side rows BEFORE they enter the shuffle. A 64-bit
+    collision can only keep an extra right row (the true-key merge
+    still rejects it) — never lose one, so the result is identical.
+    Right for selective joins (a filtered fact side); a waste when most
+    right rows survive.
 
     Shape (the module docstring's "explicit bucket-hash join", made a
     first-class operator): each side is tagged with ``_part =
@@ -680,8 +718,48 @@ def hash_join(
 
     from deduplidog_ray.stages.hashing import hash_arrow_u64
 
+    rf_ref = None
+    if runtime_filter:
+        import logging
+
+        parts, total, fits = [], 0, True
+        keys_only = left_ds.map_batches(
+            lambda t: pa.table({"h": pa.array(np.unique(
+                hash_arrow_u64(t[key], seed=0x10A5)).view(np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        for b in keys_only.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"):
+            arr = b["h"].to_numpy(zero_copy_only=False)
+            parts.append(arr)
+            total += len(arr)
+            if total > filter_max_keys:
+                fits = False
+                break
+        if fits:
+            rf_ref = ray.put(np.unique(np.concatenate(parts))
+                             if parts else np.empty(0, dtype=np.int64))
+        else:
+            logging.getLogger(__name__).info(
+                "hash_join runtime filter skipped: left side exceeds "
+                "%d distinct key hashes", filter_max_keys,
+            )
+    _memo: dict[str, np.ndarray] = {}
+
     def _tag(side: int):
         def _f(t: pa.Table) -> pa.Table:
+            h = hash_arrow_u64(t[key], seed=0x10A5)
+            if side == 1 and rf_ref is not None:
+                if "rf" not in _memo:
+                    _memo["rf"] = ray.get(rf_ref)
+                rf = _memo["rf"]
+                hs = h.view(np.int64)
+                pos = np.searchsorted(rf, hs)
+                keep = (pos < len(rf)) & (
+                    rf[np.minimum(pos, max(len(rf) - 1, 0))] == hs
+                ) if len(rf) else np.zeros(len(hs), dtype=bool)
+                t = t.filter(pa.array(keep))
+                h = h[keep]
             n = len(t)
             cols: dict = {}
             for c in all_cols:
@@ -689,7 +767,6 @@ def hash_join(
                     n, type=types[c]
                 )
             cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
-            h = hash_arrow_u64(t[key], seed=0x10A5)
             cols["_part"] = pa.array(
                 (h % np.uint64(partitions)).astype(np.int64)
             )

@@ -385,3 +385,66 @@ def cube_agg(
     for c in (count_alias, sum_alias, lvl_col):
         res[c] = res[c].astype(np.int64)
     return res
+
+
+def _best_rows(
+    df: pd.DataFrame,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    ascending: bool,
+) -> pd.DataFrame:
+    """Keep each key's best row: (order asc|desc, tie asc). One lexsort
+    + one first-in-run mask, every key at once."""
+    if not len(df):
+        return df
+    o = df[order_col].to_numpy()
+    if o.dtype.kind == "M":
+        o = o.astype("datetime64[us]").astype(np.int64)
+    if not ascending:
+        o = -o.astype(np.int64, copy=False)
+    codes, _ = pd.factorize(df[key_col], sort=False)
+    idx = np.lexsort((df[tie_col].to_numpy(), o, codes))
+    c_sorted = codes[idx]
+    first = np.r_[True, c_sorted[1:] != c_sorted[:-1]]
+    return df.iloc[idx[first]]
+
+
+def argmax_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    ascending: bool = False,
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Greatest-row-per-group (SQL's ``QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY order [DESC], tie) = 1``) as an
+    ASSOCIATIVE combiner — each batch first reduces to at most one row
+    per key it contains, so the exchange ships |keys seen per batch|
+    rows, never the corpus; the per-partition finish runs the exact
+    same kernel. Contrast with `quota_per_key` (which must co-locate
+    and sort every group member): argmax needs only the winners.
+
+    Deterministic: ties on ``order_col`` break by ascending
+    ``tie_col`` (unique id). ≙ the reference's per-stem "first
+    matching candidate wins" reduced over an explicit order instead of
+    scan order (deduplidog.py:707-714)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        best = _best_rows(df, key_col, order_col, tie_col, ascending)
+        h = hash_strings_u64(best[key_col].astype(str).tolist(), seed=0x9B)\
+            if best[key_col].dtype == object else \
+            mix64(best[key_col].to_numpy().astype(np.uint64), seed=0x9B)
+        best = best.copy()
+        best["_part"] = (h % np.uint64(partitions)).astype(np.int64)
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = partials.groupby("_part").map_groups(
+        lambda g: _best_rows(g, key_col, order_col, tie_col, ascending),
+        batch_format="pandas",
+    )
+    return out.drop_columns(["_part"])

@@ -119,3 +119,54 @@ def test_column_collision_rejected(ray_session):
     with pytest.raises(ValueError):
         hash_join(rd.from_arrow(_left()), rd.from_arrow(_right()),
                   "k", ["lv"], ["lv"], how="inner")
+
+
+def test_null_keys_sql_semantics(ray_session):
+    """NULL join keys never match (SQL), even though pandas merge would
+    happily pair NaN with NaN; null-key left rows survive only under
+    left/anti."""
+    l = pa.table({
+        "k": pa.array([1, None, 2, None], type=pa.int64()),
+        "lv": pa.array([10, 11, 20, 21], type=pa.int64()),
+    })
+    r = pa.table({
+        "k": pa.array([1, None], type=pa.int64()),
+        "rv": pa.array([100, 999], type=pa.int64()),
+    })
+    inner = hash_join(rd.from_arrow(l), rd.from_arrow(r), "k",
+                      ["lv"], ["rv"], how="inner", partitions=4).to_pandas()
+    assert inner["lv"].tolist() == [10] and inner["rv"].tolist() == [100]
+    left = hash_join(rd.from_arrow(l), rd.from_arrow(r), "k",
+                     ["lv"], ["rv"], how="left", partitions=4).to_pandas()
+    assert len(left) == 4
+    assert left.set_index("lv")["rv"].notna().to_dict() == {
+        10: True, 11: False, 20: False, 21: False
+    }
+    semi = hash_join(rd.from_arrow(l), rd.from_arrow(r), "k",
+                     ["lv"], [], how="semi", partitions=4).to_pandas()
+    anti = hash_join(rd.from_arrow(l), rd.from_arrow(r), "k",
+                     ["lv"], [], how="anti", partitions=4).to_pandas()
+    assert semi["lv"].tolist() == [10]
+    assert sorted(anti["lv"]) == [11, 20, 21]
+
+
+def test_runtime_filter_identical_results(ray_session):
+    """The pushdown filter prunes right rows before the shuffle but must
+    never change the result — incl. when the key budget forces it off."""
+    kw = dict(how="inner", partitions=5)
+    base = hash_join(rd.from_arrow(_left()), rd.from_arrow(_right()),
+                     "k", ["lv"], ["rv"], **kw).to_pandas()
+    filt = hash_join(rd.from_arrow(_left()), rd.from_arrow(_right()),
+                     "k", ["lv"], ["rv"], runtime_filter=True,
+                     **kw).to_pandas()
+    off = hash_join(rd.from_arrow(_left()), rd.from_arrow(_right()),
+                    "k", ["lv"], ["rv"], runtime_filter=True,
+                    filter_max_keys=1, **kw).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].to_numpy()))
+    assert key(base) == key(filt) == key(off)
+    # anti join with the filter: pruned right rows must not turn
+    # matching left rows into "unmatched"
+    anti_f = hash_join(rd.from_arrow(_left()), rd.from_arrow(_right()),
+                       "k", ["lv"], [], how="anti",
+                       runtime_filter=True).to_pandas()
+    assert sorted(anti_f["k"]) == [1, 5]
