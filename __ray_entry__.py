@@ -1629,6 +1629,35 @@ def q_docs_rollup(sf_dir: str):
     )
 
 
+def q_search_docs(sf_dir: str):
+    """Search query side (textops.py:search_tf_topk): top-10 docs by
+    total query-term frequency — zero-shuffle per-batch-final scoring +
+    the blocks x k top-n merge. Integer scores keep the oracle exact."""
+    from deduplidog_ray.pipelines.textops import search_tf_topk
+
+    return search_tf_topk(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        query_terms=["hash", "join", "filter"], k=10,
+    )
+
+
+def q_edit_dup_clusters(sf_dir: str):
+    """Typo-level near-dup CLUSTERS: the FastSS pair stream closed into
+    connected components by the distributed large-star/small-star rounds
+    (pipelines/components.py) — two whole dedup-family stages composed."""
+    from deduplidog_ray.pipelines.components import connected_components
+    from deduplidog_ray.pipelines.editdedup import edit_distance_dup_pairs
+
+    pairs = edit_distance_dup_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]), key_len=24, max_edits=1
+    )
+    out = connected_components(pairs, a_col="id_a", b_col="id_b")
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_last_event_per_user(sf_dir: str):
     """Greatest-row-per-group as an associative combiner
     (stats.py:argmax_per_key): each user's latest event — batches reduce
@@ -1891,6 +1920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube": q_docs_cube,
         "dup_gram_ratio": q_dup_gram_ratio,
         "last_event_per_user": q_last_event_per_user,
+        "edit_dup_clusters": q_edit_dup_clusters,
+        "search_docs": q_search_docs,
     }
 
 
@@ -2831,5 +2862,38 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id
             ) = 1
+        """,
+        "edit_dup_clusters": """
+            WITH RECURSIVE p AS (
+              SELECT doc_id, substr(text, 1, 24) AS key FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM p a JOIN p b
+                ON a.doc_id < b.doc_id
+               AND levenshtein(a.key, b.key) <= 1
+            ), nodes AS (
+              SELECT a AS id FROM pairs UNION SELECT b FROM pairs
+            ), edges AS (
+              SELECT a, b FROM pairs
+              UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), walk(id, lbl) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.b AS id, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+            )
+            SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY id
+        """,
+        "search_docs": r"""
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS score
+            FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS t
+              FROM documents
+            )
+            WHERE t IN ('hash', 'join', 'filter')
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 10
         """,
     }

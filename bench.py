@@ -239,6 +239,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "edit_dup_pairs",
         "dup_gram_ratio",
         "last_event_per_user",
+        "edit_dup_clusters",
+        "search_docs",
     ]:
         timed(name, entry.queries()[name])
 

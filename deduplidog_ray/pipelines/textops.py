@@ -279,3 +279,46 @@ def inverted_index(
     return hashed.groupby("_part").map_groups(
         _build, batch_format="pandas"
     )
+
+
+def search_tf_topk(
+    ds: ray.data.Dataset,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Search serving over the corpus: top-k documents by total query-term
+    frequency (integer scores — the tf part of BM25; idf/length terms
+    would add transcendentals the SQL-side sum order can't reproduce,
+    so the SQL-exact query is deliberately tf-only).
+
+    Zero shuffle: a document is one row, so each batch's (doc, score)
+    partials are FINAL — tokenize on Arrow's RE2 (the `token_freq`
+    kernel), one `is_in` against the broadcast term set, one bincount per
+    batch; only docs with score > 0 leave the batch, and `global_top_n`
+    merges blocks x k candidates. Pairs with `inverted_index` (the
+    build-side of search prep); this is the query side."""
+    from deduplidog_ray.pipelines.stats import global_top_n
+
+    terms = pa.array(sorted({t.lower() for t in query_terms}),
+                     type=pa.string())
+
+    def _score(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(t[text_col], ""))
+        parts = pc.split_pattern_regex(low, pattern=r"[^\w]+")
+        flat = pc.list_flatten(parts)
+        n_tok = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_tok)
+        hit = pc.is_in(flat, value_set=terms).to_numpy(zero_copy_only=False)
+        score = np.bincount(doc_idx[hit], minlength=len(t)).astype(np.int64)
+        mask = score > 0
+        return pa.table({
+            id_col: t[id_col].filter(pa.array(mask)),
+            "score": pa.array(score[mask]),
+        })
+
+    scored = ds.map_batches(_score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return global_top_n(scored, by="score", n=k, ascending=False,
+                        tie_col=id_col)
