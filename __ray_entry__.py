@@ -1629,6 +1629,37 @@ def q_docs_rollup(sf_dir: str):
     )
 
 
+def q_props_k_stats(sf_dir: str):
+    """Semi-structured (JSON-ish) field extraction: pull the integer
+    `k` out of the events `props` JSON string with ONE Arrow RE2
+    `extract_regex` pass (no per-row json.loads) and aggregate per
+    event_type — the same automaton DuckDB's regexp_extract runs, so
+    the oracle is bit-exact without a JSON engine dependency."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+
+    def _extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    ds = ds.map_batches(_extract, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("k", alias_name="sum_k"),
+        Max("k", alias_name="max_k"),
+    )
+
+
 def q_search_docs(sf_dir: str):
     """Search query side (textops.py:search_tf_topk): top-10 docs by
     total query-term frequency — zero-shuffle per-batch-final scoring +
@@ -1922,6 +1953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_event_per_user": q_last_event_per_user,
         "edit_dup_clusters": q_edit_dup_clusters,
         "search_docs": q_search_docs,
+        "props_k_stats": q_props_k_stats,
     }
 
 
@@ -2895,5 +2927,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY score DESC, doc_id
             LIMIT 10
+        """,
+        "props_k_stats": r"""
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   max(CAST(regexp_extract(props, '"k": (\d+)', 1)
+                            AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY event_type
         """,
     }

@@ -88,3 +88,62 @@ def test_minhash_jaccard_estimate_bounded(n_shared, n_a, n_b):
     assert 0.0 <= est <= 1.0
     if n_shared == 0 and n_a > 5 and n_b > 5:
         assert est < 0.5            # disjoint-ish sets estimate low
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    k=st.integers(0, 3),
+    n=st.integers(1, 40),
+)
+def test_lev_kernel_property(seed, k, n):
+    """Vectorized bounded Levenshtein == scalar DP on random short
+    strings (the editdedup verify kernel)."""
+    from deduplidog_ray.pipelines.editdedup import lev_le_k
+
+    rng = np.random.default_rng(seed)
+    alpha = list("abcd")  # small alphabet -> many near-misses at the bound
+
+    def rand_s():
+        return "".join(rng.choice(alpha, rng.integers(0, 10)))
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[lb]
+
+    a = [rand_s() for _ in range(n)]
+    b = [rand_s() for _ in range(n)]
+    got = lev_le_k(a, b, k)
+    want = np.array([lev(x, y) <= k for x, y in zip(a, b)])
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    descending=st.booleans(),
+)
+def test_sort_composite_order_property(seed, descending):
+    """The int64 composite used by distributed_sort_rank preserves the
+    (key asc|desc, tie asc) total order for any in-range inputs."""
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.sort import _composite
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    key = rng.integers(-(1 << 29), 1 << 29, n).astype(np.int64)
+    tie = rng.permutation(n).astype(np.int64)
+    t = pa.table({"k": pa.array(key), "t": pa.array(tie)})
+    comp = _composite(t, "k", "t", descending)
+    order_comp = np.argsort(comp, kind="stable")
+    order_ref = np.lexsort((tie, -key if descending else key))
+    assert np.array_equal(order_comp, order_ref)
