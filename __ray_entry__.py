@@ -298,6 +298,26 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_seconds=1800.0)
 
 
+def q_events_debounce(sf_dir: str):
+    """Event-stream debounce (windows.py:debounce_events): drop events
+    within 30 min of the previous same-user event — streaming dedup by
+    recency (retry storms / at-least-once delivery), survivors = the
+    session-opening rows. One hash(key)%P shuffle, vectorized lag mask
+    per partition."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.windows import debounce_events
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return debounce_events(
+        ds, gap_seconds=1800.0,
+        out_cols=["event_id", "user_id", "ts", "event_type"],
+    )
+
+
 def q_sliding_windows(sf_dir: str):
     """Sliding 1h windows advancing 30 min: per-user event counts."""
     import ray.data
@@ -1880,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nearest": q_events_nearest,
         "events_range": q_events_range,
         "sessionize": q_sessionize,
+        "events_debounce": q_events_debounce,
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
         "contained_docs": q_contained_docs,
@@ -2072,6 +2093,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "events_debounce": """
+            WITH lagged AS (
+                SELECT event_id, user_id, ts, event_type,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+            SELECT event_id, user_id, ts, event_type
+            FROM lagged
+            WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
         """,
         "sliding_windows": """
             WITH ev AS (

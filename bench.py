@@ -169,6 +169,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "events_nearest",
         "events_range",
         "sessionize",
+        "events_debounce",
         "sliding_windows",
         "pricing_summary",
         "orders_by_nation",

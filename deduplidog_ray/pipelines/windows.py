@@ -173,6 +173,67 @@ def sliding_window_counts(
     )
 
 
+def _debounce_partition(
+    g: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    gap_seconds: float,
+    out_cols: list[str],
+) -> pd.DataFrame:
+    """One hash partition: keep each key's session-opening events.
+
+    lexsort by (key code, ts, tie); a row survives when it starts a new
+    key segment or its gap from the IMMEDIATELY preceding event of the
+    same key exceeds ``gap_seconds`` (identical session-boundary rule to
+    ``_sessions_partition``, so debounce(ds) ≡ one row per sessionize
+    session). Vectorized mask, no per-key dispatch."""
+    if not len(g):
+        return pd.DataFrame({c: g[c] for c in out_cols})
+    codes, _ = pd.factorize(g[key_col], sort=False)
+    ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    tie = g[tie_col].to_numpy()
+    order = np.lexsort((tie, ts, codes))
+    codes_s, ts_s = codes[order], ts[order]
+    new_key = np.r_[True, codes_s[1:] != codes_s[:-1]]
+    gap = np.r_[True, (ts_s[1:] - ts_s[:-1]) / 1e9 > gap_seconds]
+    keep = order[new_key | gap]
+    return pd.DataFrame({c: g[c].to_numpy()[keep] for c in out_cols})
+
+
+def debounce_events(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    gap_seconds: float = 1800.0,
+    out_cols: list[str] | None = None,
+    partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """Event-stream debounce: drop every event closer than ``gap_seconds``
+    to the previous event of the same key; survivors are exactly the
+    session-opening rows (first event of each ``sessionize`` session).
+    The streaming-dedup pattern for event logs (retry storms, double
+    clicks, at-least-once delivery) — dedup by recency rather than by
+    content key, which no exact/near-dup family op covers.
+
+    Gap is measured against the immediately preceding event (lag
+    semantics — SQL: ``lag(ts) OVER (PARTITION BY key ORDER BY ts,
+    tie)``), NOT the last kept event, keeping the kernel one vectorized
+    diff and the oracle window-expressible. ONE hash(key)%P shuffle, P
+    UDF dispatches; full event rows ride the exchange (events are
+    narrow; for wide payloads project ``out_cols`` down first).
+    """
+    out_cols = out_cols or [tie_col, key_col, ts_col]
+    parted = _add_part(ds, key_col, partitions)
+    return parted.groupby("_part").map_groups(
+        lambda g: _debounce_partition(
+            g, key_col, ts_col, tie_col, gap_seconds, out_cols
+        ),
+        batch_format="pandas",
+    )
+
+
 def _running_partition(
     g: pd.DataFrame,
     key_col: str,
