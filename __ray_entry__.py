@@ -318,6 +318,46 @@ def q_events_debounce(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff (pipelines/diff.py): added/removed/changed rows
+    between two corpus versions — both sides co-partitioned through ONE
+    union+shuffle, unchanged rows dropped in-kernel (output ∝ changes).
+    The two versions are derived deterministically from `documents` with
+    the same Knuth mix the SQL oracle replicates: old = mix(id)%7≠0,
+    new = mix(id+13)%5≠0 with text amended when mix(id+99)%3=0."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.diff import dataset_diff
+
+    K, M = np.uint64(2654435761), np.uint64(1 << 32)
+
+    def _mix(ids: np.ndarray, salt: int) -> np.ndarray:
+        return ((ids.astype(np.uint64) + np.uint64(salt)) * K) % M
+
+    def _old(t: pa.Table) -> pa.Table:
+        h = _mix(t["doc_id"].to_numpy(), 0)
+        return t.filter(pa.array(h % np.uint64(7) != 0))
+
+    def _new(t: pa.Table) -> pa.Table:
+        h = _mix(t["doc_id"].to_numpy(), 13)
+        t = t.filter(pa.array(h % np.uint64(5) != 0))
+        chg = _mix(t["doc_id"].to_numpy(), 99) % np.uint64(3) == 0
+        amended = pc.binary_join_element_wise(
+            t["text"], pa.scalar(" [v2]"), ""
+        )
+        text = pc.if_else(pa.array(chg), amended, t["text"])
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
+    ds_old = ds.map_batches(_old, batch_format="pyarrow", zero_copy_batch=True)
+    ds_new = ds.map_batches(_new, batch_format="pyarrow", zero_copy_batch=True)
+    return dataset_diff(
+        ds_old, ds_new, key_cols=["doc_id"],
+        compare_cols=["text", "n_chars"], partitions=32,
+    )
+
+
 def q_sliding_windows(sf_dir: str):
     """Sliding 1h windows advancing 30 min: per-user event counts."""
     import ray.data
@@ -1901,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range": q_events_range,
         "sessionize": q_sessionize,
         "events_debounce": q_events_debounce,
+        "snapshot_diff": q_snapshot_diff,
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
         "contained_docs": q_contained_docs,
@@ -2104,6 +2145,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type
             FROM lagged
             WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        """,
+        "snapshot_diff": """
+            WITH a AS (
+                SELECT doc_id, text, n_chars FROM documents
+                WHERE ((doc_id * 2654435761) % 4294967296) % 7 <> 0
+            ), b AS (
+                SELECT doc_id,
+                       CASE WHEN (((doc_id + 99) * 2654435761)
+                                  % 4294967296) % 3 = 0
+                            THEN text || ' [v2]' ELSE text END AS text,
+                       n_chars
+                FROM documents
+                WHERE (((doc_id + 13) * 2654435761) % 4294967296) % 5 <> 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+               OR a.text <> b.text OR a.n_chars <> b.n_chars
         """,
         "sliding_windows": """
             WITH ev AS (

@@ -170,6 +170,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "events_range",
         "sessionize",
         "events_debounce",
+        "snapshot_diff",
         "sliding_windows",
         "pricing_summary",
         "orders_by_nation",
