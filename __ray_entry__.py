@@ -318,6 +318,21 @@ def q_events_debounce(sf_dir: str):
     )
 
 
+def q_len_percentile(sf_dir: str):
+    """Per-source percentile rank of document length
+    (stats.py:group_percent_rank) — normalize a signal within its
+    domain before cross-domain threshold pruning. One keyed shuffle,
+    one lexsort per partition; (rank−1)/(n−1) over exact ints keeps
+    the doubles bit-reproducible."""
+    from deduplidog_ray.pipelines.stats import group_percent_rank
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    return group_percent_rank(
+        ds, key_col="source", val_col="n_chars", out_col="pct_rank",
+        partitions=32,
+    )
+
+
 def q_snapshot_diff(sf_dir: str):
     """Snapshot diff (pipelines/diff.py): added/removed/changed rows
     between two corpus versions — both sides co-partitioned through ONE
@@ -1942,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "events_debounce": q_events_debounce,
         "snapshot_diff": q_snapshot_diff,
+        "len_percentile": q_len_percentile,
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
         "contained_docs": q_contained_docs,
@@ -2145,6 +2161,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type
             FROM lagged
             WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        """,
+        "len_percentile": """
+            SELECT doc_id, source, n_chars,
+                   percent_rank() OVER (PARTITION BY source
+                                        ORDER BY n_chars) AS pct_rank
+            FROM documents
         """,
         "snapshot_diff": """
             WITH a AS (

@@ -171,6 +171,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "sessionize",
         "events_debounce",
         "snapshot_diff",
+        "len_percentile",
         "sliding_windows",
         "pricing_summary",
         "orders_by_nation",

@@ -448,3 +448,70 @@ def argmax_per_key(
         batch_format="pandas",
     )
     return out.drop_columns(["_part"])
+
+
+def _percent_rank_partition(
+    g: pd.DataFrame, key_col: str, val_col: str, out_col: str
+) -> pd.DataFrame:
+    """All keys of one hash partition: SQL ``percent_rank() OVER
+    (PARTITION BY key ORDER BY val)`` = (rank−1)/(n−1), ties share the
+    min rank, single-row groups → 0.0. One lexsort; tie-run starts are
+    forward-filled with maximum.accumulate — no per-key dispatch. The
+    division is one IEEE double op over exact ints, so the oracle is
+    bit-reproducible."""
+    g = g.drop(columns=["_part"])
+    if not len(g):
+        out = g.copy()
+        out[out_col] = pd.Series(dtype=np.float64)
+        return out
+    codes, _ = pd.factorize(g[key_col], sort=False)
+    v = g[val_col].to_numpy()
+    order = np.lexsort((v, codes))
+    c_s, v_s = codes[order], v[order]
+    n = len(c_s)
+    pos = np.arange(n, dtype=np.int64)
+    new_key = np.r_[True, c_s[1:] != c_s[:-1]]
+    key_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+    new_run = new_key | np.r_[True, v_s[1:] != v_s[:-1]]
+    run_start = np.maximum.accumulate(np.where(new_run, pos, 0))
+    rank = run_start - key_start + 1          # min rank within key, 1-based
+    # group sizes, broadcast back to rows
+    starts = np.flatnonzero(new_key)
+    lens = np.diff(np.r_[starts, n])
+    n_k = np.repeat(lens, lens)
+    pr = np.where(n_k > 1, (rank - 1) / np.maximum(n_k - 1, 1), 0.0)
+    out = g.iloc[order].copy()
+    out[out_col] = pr
+    return out
+
+
+def group_percent_rank(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    out_col: str = "pct_rank",
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-group percentile rank of every row (SQL ``percent_rank()``) —
+    the per-row counterpart of `group_quantiles`: normalize a quality /
+    length signal into [0,1] within its source so thresholds transfer
+    across heterogeneous domains (the standard quality-pruning step
+    before mixing corpora). Same exchange as every grouped op here: ONE
+    ``hash(key) % P`` shuffle, one lexsort per partition, P dispatches."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash_strings_u64(col.to_pylist(), seed=0x9C)
+        else:
+            h = mix64(col.to_numpy().astype(np.uint64), seed=0x9C)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(partitions)).astype(np.int64))
+        )
+
+    parted = ds.map_batches(_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(
+        lambda g: _percent_rank_partition(g, key_col, val_col, out_col),
+        batch_format="pandas",
+    )
