@@ -333,6 +333,50 @@ def q_len_percentile(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted Bernoulli sample (sampling.py:weighted_sample): keep with
+    P = min(1, n_chars/2^12), membership a pure integer function of
+    (doc_id, n_chars) — no RNG, no shuffle, layout-invariant, SQL-exact."""
+    from deduplidog_ray.pipelines.sampling import weighted_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    return weighted_sample(
+        ds, key_col="doc_id", weight_col="n_chars", denom_log2=12
+    )
+
+
+def q_len_outliers(sf_dir: str):
+    """Robust per-source outlier flag (stats.py:mad_outliers):
+    |n_chars − median| > 3·MAD, exact discrete quantiles both passes —
+    two |keys|-bounded quantile exchanges + one streaming flag pass."""
+    from deduplidog_ray.pipelines.stats import mad_outliers
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    return mad_outliers(ds, key_col="source", val_col="n_chars", k=3)
+
+
+def q_len_space_corr(sf_dir: str):
+    """Per-source Pearson correlation of doc length vs space count
+    (stats.py:group_corr) — combiner sufficient statistics, int64-exact
+    until one double conversion per term; same formula in the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.stats import group_corr
+
+    ds = _docs(sf_dir, columns=["source", "text", "n_chars"])
+
+    def _spaces(t: pa.Table) -> pa.Table:
+        y = pc.count_substring(t["text"], " ")
+        return t.drop_columns(["text"]).append_column(
+            "n_spaces", pc.cast(y, pa.int64())
+        )
+
+    ds = ds.map_batches(_spaces, batch_format="pyarrow", zero_copy_batch=True)
+    return group_corr(ds, key_col="source", x_col="n_chars",
+                      y_col="n_spaces")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Snapshot diff (pipelines/diff.py): added/removed/changed rows
     between two corpus versions — both sides co-partitioned through ONE
@@ -1958,6 +2002,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "snapshot_diff": q_snapshot_diff,
         "len_percentile": q_len_percentile,
+        "weighted_sample": q_weighted_sample,
+        "len_outliers": q_len_outliers,
+        "len_space_corr": q_len_space_corr,
         "sliding_windows": q_sliding_windows,
         "pricing_summary": q_pricing_summary,
         "contained_docs": q_contained_docs,
@@ -2161,6 +2208,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type
             FROM lagged
             WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) * 4096
+                  < LEAST(n_chars, 4096) * 4294967296
+        """,
+        "len_outliers": """
+            WITH med AS (
+                SELECT source, quantile_disc(n_chars, 0.5) AS med
+                FROM documents GROUP BY source
+            ), mad AS (
+                SELECT d.source,
+                       quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+                FROM documents d JOIN med m USING (source)
+                GROUP BY d.source
+            )
+            SELECT d.doc_id, d.source, d.n_chars,
+                   abs(d.n_chars - m.med) > 3 * a.mad AS is_outlier
+            FROM documents d
+            JOIN med m USING (source) JOIN mad a USING (source)
+        """,
+        "len_space_corr": """
+            WITH t AS (
+                SELECT source, n_chars AS x,
+                       length(text) - length(replace(text, ' ', '')) AS y
+                FROM documents
+            ), s AS (
+                SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM t GROUP BY source
+            )
+            SELECT source,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_xy
+            FROM s
         """,
         "len_percentile": """
             SELECT doc_id, source, n_chars,

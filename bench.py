@@ -172,6 +172,9 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "events_debounce",
         "snapshot_diff",
         "len_percentile",
+        "weighted_sample",
+        "len_outliers",
+        "len_space_corr",
         "sliding_windows",
         "pricing_summary",
         "orders_by_nation",

@@ -190,3 +190,43 @@ def quota_per_key(
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_part").map_groups(_select, batch_format="pandas")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    denom_log2: int = 12,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Weighted Bernoulli sampling: keep a row with probability
+    min(1, w / 2^denom_log2), membership a pure function of (key, w).
+
+    The weighted counterpart of :func:`sample_hash` — upweight long /
+    high-quality rows in a subsample (or build importance-weighted eval
+    slices) while keeping every property that makes hash sampling safe
+    at 100 TB: stateless streaming filter, no shuffle, no RNG state,
+    identical membership across re-runs, resumes and block layouts.
+
+    Predicate: ``h32 * 2^d < w * 2^32`` with ``h32 = ((key + salt) *
+    2654435761) mod 2^32`` — pure 64-bit integer arithmetic (no
+    transcendentals, no floats), so the SQL oracle replicates membership
+    bit-for-bit in ANSI bigint. Weights must be non-negative integers;
+    w ≥ 2^d saturates to "always keep".
+    """
+    d = int(denom_log2)
+    if not (0 < d <= 30):
+        raise ValueError("denom_log2 must be in (0, 30]")
+
+    def _f(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy().astype(np.uint64)
+        w = t[weight_col].to_numpy().astype(np.int64)
+        if (w < 0).any():
+            raise ValueError("weighted_sample: negative weights")
+        h = ((k + np.uint64(salt)) * _KNUTH32) % _MOD32
+        # saturate w at 2^d (prob 1) so w << 32 stays in int64 for d<=30
+        w_eff = np.minimum(w, np.int64(1) << d)
+        keep = (h.astype(np.int64) << d) < (w_eff << 32)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

@@ -515,3 +515,119 @@ def group_percent_rank(
         lambda g: _percent_rank_partition(g, key_col, val_col, out_col),
         batch_format="pandas",
     )
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    k: int = 3,
+    out_col: str = "is_outlier",
+    partitions: int = 64,
+) -> ray.data.Dataset:
+    """Robust per-group outlier flag: |x − median| > k · MAD, both the
+    median and the MAD (median absolute deviation) the exact discrete
+    quantile of :func:`group_quantiles` (DuckDB ``quantile_disc`` rule)
+    — so with integer values the whole predicate is integer compares
+    and the SQL oracle is bit-exact.
+
+    Median/MAD (not mean/σ) because corpus length and quality columns
+    are heavy-tailed: one 100 MB document shifts a mean filter's
+    threshold arbitrarily but moves the median by at most one rank.
+
+    Shape: two |keys|-bounded grouped-quantile passes (each ONE keyed
+    shuffle of (key, value) pairs), the tiny per-key (median, MAD)
+    table broadcast via ``ray.put`` once, then a stateless streaming
+    flag pass over the corpus — the corpus itself never shuffles.
+    """
+    med_df = group_quantiles(
+        ds, key_col, val_col, qs=(0.5,), partitions=partitions
+    ).to_pandas()
+    med_map = ray.put(dict(zip(med_df[key_col], med_df["p50"])))
+
+    def _dev(df: pd.DataFrame) -> pd.DataFrame:
+        med = df[key_col].map(ray.get(med_map)).to_numpy()
+        out = df[[key_col]].copy()
+        out["_absdev"] = np.abs(df[val_col].to_numpy() - med)
+        return out
+
+    dev = ds.map_batches(_dev, batch_format="pandas")
+    mad_df = group_quantiles(
+        dev, key_col, "_absdev", qs=(0.5,), partitions=partitions
+    ).to_pandas()
+    mad_map = ray.put(dict(zip(mad_df[key_col], mad_df["p50"])))
+
+    def _flag(df: pd.DataFrame) -> pd.DataFrame:
+        med = df[key_col].map(ray.get(med_map)).to_numpy()
+        mad = df[key_col].map(ray.get(mad_map)).to_numpy()
+        df = df.copy()
+        df[out_col] = np.abs(df[val_col].to_numpy() - med) > k * mad
+        return df
+
+    return ds.map_batches(_flag, batch_format="pandas")
+
+
+def group_corr(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr_xy",
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation of two INTEGER columns via the
+    textbook sufficient statistics — the "does length predict quality?"
+    per-source diagnostic.
+
+    Combiner end-to-end: each batch reduces to (key, n, Σx, Σy, Σx²,
+    Σy², Σxy) partials (exactly additive int64 sums), ONE |keys×blocks|-
+    bounded groupby merges them, and the final |keys|-row pass computes
+    corr = (nΣxy − ΣxΣy) / (√(nΣx² − Σx²) · √(nΣy² − Σy²)) with each
+    term an exact int64 converted to double once — the SQL oracle spells
+    the identical formula over DuckDB hugeint sums, so the doubles match
+    bit-for-bit while every term stays < 2⁵³. For corpora where the
+    terms exceed int64/2⁵³, lift the partials to float128/Python int and
+    scope the oracle claim (same caveat as the int-sum family ops).
+    Zero-variance groups emit NaN (SQL: NULL via NULLIF) — filter
+    upstream if the domain allows them.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": t[key_col].to_numpy(zero_copy_only=False),
+            "x": t[x_col].to_numpy().astype(np.int64),
+            "y": t[y_col].to_numpy().astype(np.int64),
+        })
+        df["xx"] = df.x * df.x
+        df["yy"] = df.y * df.y
+        df["xy"] = df.x * df.y
+        df["n"] = np.int64(1)
+        g = df.groupby("k", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"k": key_col}), preserve_index=False
+        )
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"), Sum("xx", alias_name="sxx"),
+            Sum("yy", alias_name="syy"), Sum("xy", alias_name="sxy"),
+        )
+    )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy()
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxx, syy = df["sxx"].to_numpy(), df["syy"].to_numpy()
+        sxy = df["sxy"].to_numpy()
+        num = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        vy = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = num / (np.sqrt(vx) * np.sqrt(vy))
+        return pd.DataFrame({key_col: df[key_col], out_col: corr})
+
+    return merged.map_batches(_finish, batch_format="pandas")
