@@ -333,6 +333,17 @@ def q_len_percentile(sf_dir: str):
     )
 
 
+def q_search_bm25(sf_dir: str):
+    """Ranked search serving (textops.py:search_bm25_topk): BM25 top-10
+    for a 3-term query — idf + length normalization, bit-exact vs SQL
+    because the score sums over the fixed sorted term list, never over
+    data order."""
+    from deduplidog_ray.pipelines.textops import search_bm25_topk
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return search_bm25_topk(ds, ["stream", "query", "join"], k=10)
+
+
 def q_weighted_sample(sf_dir: str):
     """Weighted Bernoulli sample (sampling.py:weighted_sample): keep with
     P = min(1, n_chars/2^12), membership a pure integer function of
@@ -2002,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "snapshot_diff": q_snapshot_diff,
         "len_percentile": q_len_percentile,
+        "search_bm25": q_search_bm25,
         "weighted_sample": q_weighted_sample,
         "len_outliers": q_len_outliers,
         "len_space_corr": q_len_space_corr,
@@ -2208,6 +2220,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type
             FROM lagged
             WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        """,
+        "search_bm25": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS w
+                FROM documents
+            ), consts AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                         / (SELECT count(*) FROM documents) AS avgdl
+            ), f AS (
+                SELECT
+                  (SELECT count(DISTINCT doc_id) FROM toks
+                   WHERE w = 'join') AS df0,
+                  (SELECT count(DISTINCT doc_id) FROM toks
+                   WHERE w = 'query') AS df1,
+                  (SELECT count(DISTINCT doc_id) FROM toks
+                   WHERE w = 'stream') AS df2
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ), tf AS (
+                SELECT doc_id,
+                       sum(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS tf0,
+                       sum(CASE WHEN w = 'query' THEN 1 ELSE 0 END) AS tf1,
+                       sum(CASE WHEN w = 'stream' THEN 1 ELSE 0 END) AS tf2
+                FROM toks GROUP BY doc_id
+                HAVING tf0 + tf1 + tf2 > 0
+            )
+            SELECT t.doc_id,
+                   ln((c.n_docs - f.df0 + 0.5e0) / (f.df0 + 0.5e0) + 1e0)
+                     * ((t.tf0*2.2e0)
+                        / (t.tf0 + 1.2e0*(0.25e0 + 0.75e0*(d.dl/c.avgdl))))
+                 + ln((c.n_docs - f.df1 + 0.5e0) / (f.df1 + 0.5e0) + 1e0)
+                     * ((t.tf1*2.2e0)
+                        / (t.tf1 + 1.2e0*(0.25e0 + 0.75e0*(d.dl/c.avgdl))))
+                 + ln((c.n_docs - f.df2 + 0.5e0) / (f.df2 + 0.5e0) + 1e0)
+                     * ((t.tf2*2.2e0)
+                        / (t.tf2 + 1.2e0*(0.25e0 + 0.75e0*(d.dl/c.avgdl))))
+                   AS score
+            FROM tf t JOIN dl d USING (doc_id), consts c, f
+            ORDER BY score DESC, doc_id
+            LIMIT 10
         """,
         "weighted_sample": """
             SELECT doc_id, source, n_chars

@@ -247,6 +247,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "last_event_per_user",
         "edit_dup_clusters",
         "search_docs",
+        "search_bm25",
         "props_k_stats",
     ]:
         timed(name, entry.queries()[name])

@@ -322,3 +322,90 @@ def search_tf_topk(
                             zero_copy_batch=True)
     return global_top_n(scored, by="score", n=k, ascending=False,
                         tie_col=id_col)
+
+
+def search_bm25_topk(
+    ds: ray.data.Dataset,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Search serving, ranked: top-k documents by BM25 (k1=1.2, b=0.75)
+    — the idf + length-normalized upgrade of :func:`search_tf_topk`.
+
+    Bit-exact vs the SQL oracle DESPITE the doubles: the score is a sum
+    over the (few, fixed) QUERY terms, so both engines evaluate the SAME
+    left-associated expression idf₀·rel₀ + idf₁·rel₁ + … in sorted term
+    order — no data-order-dependent float summation anywhere. idf uses
+    scalar ``math.log`` (libm, same code path as DuckDB's ``ln``); every
+    per-doc term (tf, dl, avgdl ratio) is elementwise IEEE arithmetic
+    written in the identical operation order on both sides.
+
+    Shape: one combiner stats pass (per-batch partials → scalar N,
+    Σdl, per-term df — driver reduce of a handful of ints), then one
+    streaming score pass emitting only matching docs, merged by
+    `global_top_n` (blocks × k candidates). Tokenization is the
+    `token_freq` RE2 kernel, so df/tf/dl agree with the oracle's
+    ``regexp_extract_all('\\w+')`` on any corpus.
+    """
+    import math
+
+    terms = sorted({t.lower() for t in query_terms})
+
+    def _tok(t: pa.Table):
+        low = pc.utf8_lower(pc.fill_null(t[text_col], ""))
+        parts = pc.split_pattern_regex(low, pattern=r"[^\w]+")
+        flat = pc.list_flatten(parts)
+        n_tok = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_tok)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat, doc_idx, nonempty
+
+    def _stats(t: pa.Table) -> pa.Table:
+        flat, doc_idx, nonempty = _tok(t)
+        row = {
+            "n_docs": [np.int64(len(t))],
+            "sum_dl": [np.int64(nonempty.sum())],
+        }
+        for i, term in enumerate(terms):
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            row[f"df_{i}"] = [np.int64(len(np.unique(doc_idx[eq])))]
+        return pa.table(row)
+
+    cols = ["n_docs", "sum_dl"] + [f"df_{i}" for i in range(len(terms))]
+    agg = ds.map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(cols)
+    n_docs = int(agg["sum(n_docs)"])
+    avgdl = int(agg["sum(sum_dl)"]) / n_docs
+    idf = [
+        math.log((n_docs - int(agg[f"sum(df_{i})"]) + 0.5)
+                 / (int(agg[f"sum(df_{i})"]) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+
+    def _score(t: pa.Table) -> pa.Table:
+        flat, doc_idx, nonempty = _tok(t)
+        n = len(t)
+        dl = np.bincount(doc_idx[nonempty], minlength=n).astype(np.float64)
+        ratio = dl / avgdl
+        score = np.zeros(n, dtype=np.float64)
+        hit = np.zeros(n, dtype=bool)
+        for i, term in enumerate(terms):
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_idx[eq], minlength=n).astype(np.float64)
+            rel = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ratio))
+            score = score + idf[i] * rel
+            hit |= tf > 0
+        return pa.table({
+            id_col: t[id_col].filter(pa.array(hit)),
+            "score": pa.array(score[hit]),
+        })
+
+    from deduplidog_ray.pipelines.stats import global_top_n
+
+    scored = ds.map_batches(_score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return global_top_n(scored, by="score", n=k, ascending=False,
+                        tie_col=id_col)
