@@ -333,6 +333,21 @@ def q_len_percentile(sf_dir: str):
     )
 
 
+def q_events_dense_hourly(sf_dir: str):
+    """Gap-filled per-user hourly counts (windows.py:dense_hourly_counts):
+    every hour between each user's first and last event, zeros included —
+    the grid LEFT JOIN counts plan fused into one bincount per
+    partition."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.windows import dense_hourly_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return dense_hourly_counts(ds, partitions=32)
+
+
 def q_search_bm25(sf_dir: str):
     """Ranked search serving (textops.py:search_bm25_topk): BM25 top-10
     for a 3-term query — idf + length normalization, bit-exact vs SQL
@@ -2013,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "snapshot_diff": q_snapshot_diff,
         "len_percentile": q_len_percentile,
+        "events_dense_hourly": q_events_dense_hourly,
         "search_bm25": q_search_bm25,
         "weighted_sample": q_weighted_sample,
         "len_outliers": q_len_outliers,
@@ -2220,6 +2236,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type
             FROM lagged
             WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        """,
+        "events_dense_hourly": """
+            WITH h AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb
+                FROM events
+            ), b AS (
+                SELECT user_id, min(hb) AS lo, max(hb) AS hi
+                FROM h GROUP BY user_id
+            ), grid AS (
+                SELECT user_id,
+                       unnest(generate_series(lo, hi)) AS hour_bucket
+                FROM b
+            ), c AS (
+                SELECT user_id, hb AS hour_bucket, count(*) AS n
+                FROM h GROUP BY user_id, hb
+            )
+            SELECT g.user_id, g.hour_bucket,
+                   COALESCE(c.n, 0) AS n_events
+            FROM grid g LEFT JOIN c USING (user_id, hour_bucket)
         """,
         "search_bm25": r"""
             WITH toks AS (

@@ -137,6 +137,14 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
     # see the same host state, and the 2-CPU leg would double a ~7-minute
     # run for no change in the ratio.
     if not os.environ.get("GRAFT_BENCH_NO_WARMUP"):
+        # TWO untimed executions: 2026-08-19 forensics (BASELINE.md
+        # "Host noise") measured in-session walls of 8.1 / 8.7 / 6.0 /
+        # 5.4 s — the first TWO runs carry the plasma-growth/first-fault
+        # transient (worst observed: 29 s in a cold process), then the
+        # wall settles. One warmup left the timed median on the
+        # transient's tail; two land it on the steady state the no-Ray
+        # control corroborates.
+        _flagship(sf_dir).count()
         _flagship(sf_dir).count()
 
     headline = timed("clips_near_dedup", _flagship)
@@ -170,6 +178,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "events_range",
         "sessionize",
         "events_debounce",
+        "events_dense_hourly",
         "snapshot_diff",
         "len_percentile",
         "weighted_sample",
