@@ -333,6 +333,20 @@ def q_len_percentile(sf_dir: str):
     )
 
 
+def q_key_skew(sf_dir: str):
+    """Shuffle-key skew report (stats.py:key_skew_report): top-20
+    heaviest event users with exact counts + integer basis-point shares
+    — the measurement that decides salting before any keyed exchange."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.stats import key_skew_report
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    return key_skew_report(ds, key_col="user_id", top=20)
+
+
 def q_events_dense_hourly(sf_dir: str):
     """Gap-filled per-user hourly counts (windows.py:dense_hourly_counts):
     every hour between each user's first and last event, zeros included —
@@ -2028,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "snapshot_diff": q_snapshot_diff,
         "len_percentile": q_len_percentile,
+        "key_skew": q_key_skew,
         "events_dense_hourly": q_events_dense_hourly,
         "search_bm25": q_search_bm25,
         "weighted_sample": q_weighted_sample,
@@ -2236,6 +2251,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type
             FROM lagged
             WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        """,
+        "key_skew": """
+            WITH c AS (
+                SELECT user_id, count(*) AS n_rows FROM events
+                GROUP BY user_id
+            ), t AS (SELECT sum(n_rows) AS total FROM c)
+            SELECT c.user_id, c.n_rows,
+                   CAST((c.n_rows * 10000) // t.total AS BIGINT)
+                       AS share_bp
+            FROM c, t
+            ORDER BY c.n_rows DESC, c.user_id
+            LIMIT 20
         """,
         "events_dense_hourly": """
             WITH h AS (

@@ -179,6 +179,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "sessionize",
         "events_debounce",
         "events_dense_hourly",
+        "key_skew",
         "snapshot_diff",
         "len_percentile",
         "weighted_sample",

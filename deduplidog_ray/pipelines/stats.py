@@ -631,3 +631,47 @@ def group_corr(
         return pd.DataFrame({key_col: df[key_col], out_col: corr})
 
     return merged.map_batches(_finish, batch_format="pandas")
+
+
+def key_skew_report(
+    ds: ray.data.Dataset,
+    key_col: str,
+    top: int = 20,
+) -> pd.DataFrame:
+    """Partition-skew diagnosis for a prospective shuffle key: the
+    top-``top`` heaviest keys with exact counts and integer basis-point
+    shares — the report that decides whether a `groupby`/join on this
+    key needs salting (the flagship's two-pass hot-key detection,
+    stages/candidates.py, turned into a user-facing operator; "skew
+    handled explicitly" is a north-rule requirement, and the first step
+    is measuring it).
+
+    Combiner shape end-to-end: per-batch value_counts partials (one row
+    per DISTINCT key per batch), ONE |keys×blocks|-bounded groupby-sum,
+    then `global_top_n` merges blocks×top candidates — the corpus is
+    read once and never shuffled. ``share_bp`` = count·10000 // total
+    (exact integer arithmetic, SQL-replicable); a key above ~100·P/bp
+    of its partition budget is a salting candidate.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            t[key_col].to_numpy(zero_copy_only=False)
+        ).value_counts()
+        return pa.table({
+            key_col: pa.array(vc.index.to_numpy()),
+            "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Sum("cnt", alias_name="n_rows"))
+    ).materialize()          # |distinct keys| rows; read twice below
+    total = int(counts.sum("n_rows"))
+    out = global_top_n(counts, by="n_rows", n=top, ascending=False,
+                       tie_col=key_col)
+    out["share_bp"] = (out["n_rows"].to_numpy() * 10_000) // total
+    return out
