@@ -1373,6 +1373,23 @@ def q_pii_scrub(sf_dir: str):
     return scrub(ds)
 
 
+def q_clips_segments(sf_dir: str):
+    """Energy-based clip segmentation (audiotransform.py:segment_clips):
+    one row per active region, interior silence cut at row boundaries —
+    rows-only (DuckDB cannot decode audio); exact layout/fidelity gates
+    in tests/test_segment.py."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.audiotransform import segment_clips
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    clips_path = clips_from_documents(sf_dir)
+    ds = ray.data.read_parquet(
+        clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    )
+    return segment_clips(ds, concurrency=16)
+
+
 def q_clips_audio_stats(sf_dir: str):
     """Per-clip audio stats (peak/clipping/silence/power) over the decoded
     int16 payload — rows-only (DuckDB cannot decode RIFF/µ-law); the exact
@@ -2090,6 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
         "clips_audio_stats": q_clips_audio_stats,
+        "clips_segments": q_clips_segments,
         "clips_transform": q_clips_transform,
         "clips_embed_near_dup": q_clips_embed_near_dup,
         "source_distinct_hll": q_source_distinct_hll,

@@ -214,6 +214,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "epoch_shuffle",
         "pii_scrub",
         "clips_audio_stats",
+        "clips_segments",
         "clips_transform",
         "clips_embed_near_dup",
         "knn_cosine",

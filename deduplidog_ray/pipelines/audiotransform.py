@@ -245,3 +245,140 @@ def trim_silence_clips(ds: ray.data.Dataset, threshold: float = 0.01,
         (TrimSilence, {"threshold": threshold, "frame_ms": frame_ms}),
         ds, concurrency, batch_size,
     )
+
+
+class SegmentClips:
+    """Energy-based clip segmentation (flat-map shape): split each clip
+    into its active (non-silent) regions and emit ONE ROW PER SEGMENT —
+    the VAD-shaped preprocessing an ASR/embedding pipeline runs so
+    downstream windows hold speech, not dead air. `TrimSilence` removes
+    only lead/tail; this cuts interior silence into row boundaries.
+
+    Per clip: frame RMS (``frame_ms``) → active mask ≥ ``threshold`` →
+    gaps ≤ ``max_gap_ms`` bridged (vectorized run-length pass, no Python
+    per-frame loop) → runs shorter than ``min_seg_ms`` dropped → each
+    surviving run re-encoded IN THE CLIP'S OWN CODEC with recomputed
+    sr/dur plus ``seg_idx`` (0-based) and ``start_ms``. Schema stays a
+    clips table (+2 columns), so segments feed any downstream stage —
+    including the flagship dedup — unchanged. Decode errors quarantine
+    as a single ``seg_idx = -1`` passthrough row (`transform_error`
+    set), same philosophy as `_Transform`.
+
+    Actor-pool stage: codec dispatch + parameters live once per actor;
+    each batch's decoded PCM is bounded by the `_CHUNK` heap rule.
+    """
+
+    def __init__(self, threshold: float = 0.01, frame_ms: int = 20,
+                 max_gap_ms: int = 200, min_seg_ms: int = 100) -> None:
+        self.threshold = float(threshold)
+        self.frame_ms = int(frame_ms)
+        self.max_gap_frames = max(0, int(max_gap_ms) // int(frame_ms))
+        self.min_seg_frames = max(1, int(min_seg_ms) // int(frame_ms))
+
+    def _segments(self, pcm: np.ndarray, sr: int) -> list[tuple[int, int]]:
+        f = max(1, sr * self.frame_ms // 1000)
+        nfr = len(pcm) // f
+        tail = pcm[nfr * f:]
+        tail_loud = len(tail) > 0 and \
+            float(np.sqrt((tail * tail).mean())) >= self.threshold
+        min_samples = self.min_seg_frames * f
+        if nfr == 0:
+            return [(0, len(pcm))] \
+                if tail_loud and len(pcm) >= min_samples else []
+        frames = pcm[: nfr * f].reshape(nfr, f)
+        act = np.sqrt((frames * frames).mean(axis=1)) >= self.threshold
+        if act.any():
+            # bridge INTERIOR inactive runs <= max_gap (run-length pass)
+            edges = np.flatnonzero(np.r_[True, act[1:] != act[:-1]])
+            lens = np.diff(np.r_[edges, nfr])
+            vals = act[edges].copy()
+            bridge = (~vals) & (lens <= self.max_gap_frames) \
+                & (edges > 0) & (edges + lens < nfr)
+            vals[bridge] = True
+            act = np.repeat(vals, lens)
+        if not act.any():
+            # lone loud tail: same min-length rule as every segment
+            return [(nfr * f, len(pcm))] \
+                if tail_loud and (len(pcm) - nfr * f) >= min_samples else []
+        # emit active runs of the final mask
+        e2 = np.flatnonzero(np.r_[True, act[1:] != act[:-1]])
+        l2 = np.diff(np.r_[e2, nfr])
+        v2 = act[e2]
+        out: list[tuple[int, int]] = []
+        for s, ln, v in zip(e2, l2, v2):
+            if not v:
+                continue
+            lo, hi = int(s) * f, int(s + ln) * f
+            if s + ln == nfr and tail_loud:
+                hi = len(pcm)          # ragged loud tail joins last run
+            if hi - lo >= min_samples:
+                out.append((lo, min(hi, len(pcm))))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        byts = batch["bytes"]
+        buf = byts.combine_chunks() if isinstance(byts, pa.ChunkedArray) \
+            else byts
+        bufs = _buffer_views(buf)
+        codecs = batch["codec"].to_pylist()
+        clip_ids = batch["clip_id"].to_pylist()
+        rows: dict[str, list] = {
+            "clip_id": [], "seg_idx": [], "start_ms": [], "bytes": [],
+            "sr_hz": [], "dur_ms": [], "codec": [], "transform_error": [],
+        }
+        for i in range(len(batch)):
+            v = bufs[i]
+            try:
+                if v is None or len(v) == 0:
+                    raise CodecError("empty bytes")
+                pcm, sr = decode(v, codecs[i])
+                pcm = np.asarray(pcm, dtype=np.float64)
+                for k, (lo, hi) in enumerate(self._segments(pcm, sr)):
+                    seg = np.clip(pcm[lo:hi], -1.0, 1.0).astype(np.float32)
+                    rows["clip_id"].append(clip_ids[i])
+                    rows["seg_idx"].append(k)
+                    rows["start_ms"].append(int(round(1000 * lo / sr)))
+                    rows["bytes"].append(encode(seg, sr, codecs[i]))
+                    rows["sr_hz"].append(sr)
+                    rows["dur_ms"].append(int(round(1000 * len(seg) / sr)))
+                    rows["codec"].append(codecs[i])
+                    rows["transform_error"].append(None)
+            except CodecError as e:
+                rows["clip_id"].append(clip_ids[i])
+                rows["seg_idx"].append(-1)
+                rows["start_ms"].append(0)
+                rows["bytes"].append(bytes(v) if v is not None else b"")
+                rows["sr_hz"].append(0)
+                rows["dur_ms"].append(0)
+                rows["codec"].append(codecs[i])
+                rows["transform_error"].append(str(e))
+        return pa.table({
+            "clip_id": pa.array(rows["clip_id"], type=pa.string()),
+            "seg_idx": pa.array(rows["seg_idx"], type=pa.int32()),
+            "start_ms": pa.array(rows["start_ms"], type=pa.int32()),
+            "bytes": pa.array(rows["bytes"], type=pa.binary()),
+            "sr_hz": pa.array(rows["sr_hz"], type=pa.int32()),
+            "dur_ms": pa.array(rows["dur_ms"], type=pa.int32()),
+            "codec": pa.array(rows["codec"], type=pa.string()),
+            "transform_error": pa.array(rows["transform_error"],
+                                        type=pa.string()),
+        })
+
+
+def segment_clips(ds: ray.data.Dataset, threshold: float = 0.01,
+                  frame_ms: int = 20, max_gap_ms: int = 200,
+                  min_seg_ms: int = 100, concurrency: int = 32,
+                  batch_size: int = 128) -> ray.data.Dataset:
+    """Split clips into active segments (one row per segment); see
+    :class:`SegmentClips`."""
+    return ds.map_batches(
+        SegmentClips,
+        fn_constructor_kwargs={
+            "threshold": threshold, "frame_ms": frame_ms,
+            "max_gap_ms": max_gap_ms, "min_seg_ms": min_seg_ms,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=(1, concurrency),
+    )
