@@ -187,3 +187,39 @@ class CheckpointManager:
                 },
                 f,
             )
+
+
+def cached_stage(
+    workdir: str,
+    stage: str,
+    semantic_hash: str,
+    input_files: list[str],
+    build_fn,
+):
+    """Generic stage-granular resume for ANY pipeline (not just the
+    flagship): run ``build_fn() -> ray.data.Dataset`` once, persist the
+    result atomically under ``workdir/stage`` with lineage (semantic
+    config hash + input fragment paths/sizes/mtimes), and on every later
+    call with the SAME config and inputs return the persisted parquet
+    without recomputing. Any config or input change invalidates
+    automatically — the same rules the flagship's per-partition
+    signature checkpoint enforces, packaged for one-shot stages
+    (a decontam gram census, a trained BPE merge table, an IVF coarse
+    quantizer) whose recompute dominates a resumed run.
+
+    The write is tmp+rename (kill-safe); the returned Dataset reads the
+    checkpoint files, so downstream stages see identical blocks on the
+    first and every later run — deterministic resume, not merely cached.
+    """
+    import ray.data
+
+    ckpt = CheckpointManager(workdir, semantic_hash)
+    input_hash = ckpt.fragments_hash(input_files)
+    if ckpt.is_done(stage, 0, input_hash):
+        files = ckpt.stage_files_for(stage, [0])
+        if files:
+            return ray.data.read_parquet(files)
+    t0 = time.monotonic()
+    ckpt.write_partition(stage, 0, build_fn(), input_files, t0,
+                         input_hash=input_hash)
+    return ray.data.read_parquet(ckpt.stage_files_for(stage, [0]))
