@@ -1390,6 +1390,51 @@ def q_clips_segments(sf_dir: str):
     return segment_clips(ds, concurrency=16)
 
 
+def q_clips_shifted_dups(sf_dir: str):
+    """Time-shift-robust audio dedup (pipelines/audioalign.py): a
+    deterministic 1-in-8 sample of the clips ships again with 240 ms of
+    lead-in silence; the operator must find each (original, delayed)
+    pair and recover the offset via FFT cross-correlation. Rows-only
+    (payload decode + FFT); exact offset/recall gates in
+    tests/test_audioalign.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.audioalign import shifted_dup_pairs
+    from deduplidog_ray.pipelines.audiotransform import Delay
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+
+    clips_path = clips_from_documents(sf_dir)
+    ds = ray.data.read_parquet(
+        clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    )
+
+    def _sample(t: pa.Table) -> pa.Table:
+        h = hash_strings_u64(t["clip_id"].to_pylist(), seed=0x5F1F)
+        return t.filter(pa.array(h % np.uint64(8) == 0))
+
+    delayed = ds.map_batches(
+        _sample, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        Delay, fn_constructor_kwargs={"delay_ms": 240},
+        batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("clip_id"), "clip_id",
+            pc.binary_join_element_wise(t["clip_id"], "_shift", ""),
+        ).select(["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return shifted_dup_pairs(
+        ds.union(delayed), embed_threshold=0.97, corr_threshold=0.8,
+        max_shift_ms=500,
+    )
+
+
 def q_clips_audio_stats(sf_dir: str):
     """Per-clip audio stats (peak/clipping/silence/power) over the decoded
     int16 payload — rows-only (DuckDB cannot decode RIFF/µ-law); the exact
@@ -2108,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "clips_audio_stats": q_clips_audio_stats,
         "clips_segments": q_clips_segments,
+        "clips_shifted_dups": q_clips_shifted_dups,
         "clips_transform": q_clips_transform,
         "clips_embed_near_dup": q_clips_embed_near_dup,
         "source_distinct_hll": q_source_distinct_hll,

@@ -215,6 +215,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "pii_scrub",
         "clips_audio_stats",
         "clips_segments",
+        "clips_shifted_dups",
         "clips_transform",
         "clips_embed_near_dup",
         "knn_cosine",

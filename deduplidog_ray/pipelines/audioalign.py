@@ -1,0 +1,161 @@
+"""Time-shift-robust audio duplicate detection: find clips that are the
+SAME recording at a different offset (lead-in silence, re-aired content,
+a trimmed head) and report the alignment.
+
+The flagship's exact axes (content/pcm hash) and fingerprint gates are
+shift-sensitive by design; the spectral embedding
+(stages/embed.py:AudioEmbedder, mean‖std pooling over frames) is largely
+shift-INVARIANT for stationary content — so it is the natural candidate
+generator for shifted copies. This module adds the confirming kernel the
+embedding cannot provide: a normalized FFT cross-correlation whose peak
+location IS the offset and whose peak height separates "same recording,
+shifted" from "similar-sounding but different".
+
+≙ the reference's tolerance predicates (date window tolerate_hour,
+accepted_frame_delta — deduplidog.py:144-145, :728-756) taken to the
+payload domain: tolerate a bounded SHIFT of identical content.
+
+EXECUTION SHAPE:
+
+- Candidates come from `similarity.audio_embedding_near_dup` — banded
+  hyperplane LSH over the embedded table, pairs-bounded output; the
+  corpus is never all-pairs scanned.
+- Pair members' payloads are fetched in ONE streaming `pc.is_in` pass
+  over the clips table (members ≤ 2·|pairs| rows — the same
+  pairs-bounded store rule as the flagship's verify exchange) and
+  `ray.put` once; verify tasks read the store zero-copy and
+  cross-correlate pair chunks in parallel.
+- Each verify is O((n+m) log) via rfft; offsets are searched only
+  within ±``max_shift_ms`` of the peak window.
+
+No SQL oracle is possible (payload decode + FFT); the parity gates are
+tests/test_audioalign.py: planted delays recovered to frame accuracy,
+re-encoded+delayed copies confirmed, distinct clips rejected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from deduplidog_ray.audio.codecs import CodecError, decode
+from deduplidog_ray.pipelines.audiotransform import fft_resample
+
+#: verify work unit: pairs per remote task
+_PAIR_CHUNK = 256
+
+
+def _xcorr_peak(
+    x: np.ndarray, y: np.ndarray, max_lag: int
+) -> tuple[int, float]:
+    """(lag, corr) of the peak of the normalized cross-correlation of x
+    and y within |lag| <= max_lag. Positive lag: y is DELAYED vs x.
+    Normalization is by global energies (||x||·||y||) — a pure silence
+    pad costs nothing, so a delayed identical copy peaks near 1.0."""
+    n = len(x) + len(y) - 1
+    nfft = 1 << int(np.ceil(np.log2(max(n, 2))))
+    X = np.fft.rfft(x, nfft)
+    Y = np.fft.rfft(y, nfft)
+    r = np.fft.irfft(np.conj(X) * Y, nfft)
+    # lag k (y delayed by k) lives at r[k]; negative lags wrap at nfft-k
+    lags = np.arange(-max_lag, max_lag + 1)
+    vals = r[lags % nfft]
+    denom = float(np.sqrt((x * x).sum()) * np.sqrt((y * y).sum()))
+    if denom == 0.0:
+        return 0, 0.0
+    i = int(np.argmax(vals))
+    return int(lags[i]), float(vals[i] / denom)
+
+
+@ray.remote
+def _verify_chunk(
+    store: dict, pairs: list, sr: int, max_shift_ms: int,
+    corr_threshold: float,
+) -> list:
+    max_lag = sr * max_shift_ms // 1000
+    out = []
+    cache: dict[str, np.ndarray] = {}
+
+    def _pcm(cid: str) -> np.ndarray | None:
+        if cid not in cache:
+            buf, codec, sr_in = store[cid]
+            try:
+                p, sr0 = decode(buf, codec)
+            except CodecError:
+                cache[cid] = None
+                return None
+            p = np.asarray(p, dtype=np.float64)
+            if sr0 != sr:
+                p = fft_resample(p, sr0, sr)
+            cache[cid] = p
+        return cache[cid]
+
+    for a, b in pairs:
+        xa, xb = _pcm(a), _pcm(b)
+        if xa is None or xb is None or not len(xa) or not len(xb):
+            continue
+        lag, corr = _xcorr_peak(xa, xb, max_lag)
+        if corr >= corr_threshold:
+            out.append((a, b, int(round(1000 * lag / sr)), corr))
+    return out
+
+
+def shifted_dup_pairs(
+    clips: ray.data.Dataset,
+    embed_threshold: float = 0.98,
+    corr_threshold: float = 0.85,
+    max_shift_ms: int = 1000,
+    work_sr: int = 16000,
+    id_col: str = "clip_id",
+) -> pd.DataFrame:
+    """Shift-tolerant duplicate pairs with alignment:
+    (clip_a, clip_b, offset_ms, corr). Positive offset: clip_b is the
+    delayed side. See module docstring for the exchange shape."""
+    from deduplidog_ray.pipelines.audiotransform import trim_silence_clips
+    from deduplidog_ray.pipelines.similarity import audio_embedding_near_dup
+
+    # Candidates embed the TRIMMED audio: a lead-in pad dilutes mean‖std
+    # pooling roughly linearly in the pad fraction (measured: a 480 ms
+    # pad on a 1.5 s clip fell below cos 0.97), so trimming first makes
+    # the candidate key shift-invariant BY CONSTRUCTION instead of by
+    # threshold slack. Verification still runs on the ORIGINAL payloads
+    # — the offset reported is the true one, not the trimmed one.
+    cand = audio_embedding_near_dup(
+        trim_silence_clips(clips), threshold=embed_threshold,
+        id_col=id_col,
+    )
+    if not len(cand):
+        return pd.DataFrame(columns=["clip_a", "clip_b", "offset_ms",
+                                     "corr"])
+    members = sorted(set(cand["clip_a"]) | set(cand["clip_b"]))
+    member_arr = pa.array(members, type=pa.string())
+
+    def _fetch(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[id_col], value_set=member_arr)
+        return t.filter(keep).select([id_col, "bytes", "codec", "sr_hz"])
+
+    rows = clips.map_batches(
+        _fetch, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()                     # members ≤ 2·|pairs| — pairs-bounded
+    store = {
+        r[id_col]: (r["bytes"], r["codec"], int(r["sr_hz"])) for r in rows
+    }
+    store_ref = ray.put(store)
+
+    pair_list = list(zip(cand["clip_a"], cand["clip_b"]))
+    futs = [
+        _verify_chunk.remote(
+            store_ref, pair_list[i:i + _PAIR_CHUNK], work_sr,
+            max_shift_ms, corr_threshold,
+        )
+        for i in range(0, len(pair_list), _PAIR_CHUNK)
+    ]
+    confirmed = [row for chunk in ray.get(futs) for row in chunk]
+    return pd.DataFrame(
+        confirmed, columns=["clip_a", "clip_b", "offset_ms", "corr"]
+    ).sort_values(["clip_a", "clip_b"]).reset_index(drop=True)

@@ -142,6 +142,20 @@ class PeakNormalize(_Transform):
         return pcm, sr
 
 
+class Delay(_Transform):
+    """Prepend ``delay_ms`` of silence (augmentation / alignment-test
+    fixture): the payload content is unchanged, only shifted — exactly
+    the transformation `audioalign.shifted_dup_pairs` must see through."""
+
+    def __init__(self, delay_ms: int = 100) -> None:
+        super().__init__()
+        self.delay_ms = int(delay_ms)
+
+    def _apply(self, pcm: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        pad = np.zeros(sr * self.delay_ms // 1000, dtype=pcm.dtype)
+        return np.concatenate([pad, pcm]), sr
+
+
 class TrimSilence(_Transform):
     """Drop leading/trailing frames whose RMS is below ``threshold``
     (frame = ``frame_ms`` of samples); interior silence is kept."""

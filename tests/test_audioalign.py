@@ -1,0 +1,96 @@
+"""shifted_dup_pairs: time-shift-robust duplicate detection — planted
+delays recovered to frame accuracy, re-encode+delay confirmed, distinct
+content rejected, xcorr kernel unit checks."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from deduplidog_ray.audio.codecs import encode
+from deduplidog_ray.pipelines.audioalign import _xcorr_peak, shifted_dup_pairs
+
+SR = 16000
+
+
+def _sig(seed, dur_s=1.5):
+    """Band-limited noise-ish signal: sum of a few random sinusoids with
+    a random AM envelope — unique per seed, stationary enough for the
+    mean-pooled embedding to be shift-invariant."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * dur_s)) / SR
+    x = np.zeros_like(t)
+    for _ in range(6):
+        x += rng.uniform(0.1, 0.3) * np.sin(
+            2 * np.pi * rng.uniform(100, 3000) * t + rng.uniform(0, 6.28)
+        )
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.5, 2.0) * t)
+    return (0.4 * x * env / np.abs(x * env).max()).astype(np.float64)
+
+
+def _row(cid, pcm, codec="pcm_s16le", sr=SR):
+    return {
+        "clip_id": cid, "bytes": encode(pcm.astype(np.float32), sr, codec),
+        "sr_hz": sr, "dur_ms": int(1000 * len(pcm) / sr), "codec": codec,
+    }
+
+
+def test_xcorr_kernel_recovers_known_lag():
+    x = _sig(1)
+    for d_ms in (0, 37, 250):
+        d = SR * d_ms // 1000
+        y = np.r_[np.zeros(d), x]
+        lag, corr = _xcorr_peak(x, y, SR)   # 1 s window
+        assert lag == d
+        assert corr > 0.95
+    # reversed roles: negative lag
+    d = SR * 120 // 1000
+    lag, corr = _xcorr_peak(np.r_[np.zeros(d), x], x, SR)
+    assert lag == -d and corr > 0.95
+
+
+def test_planted_delays_found_with_offsets(ray_session):
+    rows = []
+    expect = {}
+    for i in range(6):
+        base = _sig(100 + i)
+        rows.append(_row(f"orig_{i}", base))
+        d_ms = 80 * (i + 1)                  # 80..480 ms
+        delayed = np.r_[np.zeros(SR * d_ms // 1000), base]
+        codec = "ulaw" if i % 2 else "pcm_s16le"
+        rows.append(_row(f"delay_{i}", delayed, codec=codec))
+        expect[(f"delay_{i}", f"orig_{i}")] = d_ms
+    # distinct distractors
+    for i in range(6):
+        rows.append(_row(f"noise_{i}", _sig(900 + i)))
+
+    out = shifted_dup_pairs(
+        rd.from_pandas(pd.DataFrame(rows)),
+        embed_threshold=0.97, corr_threshold=0.8, max_shift_ms=600,
+    )
+    got = {}
+    for _, r in out.iterrows():
+        a, b, off = r["clip_a"], r["clip_b"], int(r["offset_ms"])
+        # normalize orientation: delayed side has positive offset
+        if off >= 0:
+            got[(b, a)] = off
+        else:
+            got[(a, b)] = -off
+
+    for (delayed, orig), d_ms in expect.items():
+        key = (delayed, orig)
+        assert key in got, f"missing pair {key}; got {sorted(got)}"
+        assert abs(got[key] - d_ms) <= 20, (key, got[key], d_ms)
+    # no cross-content confirmations
+    for (a, b) in got:
+        ia, ib = a.split("_")[1], b.split("_")[1]
+        assert ia == ib, (a, b)
+
+
+def test_no_pairs_on_distinct_corpus(ray_session):
+    rows = [_row(f"c{i}", _sig(500 + i)) for i in range(8)]
+    out = shifted_dup_pairs(
+        rd.from_pandas(pd.DataFrame(rows)),
+        embed_threshold=0.97, corr_threshold=0.8,
+    )
+    assert len(out) == 0
