@@ -145,16 +145,21 @@ def shifted_dup_pairs(
     store = {
         r[id_col]: (r["bytes"], r["codec"], int(r["sr_hz"])) for r in rows
     }
-    store_ref = ray.put(store)
 
-    pair_list = list(zip(cand["clip_a"], cand["clip_b"]))
-    futs = [
-        _verify_chunk.remote(
-            store_ref, pair_list[i:i + _PAIR_CHUNK], work_sr,
-            max_shift_ms, corr_threshold,
-        )
-        for i in range(0, len(pair_list), _PAIR_CHUNK)
-    ]
+    # Per-chunk MINI-stores: shipping one global store ref makes every
+    # verify task deserialize the whole payload dict (measured: ~40
+    # tasks × 100s-of-MB dominated a sf0.1 run at 133 s wall). Sorting
+    # pairs groups shared members into the same chunk, so each task
+    # receives only its own members' bytes.
+    pair_list = sorted(zip(cand["clip_a"], cand["clip_b"]))
+    futs = []
+    for i in range(0, len(pair_list), _PAIR_CHUNK):
+        chunk = pair_list[i:i + _PAIR_CHUNK]
+        mini = {cid: store[cid]
+                for p in chunk for cid in p if cid in store}
+        futs.append(_verify_chunk.remote(
+            mini, chunk, work_sr, max_shift_ms, corr_threshold,
+        ))
     confirmed = [row for chunk in ray.get(futs) for row in chunk]
     return pd.DataFrame(
         confirmed, columns=["clip_a", "clip_b", "offset_ms", "corr"]
