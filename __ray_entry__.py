@@ -3168,9 +3168,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_orders_revenue": """
             SELECT o.o_orderkey AS orderkey, o.o_orderpriority,
-                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                        * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
-                       AS revenue_cbp
+                       AS BIGINT) AS revenue_cbp
             FROM orders o
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             WHERE o.o_custkey IN (
@@ -3206,8 +3206,8 @@ def oracle_sql() -> dict[str, str]:
         "user_running_totals": """
             SELECT event_id, user_id,
                    row_number() OVER w AS rn_k,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                       AS run_sum
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS BIGINT) AS run_sum
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
