@@ -1603,6 +1603,28 @@ def q_embedding_clusters_dist(sf_dir: str):
     )
 
 
+def q_tiered_dedup(sf_dir: str):
+    """Tiered dedup cascade — the graft's namesake composition: exact
+    (50-char prefix key) → token-shingle Jaccard ≥ 0.7 → embedding
+    cosine ≥ 0.35, each tier over ONLY the previous tier's survivors; a
+    doc is attributed to the first (cheapest) tier that catches it.
+    Output = removed docs (doc_id, tier, root). SQL-oracle-checked end
+    to end: the oracle chains the three tiers' already-proven CTEs
+    (window-min exact groups, exhaustive list-ops Jaccard, exhaustive
+    cosine scan, recursive min-label components) with the same
+    survivor filtering between tiers."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.tiered import tiered_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return tiered_dedup(docs, emb)
+
+
 def q_knn_cosine_lsh(sf_dir: str):
     """Approximate top-10 (multi-probe hyperplane LSH) — the scale path."""
     import pyarrow.parquet as pq
@@ -2165,6 +2187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,
         "embedding_clusters_dist": q_embedding_clusters_dist,
+        "tiered_dedup": q_tiered_dedup,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "embedding_kmeans": q_embedding_kmeans,
@@ -3159,6 +3182,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        # tiered cascade: the three tiers' proven CTEs chained with
+        # survivor filtering between them (tier attribution = first tier)
+        "tiered_dedup": r"""
+            WITH RECURSIVE t1 AS MATERIALIZED (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY substr(text, 1, 50))
+                       AS root
+              FROM documents
+            ), t1_removed AS MATERIALIZED (
+              SELECT doc_id, 'exact' AS tier, root
+              FROM t1 WHERE doc_id <> root
+            ), s1 AS MATERIALIZED (
+              SELECT d.doc_id, d.text FROM documents d
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM t1_removed)
+            ), tok AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ts
+              FROM s1
+            ), sh AS MATERIALIZED (
+              SELECT doc_id,
+                CASE WHEN len(ts) >= 3 THEN
+                  list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
+                ELSE [array_to_string(ts, chr(30))] END AS sg
+              FROM tok
+            ), jp AS MATERIALIZED (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              WHERE len(list_intersect(x.sg, y.sg))
+                    >= 0.7 * len(list_distinct(list_concat(x.sg, y.sg)))
+            ), jn AS (
+              SELECT a AS id FROM jp UNION SELECT b FROM jp
+            ), je AS (
+              SELECT a, b FROM jp UNION ALL SELECT b AS a, a AS b FROM jp
+            ), jwalk(id, lbl) AS (
+              SELECT id, id FROM jn
+              UNION
+              SELECT e.b AS id, w.lbl FROM jwalk w JOIN je e ON e.a = w.id
+            ), jcomp AS MATERIALIZED (
+              SELECT id, min(lbl) AS root FROM jwalk GROUP BY id
+            ), t2_removed AS MATERIALIZED (
+              SELECT id AS doc_id, 'jaccard' AS tier, root
+              FROM jcomp WHERE id <> root
+            ), s2 AS MATERIALIZED (
+              SELECT doc_id FROM s1
+              WHERE doc_id NOT IN (SELECT doc_id FROM t2_removed)
+            ), ep AS MATERIALIZED (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+              WHERE x.vec_id IN (SELECT doc_id FROM s2)
+                AND y.vec_id IN (SELECT doc_id FROM s2)
+                AND list_cosine_similarity(x.embedding, y.embedding) >= 0.35
+            ), en AS (
+              SELECT a AS id FROM ep UNION SELECT b FROM ep
+            ), ee AS (
+              SELECT a, b FROM ep UNION ALL SELECT b AS a, a AS b FROM ep
+            ), ewalk(id, lbl) AS (
+              SELECT id, id FROM en
+              UNION
+              SELECT e.b AS id, w.lbl FROM ewalk w JOIN ee e ON e.a = w.id
+            ), ecomp AS MATERIALIZED (
+              SELECT id, min(lbl) AS root FROM ewalk GROUP BY id
+            ), t3_removed AS MATERIALIZED (
+              SELECT id AS doc_id, 'semantic' AS tier, root
+              FROM ecomp WHERE id <> root
+            )
+            SELECT doc_id, tier, CAST(root AS BIGINT) AS root
+            FROM (SELECT * FROM t1_removed
+                  UNION ALL SELECT * FROM t2_removed
+                  UNION ALL SELECT * FROM t3_removed)
         """,
         "order_lines": """
             SELECT o.o_orderkey AS orderkey, o.o_orderpriority,

@@ -1,0 +1,199 @@
+"""Tiered dedup cascade: exact → n-gram Jaccard → embedding semantic.
+
+The production shape of corpus dedup (and this graft's namesake): cheap
+exact dedup first, then token-level near-dup over the exact survivors,
+then semantic (embedding-cosine) near-dup over what remains — each tier
+sees ONLY the previous tier's survivors, so the expensive tiers run on
+monotonically shrinking input and a document is attributed to the
+FIRST (cheapest) tier that catches it. The reference runs the same
+escalation per file pair inside ``_are_similar`` (checksum first, then
+perceptual hash; /root/reference/deduplidog/deduplidog.py:636-671);
+this operator lifts it to whole-corpus scale as three composed engine
+stages.
+
+Scale shape
+-----------
+- Tier 1 is `exact.py`'s hash-partitioned keep-first (one skinny
+  shuffle; in-partition TRUE-key equality, collision-safe).
+- Removed-id sets are ids-only (8 B/row, bounded by the duplicate
+  count, not the corpus); they broadcast once per tier and survivors
+  are a streaming ``pc.is_in(..., invert)`` filter — the corpus itself
+  is never re-shuffled between tiers.
+- Tiers 2/3 are the existing pairs operators (LSH candidates + exact
+  verify), so their cost is pairs-bounded; components close over the
+  pair stream only (driver DSU here; `components.py`'s distributed
+  large-star/small-star rounds are the drop-in upgrade for pair
+  streams beyond one process — proven equivalent in
+  `embedding_clusters_dist`).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from deduplidog_ray.stages.signatures import SignatureConfig
+
+TIER_EXACT = "exact"
+TIER_JACCARD = "jaccard"
+TIER_SEMANTIC = "semantic"
+
+
+def min_label_components(a: np.ndarray, b: np.ndarray):
+    """(ids, root) for the undirected graph over int64 pair arrays, where
+    root = MIN member id of each component — the same label rule as the
+    recursive-CTE oracle and `components.py`. DSU with union-by-min-index
+    + path halving; since ``ids`` is sorted, min index ⇔ min id."""
+    ids = np.unique(np.concatenate([a, b]))
+    pos_a = np.searchsorted(ids, a)
+    pos_b = np.searchsorted(ids, b)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(pos_a)):
+        ra, rb = find(pos_a[i]), find(pos_b[i])
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(len(ids))),
+                        dtype=np.int64, count=len(ids))
+    return ids, ids[roots]
+
+
+def _removed_exact_partition(
+    g: pd.DataFrame, key_cols: list[str], id_col: str
+) -> pd.DataFrame:
+    """Partition kernel: (doc_id, root) for every NON-min member of each
+    true-key duplicate group (the complement of `_keep_first_partition`)."""
+    root = g.groupby(key_cols, sort=False, dropna=False)[id_col].transform(
+        "min"
+    )
+    loser = g[id_col] != root
+    return pd.DataFrame(
+        {id_col: g.loc[loser, id_col].to_numpy(),
+         "root": root[loser].to_numpy()}
+    )
+
+
+def _drop_ids(
+    ds: ray.data.Dataset, removed: np.ndarray, id_col: str
+) -> ray.data.Dataset:
+    """Streaming survivor filter: broadcast the (small) removed-id set and
+    keep rows NOT in it — no shuffle, corpus order untouched."""
+    if len(removed) == 0:
+        return ds
+    removed_arr = pa.array(np.sort(removed))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=removed_arr)
+        return t.filter(pc.invert(mask))
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _pairs_to_removed(pairs: ray.data.Dataset) -> pd.DataFrame:
+    """Collect an (a, b) pair stream and return (doc_id, root) for every
+    non-root member of its min-label components."""
+    aa, bb = [], []
+    for t in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        aa.append(t["a"].to_numpy(zero_copy_only=False))
+        bb.append(t["b"].to_numpy(zero_copy_only=False))
+    if not aa:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "root": pd.Series(dtype="int64")})
+    ids, root = min_label_components(np.concatenate(aa), np.concatenate(bb))
+    loser = ids != root
+    return pd.DataFrame({"doc_id": ids[loser], "root": root[loser]})
+
+
+def tiered_dedup(
+    docs: ray.data.Dataset,
+    embeddings: ray.data.Dataset,
+    exact_key_chars: int = 50,
+    jaccard_threshold: float = 0.7,
+    cosine_threshold: float = 0.35,
+    sig_cfg: SignatureConfig | None = None,
+    bands: int = 64,
+    bits_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Run the three-tier cascade; return the REMOVED docs as
+    (doc_id, tier, root) — root is the min member of the duplicate
+    group that kept its seat, tier names the first (cheapest) tier that
+    caught the doc. Kept docs don't appear (output ∝ duplicates).
+
+    ``embeddings`` rows are matched to docs by ``vec_id_col == id_col``
+    values; embeddings of docs already removed by tiers 1-2 are filtered
+    out BEFORE the semantic tier (ids-only broadcast), so the most
+    expensive tier always runs on the smallest survivor set.
+    """
+    from deduplidog_ray.pipelines.exact import add_key_hash
+    from deduplidog_ray.pipelines.similarity import embedding_near_dup_pairs
+    from deduplidog_ray.pipelines.textdedup import text_ngram_jaccard_pairs
+
+    # ---- tier 1: exact (prefix-key, true-key equality in-partition) ----
+    def _add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_k", pc.utf8_slice_codeunits(t[text_col], 0, exact_key_chars)
+        )
+
+    keyed = add_key_hash(
+        docs.map_batches(_add_key, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["_k"],
+    )
+    t1 = (
+        keyed.groupby("_part")
+        .map_groups(
+            lambda g: _removed_exact_partition(g, ["_k"], id_col),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    s1 = _drop_ids(docs, t1[id_col].to_numpy(), id_col)
+
+    # ---- tier 2: token-shingle Jaccard over tier-1 survivors ----
+    jac_pairs = text_ngram_jaccard_pairs(
+        s1, cfg=sig_cfg, threshold=jaccard_threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    t2 = _pairs_to_removed(jac_pairs)
+
+    # ---- tier 3: embedding cosine over tier-1+2 survivors ----
+    removed_so_far = np.concatenate(
+        [t1[id_col].to_numpy(), t2["doc_id"].to_numpy()]
+    )
+    emb_surv = _drop_ids(embeddings, removed_so_far, vec_id_col)
+    sem_pairs = embedding_near_dup_pairs(
+        emb_surv, threshold=cosine_threshold, bands=bands,
+        bits_per_band=bits_per_band, id_col=vec_id_col, vec_col=vec_col,
+    ).select_columns(["a", "b"])
+    t3 = _pairs_to_removed(sem_pairs)
+
+    out = pd.concat(
+        [
+            pd.DataFrame({"doc_id": t1[id_col].to_numpy(),
+                          "tier": TIER_EXACT,
+                          "root": t1["root"].to_numpy()}),
+            t2.assign(tier=TIER_JACCARD)[["doc_id", "tier", "root"]],
+            t3.assign(tier=TIER_SEMANTIC)[["doc_id", "tier", "root"]],
+        ],
+        ignore_index=True,
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["root"] = out["root"].astype("int64")
+    return out.sort_values("doc_id", kind="stable").reset_index(drop=True)
