@@ -1435,6 +1435,67 @@ def q_clips_shifted_dups(sf_dir: str):
     )
 
 
+def q_clips_landmark_dups(sf_dir: str):
+    """Shazam-style landmark fingerprint matching
+    (pipelines/audiofp.py): a deterministic 1-in-8 sample ships again
+    delayed 480 ms (µ-law re-encoded), a disjoint 1-in-16 sample ships
+    as a middle excerpt (25%..85% crop); the operator must recover both
+    kinds via constellation-hash voting with frame-accurate offsets.
+    Input is the TEXTURED clips table (time-varying spectra) — the
+    standard `make_pcm` corpus is near-stationary tone mixtures, the
+    documented degenerate case for constellation hashing. Rows-only
+    (payload decode + STFT); offset/recall/precision gates in
+    tests/test_audiofp.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.audiofp import landmark_dup_pairs
+    from deduplidog_ray.pipelines.audiotransform import Crop, Delay
+    from deduplidog_ray.sources.from_documents import (
+        textured_clips_from_documents,
+    )
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+
+    clips_path = textured_clips_from_documents(sf_dir)
+    ds = ray.data.read_parquet(
+        clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    )
+
+    def _sampler(mod: int, rem: int):
+        def _s(t: pa.Table) -> pa.Table:
+            h = hash_strings_u64(t["clip_id"].to_pylist(), seed=0x1A4D)
+            return t.filter(pa.array(h % np.uint64(mod) == rem))
+        return _s
+
+    def _retag(suffix: str):
+        def _r(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("clip_id"), "clip_id",
+                pc.binary_join_element_wise(t["clip_id"], suffix, ""),
+            ).select(["clip_id", "bytes", "sr_hz", "dur_ms", "codec"])
+        return _r
+
+    delayed = ds.map_batches(
+        _sampler(8, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        Delay, fn_constructor_kwargs={"delay_ms": 480},
+        batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).map_batches(_retag("_lmshift"), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    cropped = ds.map_batches(
+        _sampler(16, 3), batch_format="pyarrow", zero_copy_batch=True
+    ).filter(lambda r: r["dur_ms"] >= 1400).map_batches(
+        Crop, fn_constructor_kwargs={"start_frac": 0.25, "dur_frac": 0.6},
+        batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).map_batches(_retag("_lmcut"), batch_format="pyarrow",
+                  zero_copy_batch=True)
+    return landmark_dup_pairs(ds.union(delayed).union(cropped))
+
+
 def q_clips_audio_stats(sf_dir: str):
     """Per-clip audio stats (peak/clipping/silence/power) over the decoded
     int16 payload — rows-only (DuckDB cannot decode RIFF/µ-law); the exact
@@ -2176,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_audio_stats": q_clips_audio_stats,
         "clips_segments": q_clips_segments,
         "clips_shifted_dups": q_clips_shifted_dups,
+        "clips_landmark_dups": q_clips_landmark_dups,
         "clips_transform": q_clips_transform,
         "clips_embed_near_dup": q_clips_embed_near_dup,
         "source_distinct_hll": q_source_distinct_hll,

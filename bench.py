@@ -200,6 +200,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "cluster_sizes",
         "token_freq",
         "corpus_prep",
+        "tiered_dedup",
+        "clips_landmark_dups",
         "incremental_exact",
         "dup_stats",
         "boilerplate_mask",

@@ -38,3 +38,33 @@ def seed_from_text(text: str) -> int:
 
     h = hashlib.blake2b(text.encode(), digest_size=8).digest()
     return int.from_bytes(h, "little") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def make_pcm_textured(seed: int, dur_ms: int, sr_hz: int) -> np.ndarray:
+    """Deterministic mono float32 clip with TIME-VARYING spectral content:
+    sinusoid partials whose frequencies re-draw every ~200 ms.
+
+    `make_pcm` produces near-stationary tone mixtures — the documented
+    degenerate case for landmark (constellation) fingerprinting, where
+    the distinct-hash vocabulary collapses to a handful of values and
+    cross-clip coincidences dominate (pipelines/audiofp.py docstring).
+    Landmark-based queries synthesize from this generator instead; both
+    stay fully deterministic in (seed, duration, rate)."""
+    rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(0x7E47))
+    n = max(1, int(sr_hz * dur_ms / 1000))
+    step = max(1, int(sr_hz * 0.2))
+    x = np.zeros(n, dtype=np.float64)
+    for _ in range(4):
+        amp = float(rng.uniform(0.12, 0.3))
+        phase = 0.0
+        for s in range(0, n, step):
+            f = float(rng.uniform(120.0, min(3400.0, sr_hz / 2.4)))
+            m = min(step, n - s)
+            tt = np.arange(m) / sr_hz
+            x[s:s + m] += amp * np.sin(2 * np.pi * f * tt + phase)
+            phase += 2 * np.pi * f * m / sr_hz
+    x += rng.normal(0, 0.004, n)
+    peak = float(np.max(np.abs(x)))
+    if peak > 0:
+        x *= 0.8 / peak
+    return x.astype(np.float32)

@@ -1,0 +1,457 @@
+"""Landmark (constellation) audio fingerprinting — Shazam-style robust
+matching as two skinny exchanges.
+
+`audioalign.shifted_dup_pairs` confirms shifted copies with an FFT
+cross-correlation over candidate pairs from a whole-clip embedding; that
+candidate key weakens as the overlap fraction shrinks (an embedding of a
+6 s clip and of a 1.5 s excerpt of it pool different content). Landmark
+fingerprinting removes the whole-clip assumption: the unit of identity
+is a LOCAL spectral event, so any two clips sharing a few seconds of
+audio — shifted copies, re-encodes, AND clip-in-clip containment — vote
+each other up regardless of what surrounds the shared span.
+
+≙ the reference's `are_contained` time-window probe
+(/root/reference/deduplidog/utils.py:128-166: index by timestamp, probe
+a window, verify with a perceptual hash) re-expressed in the payload
+domain: the "timestamp index" becomes an inverted index of quantized
+spectral landmarks, the "window probe" becomes an offset-histogram vote.
+
+Algorithm (Wang 2003, "An Industrial-Strength Audio Search Algorithm"):
+
+1. decode → resample to ``work_sr`` → STFT log-magnitude;
+2. constellation: per frame keep the ``peaks_per_frame`` strongest bins
+   that are also 3×3 local maxima;
+3. landmarks: pair each anchor peak with up to ``fanout`` peaks in a
+   forward target zone; hash = (f1, Δf, Δt) packed into an int32-range
+   key; one row per landmark: (hash, clip, t_anchor);
+4. inverted index: hash-partition landmark rows by ``hash % P`` (skinny:
+   ~30 B/row, payload never ships); within a partition, same-hash
+   segments of size 2..``bucket_cap`` emit clip pairs with
+   dt = t_b − t_a. Buckets above ``bucket_cap`` are STOP HASHES (the
+   audio analog of stopwords / hot keys) — dropped and counted, never
+   paired (a quadratic bucket is a skew bug, not signal);
+5. vote: pair rows hash-partition by pair key; per pair the modal dt
+   (±1 frame, STFT phase jitter) is the alignment, its vote count the
+   confidence. Pairs pass with ``votes ≥ min_votes`` and a DISTINCT-HASH
+   coverage gate: the number of distinct landmark hashes matching at the
+   modal offset over the shorter side's distinct-hash vocabulary must
+   reach ``min_hash_coverage``. The distinct-hash gate is what makes the
+   op robust on near-stationary audio: two different recordings sharing
+   one coinciding spectral partial repeat that ONE hash at every frame
+   (high raw votes, flat across offsets), but they share only a couple
+   of distinct hashes — while a true copy matches essentially the whole
+   constellation vocabulary at its one true offset.
+
+Scale shape: both exchanges move fixed-width key rows ∝ landmarks
+(≈ frames × peaks × fanout, linear in audio seconds); bucket pairing is
+O(cap²) bounded; no all-pairs scan, no payload through the shuffle, no
+driver-side loop over clips. Containment falls out for free: an excerpt
+shares its whole constellation with its container, so coverage→1 on the
+SHORTER side while the offset localizes the excerpt inside the
+container.
+
+No SQL oracle is possible (payload decode + STFT); parity gates live in
+tests/test_audiofp.py: planted shifted/µ-law re-encoded copies and
+excerpts recovered with frame-accurate offsets, distinct clips rejected,
+stop-hash cap exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from deduplidog_ray.audio.codecs import CodecError, decode
+from deduplidog_ray.pipelines.audiotransform import fft_resample
+
+#: landmark hash packing widths — f1:9 bits | Δf+64:7 bits | Δt:6 bits
+_DF_SPAN = 64
+_DT_MAX = 63
+
+PAIR_COLUMNS = [
+    "clip_a", "clip_b", "offset_ms", "votes",
+    "coverage_a", "coverage_b", "hash_coverage",
+]
+
+
+def _stft_logmag(pcm: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """(frames, bins) log-magnitude STFT, Hann window, no padding."""
+    if len(pcm) < n_fft:
+        pcm = np.pad(pcm, (0, n_fft - len(pcm)))
+    n_frames = 1 + (len(pcm) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = pcm[idx] * np.hanning(n_fft)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    return np.log1p(mag)
+
+
+def _constellation(
+    s: np.ndarray, peaks_per_frame: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(t, f) arrays of constellation peaks: per-frame strongest bins
+    that are 3×3 local maxima above the spectrogram mean."""
+    nt, nf = s.shape
+    if nt == 0 or nf < 3:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    interior = s[1:-1, 1:-1] if nt >= 3 else s[:0, 1:-1]
+    if interior.size == 0:
+        # 1-2 frames: fall back to per-frame top bins (no time neighbors)
+        local = np.ones_like(s, dtype=bool)
+        local[:, 0] = local[:, -1] = False
+    else:
+        m = np.ones_like(interior, dtype=bool)
+        for dt in (-1, 0, 1):
+            for df in (-1, 0, 1):
+                if dt == 0 and df == 0:
+                    continue
+                m &= interior >= s[1 + dt:nt - 1 + dt, 1 + df:nf - 1 + df]
+        local = np.zeros_like(s, dtype=bool)
+        local[1:-1, 1:-1] = m
+    local &= s > s.mean()
+    # keep at most peaks_per_frame strongest local maxima per frame
+    masked = np.where(local, s, -np.inf)
+    kth = nf - peaks_per_frame
+    thresh = np.partition(masked, kth, axis=1)[:, kth]
+    keep = local & (masked >= thresh[:, None])
+    t, f = np.nonzero(keep)
+    return t.astype(np.int64), f.astype(np.int64)
+
+
+def _landmarks(
+    pcm: np.ndarray,
+    n_fft: int,
+    hop: int,
+    peaks_per_frame: int,
+    fanout: int,
+    zone_dt: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hash, t_anchor) int64 arrays for one clip. Peaks are sorted by
+    (t, f); each anchor pairs with its next ``fanout`` peaks within
+    ``zone_dt`` frames and |Δf| < _DF_SPAN."""
+    s = _stft_logmag(pcm, n_fft, hop)
+    t, f = _constellation(s, peaks_per_frame)
+    n = len(t)
+    if n < 2:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    hashes, anchors = [], []
+    # vectorized over the fanout offset: partner j = i + 1 + k
+    for k in range(fanout):
+        j = np.arange(n - 1 - k)
+        dt = t[j + 1 + k] - t[j]
+        df = f[j + 1 + k] - f[j]
+        ok = (dt >= 1) & (dt <= min(zone_dt, _DT_MAX)) & (
+            np.abs(df) < _DF_SPAN
+        )
+        if not ok.any():
+            continue
+        jj = j[ok]
+        h = (
+            (f[jj] << 13)
+            | ((df[ok] + _DF_SPAN) << 6)
+            | dt[ok]
+        )
+        hashes.append(h)
+        anchors.append(t[jj])
+    if not hashes:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(hashes), np.concatenate(anchors)
+
+
+class _LandmarkStage:
+    """Actor-pool batch fn: clips table → landmark rows
+    (hash, clip_id, t, n_lm). Window/pair params fixed in __init__;
+    decode errors drop the row (quarantine is the flagship's job)."""
+
+    def __init__(
+        self,
+        work_sr: int,
+        n_fft: int,
+        hop: int,
+        peaks_per_frame: int,
+        fanout: int,
+        zone_dt: int,
+        id_col: str,
+    ) -> None:
+        self.work_sr = work_sr
+        self.n_fft = n_fft
+        self.hop = hop
+        self.ppf = peaks_per_frame
+        self.fanout = fanout
+        self.zone_dt = zone_dt
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_pylist()
+        bufs = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        srs = t["sr_hz"].to_pylist()
+        out_h, out_id, out_t, out_n, out_nh = [], [], [], [], []
+        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+            try:
+                pcm, sr_dec = decode(buf, codec)
+            except CodecError:
+                continue
+            sr = sr_dec or int(sr)
+            if sr != self.work_sr:
+                pcm = fft_resample(pcm, sr, self.work_sr)
+            h, ta = _landmarks(
+                pcm, self.n_fft, self.hop, self.ppf, self.fanout,
+                self.zone_dt,
+            )
+            if len(h) == 0:
+                continue
+            out_h.append(h)
+            out_t.append(ta)
+            out_id.extend([cid] * len(h))
+            out_n.append(np.full(len(h), len(h), dtype=np.int64))
+            out_nh.append(
+                np.full(len(h), len(np.unique(h)), dtype=np.int64)
+            )
+        if not out_h:
+            return pa.table({
+                "hash": pa.array([], type=pa.int64()),
+                "clip_id": pa.array([], type=pa.string()),
+                "t": pa.array([], type=pa.int64()),
+                "n_lm": pa.array([], type=pa.int64()),
+                "n_hash": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "hash": pa.array(np.concatenate(out_h)),
+            "clip_id": pa.array(out_id, type=pa.string()),
+            "t": pa.array(np.concatenate(out_t)),
+            "n_lm": pa.array(np.concatenate(out_n)),
+            "n_hash": pa.array(np.concatenate(out_nh)),
+        })
+
+
+def _pairs_within_segments(
+    starts: np.ndarray, sizes: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Global (i, j) index arrays for all ordered within-segment pairs,
+    fully vectorized per distinct segment size; segments larger than
+    ``cap`` are skipped (stop hashes) and counted."""
+    multi = sizes >= 2
+    stop = int((sizes > cap).sum())
+    use = multi & (sizes <= cap)
+    ii, jj = [], []
+    for k in np.unique(sizes[use]):
+        st = starts[use & (sizes == k)]
+        i0, j0 = np.triu_indices(int(k), 1)
+        ii.append((st[:, None] + i0[None, :]).ravel())
+        jj.append((st[:, None] + j0[None, :]).ravel())
+    if not ii:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, stop
+    return np.concatenate(ii), np.concatenate(jj), stop
+
+
+def _bucket_pairs(g: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """Partition kernel (exchange 1): same-hash landmark rows → pair
+    rows (a, b, dt, h, n_a, n_b, nh_a, nh_b). a < b lexicographically so
+    the same pair always lands in the same exchange-2 partition."""
+    h = g["hash"].to_numpy()
+    cid = g["clip_id"].to_numpy()
+    tt = g["t"].to_numpy()
+    nn = g["n_lm"].to_numpy()
+    nh = g["n_hash"].to_numpy()
+    order = np.argsort(h, kind="stable")   # segments need hash order only
+    h, cid, tt = h[order], cid[order], tt[order]
+    nn, nh = nn[order], nh[order]
+    n = len(h)
+    seg_starts = np.nonzero(np.concatenate([[True], h[1:] != h[:-1]]))[0]
+    seg_sizes = np.diff(np.concatenate([seg_starts, [n]]))
+    i, j, _stop = _pairs_within_segments(seg_starts, seg_sizes, cap)
+    empty = pd.DataFrame({
+        "a": pd.Series(dtype=str), "b": pd.Series(dtype=str),
+        "dt": pd.Series(dtype="int64"), "h": pd.Series(dtype="int64"),
+        "n_a": pd.Series(dtype="int64"), "n_b": pd.Series(dtype="int64"),
+        "nh_a": pd.Series(dtype="int64"), "nh_b": pd.Series(dtype="int64"),
+    })
+    if len(i) == 0:
+        return empty
+    ca, cb = cid[i], cid[j]
+    same = ca == cb                      # self-matches (repeated content
+    i, j, ca, cb = i[~same], j[~same], ca[~same], cb[~same]   # in-clip)
+    if len(i) == 0:
+        return empty
+    swap = ca > cb
+    aa = np.where(swap, cb, ca)
+    bb = np.where(swap, ca, cb)
+    dt = np.where(swap, tt[i] - tt[j], tt[j] - tt[i])
+    na = np.where(swap, nn[j], nn[i])
+    nb = np.where(swap, nn[i], nn[j])
+    nha = np.where(swap, nh[j], nh[i])
+    nhb = np.where(swap, nh[i], nh[j])
+    return pd.DataFrame({
+        "a": aa, "b": bb, "dt": dt, "h": h[i],
+        "n_a": na, "n_b": nb, "nh_a": nha, "nh_b": nhb,
+    })
+
+
+def _vote_partition(
+    g: pd.DataFrame, min_votes: int, min_coverage: float,
+    min_hash_coverage: float, hop_ms: float,
+) -> pd.DataFrame:
+    """Partition kernel (exchange 2): pair rows → confirmed pairs.
+    Votes = count of the modal dt merged with its ±1-frame neighbors
+    (STFT quantization jitter); landmark coverage is votes over each
+    side's landmark count; hash coverage is the count of DISTINCT hashes
+    matching within ±1 frame of the modal dt over the shorter side's
+    distinct-hash vocabulary (the stationary-audio discriminator)."""
+    if len(g) == 0:
+        return pd.DataFrame(columns=PAIR_COLUMNS)
+    a = g["a"].to_numpy()
+    b = g["b"].to_numpy()
+    dt = g["dt"].to_numpy()
+    hh = g["h"].to_numpy()
+    na = g["n_a"].to_numpy()
+    nb = g["n_b"].to_numpy()
+    nha = g["nh_a"].to_numpy()
+    nhb = g["nh_b"].to_numpy()
+    order = np.lexsort((dt, b, a))
+    a, b, dt, hh = a[order], b[order], dt[order], hh[order]
+    na, nb, nha, nhb = na[order], nb[order], nha[order], nhb[order]
+    n = len(a)
+    # pair ids: dense int per (a, b) over the sorted rows
+    pair_new = np.concatenate(
+        [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    )
+    pid = np.cumsum(pair_new) - 1
+    # run-length encode identical (pid, dt)
+    new = np.concatenate(
+        [[True], (pid[1:] != pid[:-1]) | (dt[1:] != dt[:-1])]
+    )
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.concatenate([starts, [n]]))
+    rp, rdt = pid[starts], dt[starts]
+    # same-pair neighbor runs at dt±1 add their counts (jitter merge)
+    same_prev = np.zeros(len(starts), dtype=bool)
+    same_prev[1:] = rp[1:] == rp[:-1]
+    votes = counts.astype(np.int64)
+    adj_prev = same_prev & np.concatenate([[False], rdt[1:] == rdt[:-1] + 1])
+    votes[adj_prev] += counts[np.nonzero(adj_prev)[0] - 1]
+    adj_next = np.zeros(len(starts), dtype=bool)
+    adj_next[:-1] = same_prev[1:] & (rdt[:-1] == rdt[1:] - 1)
+    votes[adj_next] += counts[np.nonzero(adj_next)[0] + 1]
+    # argmax votes per pair: sort by (pid, votes, -dt) take last
+    sel = np.lexsort((-rdt, votes, rp))
+    rp_s, rdt_s, votes_s = rp[sel], rdt[sel], votes[sel]
+    last = np.concatenate([rp_s[1:] != rp_s[:-1], [True]])
+    win_pid, win_dt, win_votes = rp_s[last], rdt_s[last], votes_s[last]
+    # distinct hashes matching within ±1 of each pair's modal dt:
+    # rows are (pid, dt, h); look up the pair's winning dt and count
+    # unique h among rows with |dt - win| <= 1 — all vectorized
+    win_for_row = win_dt[pid]            # win_pid is 0..P-1 == index
+    near = np.abs(dt - win_for_row) <= 1
+    if near.any():
+        ph = np.stack([pid[near], hh[near]], axis=1)
+        uniq = np.unique(ph, axis=0)
+        hmatch = np.bincount(uniq[:, 0], minlength=len(win_pid))
+    else:
+        hmatch = np.zeros(len(win_pid), dtype=np.int64)
+    first_idx = starts[np.nonzero(np.concatenate(
+        [[True], rp[1:] != rp[:-1]]))[0]]      # one raw row per pair
+    rna, rnb = na[first_idx], nb[first_idx]
+    rnha, rnhb = nha[first_idx], nhb[first_idx]
+    ra, rb = a[first_idx], b[first_idx]
+    cov_a = win_votes / np.maximum(rna, 1)
+    cov_b = win_votes / np.maximum(rnb, 1)
+    hcov = hmatch / np.maximum(np.minimum(rnha, rnhb), 1)
+    ok = (
+        (win_votes >= min_votes)
+        & (np.maximum(cov_a, cov_b) >= min_coverage)
+        & (hcov >= min_hash_coverage)
+    )
+    return pd.DataFrame({
+        "clip_a": ra[ok],
+        "clip_b": rb[ok],
+        "offset_ms": np.round(win_dt[ok] * hop_ms).astype(np.int64),
+        "votes": win_votes[ok],
+        "coverage_a": np.round(cov_a[ok], 4),
+        "coverage_b": np.round(cov_b[ok], 4),
+        "hash_coverage": np.round(hcov[ok], 4),
+    })
+
+
+def landmark_dup_pairs(
+    clips: ray.data.Dataset,
+    work_sr: int = 8000,
+    n_fft: int = 512,
+    hop: int = 128,
+    peaks_per_frame: int = 5,
+    fanout: int = 6,
+    zone_dt: int = 32,
+    bucket_cap: int = 24,
+    min_votes: int = 12,
+    min_coverage: float = 0.02,
+    min_hash_coverage: float = 0.065,
+    partitions: int = 32,
+    id_col: str = "clip_id",
+) -> pd.DataFrame:
+    """Robust audio duplicate / containment pairs via landmark voting:
+    (clip_a, clip_b, offset_ms, votes, coverage_a, coverage_b), sorted.
+    ``offset_ms`` is how much LATER the shared content plays in clip_b
+    than in clip_a (positive: b carries a lead-in / is the delayed copy;
+    negative: b is an excerpt starting |offset| into a). The max of the
+    two coverages is the contained side's matched fraction."""
+    lm = clips.map_batches(
+        _LandmarkStage,
+        fn_constructor_kwargs=dict(
+            work_sr=work_sr, n_fft=n_fft, hop=hop,
+            peaks_per_frame=peaks_per_frame, fanout=fanout,
+            zone_dt=zone_dt, id_col=id_col,
+        ),
+        concurrency=(1, 16),
+        batch_size=32,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _part1(t: pa.Table) -> pa.Table:
+        part = (t["hash"].to_numpy().view(np.uint64)
+                % np.uint64(partitions)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    pair_rows = (
+        lm.map_batches(_part1, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            lambda g: _bucket_pairs(g.drop(columns=["part"]), bucket_cap),
+            batch_format="pandas",
+        )
+    )
+
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+
+    def _part2(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("part", pa.array([], type=pa.int64()))
+        ha = hash_strings_u64(t["a"].to_pylist(), seed=0xF1D0)
+        hb = hash_strings_u64(t["b"].to_pylist(), seed=0x0D1F)
+        part = ((ha ^ hb) % np.uint64(partitions)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    hop_ms = hop * 1000.0 / work_sr
+    confirmed = (
+        pair_rows.map_batches(
+            _part2, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: _vote_partition(
+                g.drop(columns=["part"]), min_votes, min_coverage,
+                min_hash_coverage, hop_ms,
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if confirmed.empty:
+        return pd.DataFrame(columns=PAIR_COLUMNS)
+    return confirmed.sort_values(["clip_a", "clip_b"]).reset_index(drop=True)

@@ -156,6 +156,24 @@ class Delay(_Transform):
         return np.concatenate([pad, pcm]), sr
 
 
+class Crop(_Transform):
+    """Keep ``[start_frac, start_frac + dur_frac)`` of each clip
+    (fractions of its length) — the excerpt / containment-test fixture:
+    the cropped payload is a strict sub-segment of the original, which
+    `audiofp.landmark_dup_pairs` must localize inside its container."""
+
+    def __init__(self, start_frac: float = 0.25, dur_frac: float = 0.5) -> None:
+        super().__init__()
+        self.start_frac = float(start_frac)
+        self.dur_frac = float(dur_frac)
+
+    def _apply(self, pcm: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        n = len(pcm)
+        s = int(n * self.start_frac)
+        e = min(n, s + max(1, int(n * self.dur_frac)))
+        return pcm[s:e], sr
+
+
 class TrimSilence(_Transform):
     """Drop leading/trailing frames whose RMS is below ``threshold``
     (frame = ``frame_ms`` of samples); interior silence is kept."""

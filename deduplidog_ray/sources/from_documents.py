@@ -159,3 +159,65 @@ def clips_from_documents(
         shutil.rmtree(path)
     os.rename(tmp, path)
     return path
+
+
+def textured_clips_from_documents(sf_dir: str, force: bool = False) -> str:
+    """Ensure the TEXTURED clips parquet dir for ``sf_dir`` exists; one
+    clip per document, PCM from `synth.make_pcm_textured` (time-varying
+    spectra — the input landmark fingerprinting needs; `make_pcm`'s
+    near-stationary tones are its documented degenerate case). No
+    duplicate planting here: landmark queries plant their own
+    delayed/cropped copies so recall is measurable."""
+    from deduplidog_ray.audio.synth import make_pcm_textured
+
+    key = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}:{_GEN_VERSION}:textured".encode(),
+        digest_size=8,
+    ).hexdigest()
+    path = os.path.join("/tmp/deduplidog_ray_clips", key)
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return path
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+
+    def _synth(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_pylist()
+        out = {"clip_id": [], "bytes": [], "sr_hz": [], "dur_ms": [],
+               "codec": []}
+        for did in dids:
+            did = int(did)
+            sr = _SRS[did % len(_SRS)]
+            dur = 900 + (did * 53) % 1600
+            pcm = make_pcm_textured(did, dur, sr)
+            out["clip_id"].append(f"tex_{did:09d}")
+            out["bytes"].append(encode(pcm, sr, "pcm_s16le"))
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(dur)
+            out["codec"].append("pcm_s16le")
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], type=pa.string()),
+            "bytes": pa.array(out["bytes"], type=pa.binary()),
+            "sr_hz": pa.array(out["sr_hz"], type=pa.int32()),
+            "dur_ms": pa.array(out["dur_ms"], type=pa.int32()),
+            "codec": pa.array(out["codec"], type=pa.string()),
+        })
+
+    docs.repartition(96).map_batches(
+        _synth, batch_format="pyarrow", batch_size=16, zero_copy_batch=True
+    ).write_parquet(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(_GEN_VERSION)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path

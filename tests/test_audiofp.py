@@ -1,0 +1,183 @@
+"""landmark_dup_pairs: Shazam-style constellation fingerprinting —
+planted shifted/re-encoded copies and clip-in-clip excerpts recovered
+with frame-accurate offsets, distinct clips rejected, stop-hash cap and
+pair kernels unit-checked."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from deduplidog_ray.audio.codecs import encode
+from deduplidog_ray.pipelines.audiofp import (
+    _bucket_pairs,
+    _constellation,
+    _pairs_within_segments,
+    _stft_logmag,
+    _vote_partition,
+    landmark_dup_pairs,
+)
+
+SR = 8000
+HOP_MS = 128 * 1000.0 / SR     # default hop at default work_sr
+
+
+def _sig(seed, dur_s=3.0):
+    """Non-stationary multi-partial signal: random sinusoids whose
+    frequencies step every ~200 ms, so the constellation varies along
+    time (landmark entropy) — unique per seed."""
+    rng = np.random.default_rng(seed)
+    n = int(SR * dur_s)
+    step = int(SR * 0.2)
+    x = np.zeros(n)
+    for _ in range(4):
+        amp = rng.uniform(0.15, 0.3)
+        phase = 0.0
+        for s in range(0, n, step):
+            f = rng.uniform(150, 3200)
+            tt = np.arange(min(step, n - s)) / SR
+            x[s:s + len(tt)] += amp * np.sin(2 * np.pi * f * tt + phase)
+            phase += 2 * np.pi * f * len(tt) / SR
+    x += rng.normal(0, 0.004, n)
+    return (0.8 * x / np.abs(x).max()).astype(np.float32)
+
+
+def _row(cid, pcm, codec="pcm_s16le", sr=SR):
+    return {
+        "clip_id": cid, "bytes": encode(pcm.astype(np.float32), sr, codec),
+        "sr_hz": sr, "dur_ms": int(1000 * len(pcm) / sr), "codec": codec,
+    }
+
+
+def _run(rows, **kw):
+    return landmark_dup_pairs(rd.from_items(rows), partitions=4, **kw)
+
+
+def test_pairs_within_segments_cap_and_shape():
+    starts = np.array([0, 3, 5, 9])
+    sizes = np.array([3, 2, 4, 1])
+    i, j, stop = _pairs_within_segments(starts, sizes, cap=3)
+    # size-4 segment is a stop hash; 3C2 + 2C2 = 4 pairs remain
+    assert stop == 1
+    assert len(i) == 4 and (i < j).all()
+    got = sorted(zip(i.tolist(), j.tolist()))
+    assert got == [(0, 1), (0, 2), (1, 2), (3, 4)]
+
+
+def test_constellation_finds_pure_tones():
+    t = np.arange(SR) / SR
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.5 * np.sin(2 * np.pi * 1970 * t)).astype(np.float32)
+    s = _stft_logmag(pcm, 512, 256)
+    tt, ff = _constellation(s, peaks_per_frame=5)
+    assert len(tt) > 0
+    hz = ff * SR / 512
+    # both partials must appear among the peak frequencies
+    assert (np.abs(hz - 440) < 32).any()
+    assert (np.abs(hz - 1970) < 32).any()
+
+
+def test_vote_partition_jitter_merge_and_thresholds():
+    # pair (a,b): 5 votes at dt=10, 3 at dt=11 (jitter) -> merged 8;
+    # pair (a,c): 2 scattered votes -> below min_votes
+    g = pd.DataFrame({
+        "a": ["a"] * 10, "b": ["b"] * 8 + ["c"] * 2,
+        "dt": [10] * 5 + [11] * 3 + [4, 40],
+        "h": list(range(8)) + [77, 78],
+        "n_a": [20] * 10, "n_b": [16] * 8 + [30] * 2,
+        "nh_a": [10] * 10, "nh_b": [8] * 8 + [20] * 2,
+    })
+    out = _vote_partition(g, min_votes=6, min_coverage=0.3,
+                          min_hash_coverage=0.5, hop_ms=32.0)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["clip_a"], r["clip_b"]) == ("a", "b")
+    assert r["votes"] == 8
+    assert r["offset_ms"] in (320, 352)          # merged run, either peak
+    assert r["coverage_b"] == 0.5                # 8 / 16
+    # all 8 distinct hashes matched near the modal dt over min(10, 8)=8
+    assert r["hash_coverage"] == 1.0
+
+
+def test_bucket_pairs_drops_self_matches():
+    g = pd.DataFrame({
+        "hash": [7, 7, 7],
+        "clip_id": ["x", "x", "y"],
+        "t": [0, 5, 2],
+        "n_lm": [10, 10, 8],
+        "n_hash": [4, 4, 3],
+    })
+    out = _bucket_pairs(g, cap=16)
+    # (x,x) self pair dropped; two (x,y) pairs with dt = t_y - t_x
+    assert sorted(out["dt"].tolist()) == [-3, 2]
+    assert set(out["a"]) == {"x"} and set(out["b"]) == {"y"}
+
+
+def test_planted_shift_and_reencode_recovered():
+    rows = [_row(f"c{i}", _sig(i)) for i in range(10)]
+    # c3 delayed 512 ms and re-encoded lossy (µ-law)
+    d = int(SR * 0.512)
+    delayed = np.concatenate([np.zeros(d, np.float32), _sig(3)])
+    rows.append(_row("c3_shift", delayed, codec="ulaw"))
+    out = _run(rows)
+    hit = out[(out.clip_a == "c3") & (out.clip_b == "c3_shift")]
+    assert len(hit) == 1, out
+    # offset: b (the shifted copy) carries the lead-in -> content of a
+    # appears later on b's timeline -> dt = +512 ms within one hop
+    assert abs(int(hit.iloc[0]["offset_ms"]) - 512) <= HOP_MS + 1
+    # no cross-content false pairs
+    others = out[~((out.clip_a == "c3") & (out.clip_b == "c3_shift"))]
+    assert len(others) == 0, others
+
+
+def test_containment_excerpt_localized():
+    rows = [_row(f"c{i}", _sig(100 + i, dur_s=4.0)) for i in range(8)]
+    base = _sig(105, dur_s=4.0)
+    start_s = 1.6
+    excerpt = base[int(SR * start_s):int(SR * (start_s + 1.5))]
+    rows.append(_row("c5_cut", excerpt))
+    out = _run(rows)
+    hit = out[(out.clip_a == "c5") & (out.clip_b == "c5_cut")]
+    assert len(hit) == 1, out
+    r = hit.iloc[0]
+    # excerpt starts 1600 ms into the container: b's content begins
+    # -1600 ms relative to a's timeline
+    assert abs(int(r["offset_ms"]) + 1600) <= HOP_MS + 1
+    # the SHORTER side's coverage is high (it is fully contained)
+    assert max(r["coverage_a"], r["coverage_b"]) >= 0.5
+    assert len(out) == 1
+
+
+def test_distinct_clips_produce_no_pairs():
+    rows = [_row(f"d{i}", _sig(1000 + i)) for i in range(12)]
+    out = _run(rows)
+    assert len(out) == 0, out
+
+
+def test_driver_query_recall_precision_sf0001():
+    """The registered `clips_landmark_dups` query at sf0.001: every
+    planted delayed copy and excerpt recovered (recall 1.0), zero
+    cross-content pairs (precision 1.0), offsets frame-accurate."""
+    import importlib.util
+    import re
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.queries()["clips_landmark_dups"]("/root/testdata/sf0.001")
+
+    def uid(c):
+        return re.match(r"tex_(\d+)", c).group(1)
+
+    same = np.array([uid(a) == uid(b)
+                     for a, b in zip(out.clip_a, out.clip_b)])
+    assert same.all(), out[~same]                       # precision 1.0
+    sh = out[(out.clip_a + "_lmshift") == out.clip_b]
+    cu = out[(out.clip_a + "_lmcut") == out.clip_b]
+    # planted counts at sf0.001 (deterministic samplers): 56 + 21
+    assert len(sh) == 56 and len(cu) == 21, (len(sh), len(cu))
+    assert (sh.offset_ms == 480).all()                  # exact: 15 hops
+    # crop starts at 25% of each clip; offsets land within one hop
+    assert ((cu.offset_ms <= -320) & (cu.offset_ms >= -672)).all()
