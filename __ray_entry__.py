@@ -1686,6 +1686,27 @@ def q_tiered_dedup(sf_dir: str):
     return tiered_dedup(docs, emb)
 
 
+def q_tiered_clips(sf_dir: str):
+    """Tier cascade on the AUDIO payload axis: exact encoded bytes →
+    exact decoded PCM (container/codec-invariant) → perceptual
+    (spectral-embedding cosine ≥ 0.99), each tier over only the
+    previous tier's survivors — the reference's checksum-then-
+    perceptual-hash escalation (deduplidog.py:707-767) lifted to
+    whole-corpus tiers. Rows-only for the driver (tiers 2-3 need the
+    decode/embed actors); planted per-tier fixtures + poison-row
+    quarantine gated in tests/test_tiered_clips.py."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.tiered import tiered_clips_dedup
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    clips_path = clips_from_documents(sf_dir)
+    ds = ray.data.read_parquet(
+        clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    )
+    return tiered_clips_dedup(ds)
+
+
 def q_knn_cosine_lsh(sf_dir: str):
     """Approximate top-10 (multi-probe hyperplane LSH) — the scale path."""
     import pyarrow.parquet as pq
@@ -2250,6 +2271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "embedding_clusters_dist": q_embedding_clusters_dist,
         "tiered_dedup": q_tiered_dedup,
+        "tiered_clips": q_tiered_clips,
         "knn_cosine_lsh": q_knn_cosine_lsh,
         "knn_cosine_ivf": q_knn_cosine_ivf,
         "embedding_kmeans": q_embedding_kmeans,

@@ -201,6 +201,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "token_freq",
         "corpus_prep",
         "tiered_dedup",
+        "tiered_clips",
         "clips_landmark_dups",
         "incremental_exact",
         "dup_stats",

@@ -197,3 +197,134 @@ def tiered_dedup(
     out["doc_id"] = out["doc_id"].astype("int64")
     out["root"] = out["root"].astype("int64")
     return out.sort_values("doc_id", kind="stable").reset_index(drop=True)
+
+
+TIER_EXACT_BYTES = "exact_bytes"
+TIER_EXACT_PCM = "exact_pcm"
+TIER_PERCEPTUAL = "perceptual"
+
+
+def _removed_by_key(
+    sig: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    partitions: int,
+) -> pd.DataFrame:
+    """(id, root) for every non-min member of each duplicate group under
+    the composite hash key. Skinny: only (id, keys) move through ONE
+    hash-partition exchange. Keys here are already 64-bit content hashes
+    (+ exact lengths), so in-partition equality is on the true composite
+    key; a full-key collision between distinct payloads is ~2⁻⁶⁴·n² —
+    the decontam.py-documented asymmetry (ADVICE r2 #4) applies: at
+    dedup, a false merge drops one good row, it does not corrupt output.
+    """
+
+    def _part(t: pa.Table) -> pa.Table:
+        h = t[key_cols[0]].to_numpy().view(np.uint64).copy()
+        for c in key_cols[1:]:
+            h ^= (t[c].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        part = (h % np.uint64(partitions)).astype(np.int64)
+        return t.select([id_col, *key_cols]).append_column(
+            "_part", pa.array(part)
+        )
+
+    out = (
+        sig.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda g: _removed_exact_partition(
+                g.drop(columns=["_part"]), key_cols, id_col
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if out.empty:                      # no duplicate group in any partition
+        return pd.DataFrame({id_col: pd.Series(dtype=object),
+                             "root": pd.Series(dtype=object)})
+    return out
+
+
+def tiered_clips_dedup(
+    clips: ray.data.Dataset,
+    embed_threshold: float = 0.99,
+    partitions: int = 32,
+    id_col: str = "clip_id",
+) -> pd.DataFrame:
+    """The tiered cascade over the AUDIO table — the graft's namesake on
+    the payload axis: exact bytes → exact decoded PCM (container/codec-
+    invariant) → perceptual (spectral-embedding cosine), each tier over
+    ONLY the previous tier's survivors. Returns removed clips as
+    (clip_id, tier, root); root is the lexicographic-min member that
+    kept its seat (the library's deterministic keep-first rule; the
+    flagship's role-aware canonicalization is the full-pipeline variant).
+
+    One decode pass serves both exact tiers: `DecodeFingerprint`
+    (stages/decode.py — the flagship's actor-pool stage) computes
+    content_hash, pcm_hash, n_frames once; `bytes` never re-ships.
+    The perceptual tier re-reads payloads for survivors only (the
+    embedder needs PCM, and survivors shrink monotonically).
+
+    ≙ the reference's per-pair escalation checksum → perceptual hash
+    (deduplidog/deduplidog.py:707-767) lifted to whole-corpus tiers.
+    """
+    from deduplidog_ray.pipelines.similarity import audio_embedding_near_dup
+    from deduplidog_ray.stages.decode import DecodeFingerprint
+
+    sig = clips.map_batches(
+        DecodeFingerprint,
+        concurrency=(1, 8),
+        batch_size=64,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(
+        [id_col, "content_hash", "n_bytes", "pcm_hash", "n_frames",
+         "decode_error"]
+    ).materialize()            # tiny (6 cols), consumed by two tiers
+
+    # ---- tier 1: identical encoded bytes ----
+    t1 = _removed_by_key(
+        sig, ["content_hash", "n_bytes"], id_col, partitions
+    )
+
+    # ---- tier 2: identical decoded PCM (different container/codec) ----
+    # poison rows all carry pcm_hash == 0: quarantine them from the
+    # decoded-PCM tier (they were still eligible for tier 1, where
+    # byte-identical undecodable payloads ARE true duplicates)
+    def _decoded_ok(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["decode_error"]))
+
+    s1 = _drop_ids(
+        sig.map_batches(_decoded_ok, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        t1[id_col].to_numpy(), id_col,
+    )
+    t2 = _removed_by_key(s1, ["pcm_hash", "n_frames"], id_col, partitions)
+
+    # ---- tier 3: perceptual (spectral embedding cosine) ----
+    removed_so_far = np.concatenate(
+        [t1[id_col].to_numpy(), t2[id_col].to_numpy()]
+    )
+    surv_clips = _drop_ids(clips, removed_so_far, id_col)
+    pairs = audio_embedding_near_dup(
+        surv_clips, threshold=embed_threshold, id_col=id_col
+    )
+    if len(pairs):
+        ids, root = min_label_components(
+            pairs["clip_a"].to_numpy(), pairs["clip_b"].to_numpy()
+        )
+        loser = ids != root
+        t3 = pd.DataFrame({id_col: ids[loser], "root": root[loser]})
+    else:
+        t3 = pd.DataFrame({id_col: pd.Series(dtype=object),
+                           "root": pd.Series(dtype=object)})
+
+    out = pd.concat(
+        [
+            t1.assign(tier=TIER_EXACT_BYTES),
+            t2.assign(tier=TIER_EXACT_PCM),
+            t3.assign(tier=TIER_PERCEPTUAL),
+        ],
+        ignore_index=True,
+    )[[id_col, "tier", "root"]]
+    return out.sort_values(id_col, kind="stable").reset_index(drop=True)
