@@ -298,6 +298,23 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_seconds=1800.0)
 
 
+def q_event_funnel(sf_dir: str):
+    """Funnel analysis (view → click → purchase): per user, the deepest
+    stage reached where each stage's event must come STRICTLY after the
+    previous stage's time — the ordered-sequence-matching workload SQL
+    needs K chained self-joins for; here it's one hash(user)%P exchange
+    and K masked scatter-min passes per partition."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.windows import funnel
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel(ds, ["view", "click", "purchase"])
+
+
 def q_events_debounce(sf_dir: str):
     """Event-stream debounce (windows.py:debounce_events): drop events
     within 30 min of the previous same-user event — streaming dedup by
@@ -2205,6 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nearest": q_events_nearest,
         "events_range": q_events_range,
         "sessionize": q_sessionize,
+        "event_funnel": q_event_funnel,
         "events_debounce": q_events_debounce,
         "snapshot_diff": q_snapshot_diff,
         "len_percentile": q_len_percentile,
@@ -2411,6 +2429,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                             WHEN s2.t2 IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS stage_reached,
+                   s1.t1 AS first_ts,
+                   COALESCE(s3.t3, s2.t2, s1.t1) AS last_ts
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
         """,
         "events_debounce": """
             WITH lagged AS (

@@ -252,6 +252,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "top_orders_revenue",
         "revenue_by_region",
         "repeat_users",
+        "event_funnel",
         "docs_by_len_rank",
         "knn_self",
         "docs_rollup",

@@ -380,3 +380,101 @@ def dense_hourly_counts(
         ),
         batch_format="pandas",
     )
+
+
+def _funnel_partition(
+    g: pd.DataFrame, n_stages: int, key_col: str, ts_col: str,
+    within: np.int64 | None,
+) -> pd.DataFrame:
+    """All keys of one hash partition, one vectorized pass per stage:
+    stage k's timestamp per key is the MIN event time strictly after the
+    key's stage-(k-1) timestamp (and, with ``within``, no later than
+    first_ts + within). K passes of masked ``np.minimum.at`` — no
+    per-key Python, no per-user sort."""
+    codes, uniques = pd.factorize(g[key_col], sort=False)
+    ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    stage_idx = g["_stage"].to_numpy()
+    nk = len(uniques)
+    inf = np.iinfo(np.int64).max
+    stage_ts: list[np.ndarray] = []
+    prev = None
+    for k in range(n_stages):
+        res = np.full(nk, inf, dtype=np.int64)
+        m = stage_idx == k
+        if k == 0:
+            np.minimum.at(res, codes[m], ts[m])
+        else:
+            cm, tm = codes[m], ts[m]
+            ok = tm > prev[cm]
+            if within is not None:
+                ok &= tm <= stage_ts[0][cm] + within   # inf+w wraps, but
+                # prev==inf already failed the strict > test above
+            np.minimum.at(res, cm[ok], tm[ok])
+        stage_ts.append(res)
+        prev = res
+    reached = np.zeros(nk, dtype=np.int64)
+    last = np.full(nk, inf, dtype=np.int64)
+    for k, resk in enumerate(stage_ts):
+        has = resk != inf           # monotone: stage k needs stage k-1
+        reached = np.where(has, k + 1, reached)
+        last = np.where(has, resk, last)
+    keep = stage_ts[0] != inf
+    return pd.DataFrame(
+        {
+            key_col: uniques[keep],
+            "stage_reached": reached[keep],
+            "first_ts": stage_ts[0][keep].astype("datetime64[us]"),
+            "last_ts": last[keep].astype("datetime64[us]"),
+        }
+    )
+
+
+def funnel(
+    ds: ray.data.Dataset,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+    partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """Funnel analysis: per key, how deep into the ordered ``stages``
+    sequence its event stream gets. Stage k is reached at the earliest
+    event of type ``stages[k]`` STRICTLY after the key's stage-(k-1)
+    time (ties at the same microsecond don't advance the funnel);
+    ``within_seconds`` optionally caps the whole journey relative to
+    stage 1. Output: one row per key that reached stage 1 —
+    (key, stage_reached [1..K], first_ts, last_ts).
+
+    Shape: rows of non-stage types are dropped AT THE SCAN (never
+    shuffle), then ONE hash(key)%P exchange of (key, ts, stage-idx)
+    and a K-pass vectorized kernel per partition. The sequential
+    "happened after" semantics are exactly what SQL needs K chained
+    self-joins for — here each stage is one masked scatter-min."""
+    order = {s: i for i, s in enumerate(stages)}
+    if len(order) != len(stages):
+        raise ValueError("funnel stages must be distinct")
+    stage_arr = pa.array(stages, type=pa.string())
+
+    def _tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t[type_col], value_set=stage_arr)
+        t = t.filter(keep).select([key_col, ts_col, type_col])
+        idx = pc.index_in(t[type_col], value_set=stage_arr)
+        return t.drop_columns([type_col]).append_column(
+            "_stage", pc.cast(idx, pa.int64())
+        )
+
+    within = (
+        None if within_seconds is None
+        else np.int64(round(within_seconds * 1e6))
+    )
+    parted = _add_part(
+        ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True),
+        key_col, partitions,
+    )
+    return parted.groupby("_part").map_groups(
+        lambda g: _funnel_partition(g, len(stages), key_col, ts_col, within),
+        batch_format="pandas",
+    )
