@@ -116,18 +116,21 @@ def shifted_dup_pairs(
     """Shift-tolerant duplicate pairs with alignment:
     (clip_a, clip_b, offset_ms, corr). Positive offset: clip_b is the
     delayed side. See module docstring for the exchange shape."""
-    from deduplidog_ray.pipelines.audiotransform import trim_silence_clips
     from deduplidog_ray.pipelines.similarity import audio_embedding_near_dup
 
     # Candidates embed the TRIMMED audio: a lead-in pad dilutes mean‖std
     # pooling roughly linearly in the pad fraction (measured: a 480 ms
     # pad on a 1.5 s clip fell below cos 0.97), so trimming first makes
     # the candidate key shift-invariant BY CONSTRUCTION instead of by
-    # threshold slack. Verification still runs on the ORIGINAL payloads
-    # — the offset reported is the true one, not the trimmed one.
+    # threshold slack. The trim is FUSED into the embed actor
+    # (trim_threshold): one decode per clip instead of the old
+    # decode→trim→re-encode→decode→embed double codec pass, and no
+    # trimmed payload ever enters the object store. Verification still
+    # runs on the ORIGINAL payloads — the offset reported is the true
+    # one, not the trimmed one.
     cand = audio_embedding_near_dup(
-        trim_silence_clips(clips), threshold=embed_threshold,
-        id_col=id_col,
+        clips, threshold=embed_threshold, id_col=id_col,
+        trim_threshold=0.01,
     )
     if not len(cand):
         return pd.DataFrame(columns=["clip_a", "clip_b", "offset_ms",

@@ -306,6 +306,12 @@ def _vote_partition(
     distinct-hash vocabulary (the stationary-audio discriminator)."""
     if len(g) == 0:
         return pd.DataFrame(columns=PAIR_COLUMNS)
+    # factorize the string ids ONCE: all grouping/sorting below runs on
+    # dense int codes (an object-dtype np.lexsort costs a Python compare
+    # per element — measured ~2/3 of this kernel's wall at 3M pair rows);
+    # the strings are only fancy-indexed for the output rows
+    codes_a, _ = pd.factorize(g["a"], sort=False)
+    codes_b, _ = pd.factorize(g["b"], sort=False)
     a = g["a"].to_numpy()
     b = g["b"].to_numpy()
     dt = g["dt"].to_numpy()
@@ -314,13 +320,14 @@ def _vote_partition(
     nb = g["n_b"].to_numpy()
     nha = g["nh_a"].to_numpy()
     nhb = g["nh_b"].to_numpy()
-    order = np.lexsort((dt, b, a))
+    order = np.lexsort((dt, codes_b, codes_a))
+    ca, cb = codes_a[order], codes_b[order]
     a, b, dt, hh = a[order], b[order], dt[order], hh[order]
     na, nb, nha, nhb = na[order], nb[order], nha[order], nhb[order]
     n = len(a)
     # pair ids: dense int per (a, b) over the sorted rows
     pair_new = np.concatenate(
-        [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        [[True], (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])]
     )
     pid = np.cumsum(pair_new) - 1
     # run-length encode identical (pid, dt)
@@ -350,9 +357,12 @@ def _vote_partition(
     win_for_row = win_dt[pid]            # win_pid is 0..P-1 == index
     near = np.abs(dt - win_for_row) <= 1
     if near.any():
-        ph = np.stack([pid[near], hh[near]], axis=1)
-        uniq = np.unique(ph, axis=0)
-        hmatch = np.bincount(uniq[:, 0], minlength=len(win_pid))
+        # landmark hashes pack (f, Δf, Δt) into < 2^22 (see _landmarks),
+        # so (pid, h) packs losslessly into one int64 — a 1-D unique
+        # instead of np.unique(axis=0)'s row-wise lexsort
+        key = (pid[near].astype(np.int64) << np.int64(32)) | hh[near]
+        uk = np.unique(key)
+        hmatch = np.bincount(uk >> np.int64(32), minlength=len(win_pid))
     else:
         hmatch = np.zeros(len(win_pid), dtype=np.int64)
     first_idx = starts[np.nonzero(np.concatenate(
@@ -427,13 +437,15 @@ def landmark_dup_pairs(
         )
     )
 
-    from deduplidog_ray.stages.hashing import hash_strings_u64
+    from deduplidog_ray.stages.hashing import hash_arrow_u64
 
     def _part2(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return t.append_column("part", pa.array([], type=pa.int64()))
-        ha = hash_strings_u64(t["a"].to_pylist(), seed=0xF1D0)
-        hb = hash_strings_u64(t["b"].to_pylist(), seed=0x0D1F)
+        # Arrow-cast -> polars xxhash: no to_pylist per row (the exact.py
+        # add_key_hash path); a is already < b so the pair key is ordered
+        ha = hash_arrow_u64(t["a"], seed=0xF1D0)
+        hb = hash_arrow_u64(t["b"], seed=0x0D1F)
         part = ((ha ^ hb) % np.uint64(partitions)).astype(np.int64)
         return t.append_column("part", pa.array(part))
 

@@ -133,10 +133,22 @@ class AudioEmbedder:
         bytes_col: str = "bytes",
         codec_col: str = "codec",
         out_col: str = "embedding",
+        trim_threshold: float | None = None,
+        trim_frame_ms: int = 20,
     ) -> None:
         from deduplidog_ray.audio.codecs import CODECS
 
         self.codecs = CODECS
+        # optional fused silence trim on the DECODED pcm at native rate:
+        # callers that need shift-invariant embeddings (audioalign) get
+        # the trim WITHOUT a separate decode→trim→re-encode payload pass
+        # — and without the requantization loss a lossy-codec re-encode
+        # would add (the trimmed floats feed the features directly)
+        self.trim = None
+        if trim_threshold is not None:
+            from deduplidog_ray.pipelines.audiotransform import TrimSilence
+
+            self.trim = TrimSilence(trim_threshold, trim_frame_ms)
         self.sr = int(canonical_sr)
         self.nfft = int(nfft)
         self.n_bands = int(n_bands)
@@ -199,6 +211,12 @@ class AudioEmbedder:
                 pcm, sr, _ = decode_full(v, codecs[i])
                 if srs is not None and srs[i]:
                     sr = int(srs[i])
+                if self.trim is not None:
+                    pcm, sr = self.trim._apply(
+                        np.asarray(pcm, np.float32), sr
+                    )
+                    if len(pcm) == 0:    # all-silent → zero vector
+                        continue
                 x = fft_resample(np.asarray(pcm, np.float64), sr, self.sr)
                 emb[i] = self._embed_pcm(x)
             except CodecError as e:
@@ -223,13 +241,16 @@ def embed_clips(
     out_col: str = "embedding",
     concurrency=(1, 16),
     batch_size: int = 128,
+    trim_threshold: float | None = None,
+    trim_frame_ms: int = 20,
 ):
     """clips → clips + spectral ``embedding`` column (actor pool)."""
     return ds.map_batches(
         AudioEmbedder,
         fn_constructor_kwargs=dict(
             canonical_sr=canonical_sr, nfft=nfft, n_bands=n_bands,
-            out_col=out_col,
+            out_col=out_col, trim_threshold=trim_threshold,
+            trim_frame_ms=trim_frame_ms,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
