@@ -279,18 +279,31 @@ def tiered_clips_dedup(
         zero_copy_batch=True,
     ).select_columns(
         [id_col, "content_hash", "n_bytes", "pcm_hash", "n_frames",
-         "decode_error"]
-    ).materialize()            # tiny (6 cols), consumed by two tiers
+         "dur_ms_actual", "decode_error"]
+    ).materialize()            # tiny (7 cols), consumed by two tiers
 
     # ---- tier 1: identical encoded bytes ----
+    # payload-less rows (null/empty bytes → n_bytes == 0) never merge:
+    # there is no payload to be equal, and null buffers all hash to the
+    # same sentinel — quarantine them from tier 1 like decode errors
+    # are quarantined from tier 2
+    def _has_payload(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_bytes"], 0))
+
     t1 = _removed_by_key(
-        sig, ["content_hash", "n_bytes"], id_col, partitions
+        sig.map_batches(_has_payload, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["content_hash", "n_bytes"], id_col, partitions,
     )
 
     # ---- tier 2: identical decoded PCM (different container/codec) ----
     # poison rows all carry pcm_hash == 0: quarantine them from the
     # decoded-PCM tier (they were still eligible for tier 1, where
-    # byte-identical undecodable payloads ARE true duplicates)
+    # byte-identical undecodable payloads ARE true duplicates).
+    # dur_ms_actual joins the key because pcm_hash covers only the int16
+    # samples and n_frames saturates: the SAME sample array labeled with
+    # a different rate is different audio (half-speed pitch shift), and
+    # the decoded duration is the rate-aware discriminator.
     def _decoded_ok(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_null(t["decode_error"]))
 
@@ -299,7 +312,9 @@ def tiered_clips_dedup(
                         zero_copy_batch=True),
         t1[id_col].to_numpy(), id_col,
     )
-    t2 = _removed_by_key(s1, ["pcm_hash", "n_frames"], id_col, partitions)
+    t2 = _removed_by_key(
+        s1, ["pcm_hash", "n_frames", "dur_ms_actual"], id_col, partitions
+    )
 
     # ---- tier 3: perceptual (spectral embedding cosine) ----
     removed_so_far = np.concatenate(
@@ -327,4 +342,17 @@ def tiered_clips_dedup(
         ],
         ignore_index=True,
     )[[id_col, "tier", "root"]]
+    # resolve chained roots: tier 1's group min can itself fall to a
+    # later tier (its rewrap/re-encode had a smaller id), which would
+    # leave removed rows pointing at a removed root. Every tier's root
+    # is its group MIN, so chains strictly decrease and terminate; path-
+    # compress so each reported root genuinely kept its seat.
+    removed_map = dict(zip(out[id_col], out["root"]))
+
+    def _resolve(r):
+        while r in removed_map:
+            r = removed_map[r]
+        return r
+
+    out["root"] = [_resolve(r) for r in out["root"]]
     return out.sort_values(id_col, kind="stable").reset_index(drop=True)

@@ -451,15 +451,20 @@ def funnel(
     and a K-pass vectorized kernel per partition. The sequential
     "happened after" semantics are exactly what SQL needs K chained
     self-joins for — here each stage is one masked scatter-min."""
-    order = {s: i for i, s in enumerate(stages)}
-    if len(order) != len(stages):
+    if len(set(stages)) != len(stages):
         raise ValueError("funnel stages must be distinct")
     stage_arr = pa.array(stages, type=pa.string())
 
     def _tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        keep = pc.is_in(t[type_col], value_set=stage_arr)
+        # null timestamps drop at the scan (SQL semantics: a NULL ts can
+        # neither win min() nor satisfy "strictly after"); without this,
+        # NaT round-trips to INT64_MIN and wins every scatter-min
+        keep = pc.and_(
+            pc.is_in(t[type_col], value_set=stage_arr),
+            pc.is_valid(t[ts_col]),
+        )
         t = t.filter(keep).select([key_col, ts_col, type_col])
         idx = pc.index_in(t[type_col], value_set=stage_arr)
         return t.drop_columns([type_col]).append_column(

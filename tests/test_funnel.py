@@ -94,3 +94,18 @@ def test_funnel_layout_invariance(ray_session):
 def test_funnel_duplicate_stage_rejected(ray_session):
     with pytest.raises(ValueError):
         funnel(rd.from_arrow(_table()), ["view", "view"])
+
+
+def test_funnel_null_ts_dropped(ray_session):
+    # a NULL-ts stage event must not win the scatter-min (NaT would
+    # round-trip to INT64_MIN) nor unlock later stages — SQL semantics
+    t = pa.table({
+        "user_id": pa.array([9, 9, 9], type=pa.int64()),
+        "ts": pa.array([None, pd.Timestamp("2024-01-01 00:00:05"), None],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["view", "view", "click"]),
+    })
+    out = funnel(rd.from_arrow(t), STAGES).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "stage_reached"] == 1
+    assert out.loc[0, "first_ts"] == pd.Timestamp("2024-01-01 00:00:05")

@@ -88,6 +88,24 @@ def removed(ray_session):
     rows.append(_row("p0", b"garbage-not-riff", 0))
     rows.append(_row("p1", b"garbage-not-riff", 0))
     rows.append(_row("p2", b"other-garbage", 0))
+    # payload-less rows: all share (content_hash=0, n_bytes=0) — must
+    # NOT merge as byte dups (nothing was ever compared)
+    rows.append(_row("n0", None, 0))
+    rows.append(_row("n1", None, 0))
+    rows.append(_row("e0", b"", 0))
+    rows.append(_row("e1", b"", 0))
+    # chained root: c05_z bytecopies c05, and a00_rewrap (< "c05") is a
+    # container rewrap of the same PCM — tier 1 removes c05_z with root
+    # c05, tier 2 removes c05 with root a00_rewrap; the reported root of
+    # c05_z must be transitively resolved to the clip that kept its seat
+    rows.append(_row("c05_z", encode(pcms["c05"], SR, "pcm_s16le"), 2000))
+    rows.append(_row("a00_rewrap",
+                     _pad_container(encode(pcms["c05"], SR, "pcm_s16le")),
+                     2000))
+    # same int16 samples declared at DOUBLE the rate: different audio
+    # (half duration, octave up) — must NOT merge at the PCM tier
+    rows.append(_row("c03_fast", encode(pcms["c03"], 2 * SR, "pcm_s16le"),
+                     1000, sr=2 * SR))
     out = tiered_clips_dedup(rd.from_items(rows), partitions=4)
     return out.set_index("clip_id")
 
@@ -105,8 +123,9 @@ def test_first_tier_wins_and_survivors_absent(removed):
     # the byte copy is ALSO a pcm + perceptual dup: exactly one row per
     # removed clip, attributed to the cheapest tier
     assert removed.index.is_unique
-    # distinct clips and every cluster root keep their seats
-    for kept in ["c00", "c01", "c02", "c03", "c04", "c05"]:
+    # distinct clips and every cluster root keep their seats (c05's
+    # seat legitimately passes to a00_rewrap — the chained-root test)
+    for kept in ["c00", "c01", "c02", "c03", "c04", "a00_rewrap"]:
         assert kept not in removed.index
 
 
@@ -118,3 +137,29 @@ def test_poison_rows(removed):
     # never reach the perceptual tier
     assert "p0" not in removed.index
     assert "p2" not in removed.index
+
+
+def test_payloadless_rows_never_merge(removed):
+    # null/empty payloads share (content_hash=0, n_bytes=0) but nothing
+    # was compared — none of them may be removed
+    for cid in ["n0", "n1", "e0", "e1"]:
+        assert cid not in removed.index
+
+
+def test_chained_roots_resolved(removed):
+    # c05_z (byte copy of c05) must point at the clip that KEPT its
+    # seat after c05 itself fell to the container-rewrap tier
+    assert removed.loc["c05", "tier"] == TIER_EXACT_PCM
+    assert removed.loc["c05", "root"] == "a00_rewrap"
+    assert removed.loc["c05_z", "root"] == "a00_rewrap"
+    assert "a00_rewrap" not in removed.index
+    # every reported root kept its seat — no root is itself removed
+    assert not set(removed["root"]) & set(removed.index)
+
+
+def test_same_samples_different_rate_not_merged(removed):
+    # identical int16 payload at 2x the rate is different audio
+    assert "c03_fast" not in removed.index or (
+        removed.loc["c03_fast", "tier"] != TIER_EXACT_PCM
+    )
+    assert "c03" not in removed.index
