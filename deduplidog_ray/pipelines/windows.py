@@ -47,6 +47,21 @@ def _add_part(
     return ds.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _drop_null_ts(ds: ray.data.Dataset, ts_col: str) -> ray.data.Dataset:
+    """Drop rows with a null timestamp before any ordered-window kernel:
+    NaT round-trips through ``.astype(int64)`` as INT64_MIN, which would
+    silently order null rows FIRST (and win every min) — neither SQL
+    convention. A null event time cannot be placed on a timeline; every
+    windows-family op drops it at the scan, documented per-op."""
+    import pyarrow.compute as pc
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[ts_col]))
+
+    return ds.map_batches(_keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _sessions_partition(
     g: pd.DataFrame, key_col: str, ts_col: str, gap_seconds: float
 ) -> pd.DataFrame:
@@ -145,7 +160,7 @@ def sessionize(
 
     Output: (key, session_id [1-based per key], n_events, start_ts, end_ts).
     """
-    parted = _add_part(ds, key_col, partitions)
+    parted = _add_part(_drop_null_ts(ds, ts_col), key_col, partitions)
     out = parted.groupby("_part").map_groups(
         lambda g: _sessions_partition(g, key_col, ts_col, gap_seconds),
         batch_format="pandas",
@@ -166,7 +181,7 @@ def sliding_window_counts(
     k = window/slide consecutive windows. Output: (key, window_start
     [epoch-seconds], n_events)."""
     k = int(round(window_seconds / slide_seconds))
-    parted = _add_part(ds, key_col, partitions)
+    parted = _add_part(_drop_null_ts(ds, ts_col), key_col, partitions)
     return parted.groupby("_part").map_groups(
         lambda g: _slide_partition(g, key_col, ts_col, slide_seconds, k),
         batch_format="pandas",
@@ -225,7 +240,7 @@ def debounce_events(
     narrow; for wide payloads project ``out_cols`` down first).
     """
     out_cols = out_cols or [tie_col, key_col, ts_col]
-    parted = _add_part(ds, key_col, partitions)
+    parted = _add_part(_drop_null_ts(ds, ts_col), key_col, partitions)
     return parted.groupby("_part").map_groups(
         lambda g: _debounce_partition(
             g, key_col, ts_col, tie_col, gap_seconds, out_cols
@@ -294,7 +309,7 @@ def running_agg_per_key(
     order). Emits ``rn_k`` (1-based ordinal within key) and ``run_sum``.
     """
     out_cols = out_cols or [tie_col, key_col]
-    hashed = _add_part(ds, key_col, partitions)
+    hashed = _add_part(_drop_null_ts(ds, ts_col), key_col, partitions)
     return hashed.groupby("_part").map_groups(
         lambda g: _running_partition(
             g, key_col, ts_col, tie_col, val_col, out_cols
@@ -373,7 +388,7 @@ def dense_hourly_counts(
     ``max_rows_per_partition`` guard turns a pathological span (one key
     alive for decades at 1-second buckets) into an explicit error
     instead of an OOM."""
-    parted = _add_part(ds, key_col, partitions)
+    parted = _add_part(_drop_null_ts(ds, ts_col), key_col, partitions)
     return parted.groupby("_part").map_groups(
         lambda g: _dense_partition(
             g, key_col, ts_col, bucket_seconds, max_rows_per_partition
