@@ -3314,10 +3314,12 @@ def oracle_sql() -> dict[str, str]:
         # survivor filtering between them (tier attribution = first tier)
         "tiered_dedup": r"""
             WITH RECURSIVE t1 AS MATERIALIZED (
+              -- null-text docs are quarantined from the exact tier
+              -- (NULL != NULL), matching the pipeline
               SELECT doc_id,
                      min(doc_id) OVER (PARTITION BY substr(text, 1, 50))
                        AS root
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
             ), t1_removed AS MATERIALIZED (
               SELECT doc_id, 'exact' AS tier, root
               FROM t1 WHERE doc_id <> root
@@ -3377,11 +3379,22 @@ def oracle_sql() -> dict[str, str]:
             ), t3_removed AS MATERIALIZED (
               SELECT id AS doc_id, 'semantic' AS tier, root
               FROM ecomp WHERE id <> root
+            ), allrem AS MATERIALIZED (
+              SELECT * FROM t1_removed
+              UNION ALL SELECT * FROM t2_removed
+              UNION ALL SELECT * FROM t3_removed
+            ), chase(doc_id, tier, root) AS (
+              -- resolve chained roots: a tier's group min can itself be
+              -- removed by a later tier; roots are group minima so the
+              -- chase strictly decreases and terminates
+              SELECT doc_id, tier, root FROM allrem
+              UNION ALL
+              SELECT c.doc_id, c.tier, a.root
+              FROM chase c JOIN allrem a ON c.root = a.doc_id
             )
             SELECT doc_id, tier, CAST(root AS BIGINT) AS root
-            FROM (SELECT * FROM t1_removed
-                  UNION ALL SELECT * FROM t2_removed
-                  UNION ALL SELECT * FROM t3_removed)
+            FROM chase
+            WHERE root NOT IN (SELECT doc_id FROM allrem)
         """,
         "order_lines": """
             SELECT o.o_orderkey AS orderkey, o.o_orderpriority,

@@ -281,7 +281,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "protocol": {
             "repeats": repeats,
             "stat": "median",
-            "warmup": 0 if os.environ.get("GRAFT_BENCH_NO_WARMUP") else 1,
+            "warmup": 0 if os.environ.get("GRAFT_BENCH_NO_WARMUP") else 2,
         },
         "query_samples": samples,
         "steal_pct": steal,

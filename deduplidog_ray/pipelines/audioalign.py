@@ -57,8 +57,12 @@ def _xcorr_peak(
     and y within |lag| <= max_lag. Positive lag: y is DELAYED vs x.
     Normalization is by global energies (||x||·||y||) — a pure silence
     pad costs nothing, so a delayed identical copy peaks near 1.0."""
+    # nfft must cover n + max_lag, not just n: with nfft in
+    # [n, len(y)+max_lag), a true peak at an out-of-window positive lag
+    # k reads back through (k - nfft) % nfft as a bogus NEGATIVE lag
+    # inside the search window (and mirrored for long-x negative lags)
     n = len(x) + len(y) - 1
-    nfft = 1 << int(np.ceil(np.log2(max(n, 2))))
+    nfft = 1 << int(np.ceil(np.log2(max(n + max_lag, 2))))
     X = np.fft.rfft(x, nfft)
     Y = np.fft.rfft(y, nfft)
     r = np.fft.irfft(np.conj(X) * Y, nfft)

@@ -225,6 +225,34 @@ def asof_join_auto(
     )
 
 
+def _payload_types(cols: list[str], *datasets) -> dict:
+    """Arrow type of each payload column, from whichever input has it.
+    The keyed-join tag functions must fill columns MISSING on one side
+    with something schema-compatible with the other side's real values
+    — an int64 sentinel under a string column breaks the tagged union."""
+    out: dict = {}
+    schemas = [d.schema() for d in datasets]
+    for c in cols:
+        for sch in schemas:
+            if c in sch.names:
+                out[c] = sch.types[sch.names.index(c)]
+                break
+        else:
+            raise KeyError(f"payload column {c!r} on neither join side")
+    return out
+
+
+def _typed_filler(n: int, typ) -> pa.Array:
+    """Filler column for the side that lacks a payload column. The
+    values never surface in join output (payload is read from the other
+    side's rows); the TYPE must match so the tagged union schema-unifies
+    and — for integer columns — so the pandas partition frame keeps its
+    int dtype (nulls would promote int64 → float64 in the output)."""
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=np.int64)).cast(typ)
+    return pa.nulls(n, type=typ)
+
+
 def _nearest_partition(
     g: pd.DataFrame,
     key_col: str,
@@ -345,14 +373,15 @@ def nearest_join_keyed(
     partition, nothing on the driver.
     """
 
+    ptypes = _payload_types(payload_cols, probe_ds, build_ds)
+
     def _tag(side: int):
         def _f(t: pa.Table) -> pa.Table:
             cols = {}
             for c in payload_cols:
                 cols[c] = (
-                    t[c]
-                    if c in t.column_names
-                    else pa.array(np.full(len(t), -1, dtype=np.int64))
+                    t[c] if c in t.column_names
+                    else _typed_filler(len(t), ptypes[c])
                 )
             cols[key_col] = t[key_col]
             cols[ts_col] = t[ts_col]
@@ -512,6 +541,14 @@ def range_join_keyed(
     """
     range_us = int(round(range_seconds * 1_000_000))
     out_build = list(build_cols.values())
+    sch_p, sch_b = probe_ds.schema(), build_ds.schema()
+    ptypes = {
+        c: sch_p.types[sch_p.names.index(c)] for c in probe_cols
+    }
+    ptypes.update(
+        {new: sch_b.types[sch_b.names.index(old)]
+         for old, new in build_cols.items()}
+    )
 
     def _tag(side: int, rename: dict[str, str] | None):
         def _f(t: pa.Table) -> pa.Table:
@@ -526,7 +563,7 @@ def range_join_keyed(
                 elif c in t.column_names and rename is None:
                     cols[c] = t[c]
                 else:
-                    cols[c] = pa.array(np.full(len(t), -1, dtype=np.int64))
+                    cols[c] = _typed_filler(len(t), ptypes[c])
             cols[key_col] = t[key_col]
             ts_arr = t[ts_col]
             if pa.types.is_timestamp(ts_arr.type):

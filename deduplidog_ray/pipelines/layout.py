@@ -108,7 +108,17 @@ def seq_pack(
 
 
 def _shuffle_key(doc_id: np.ndarray) -> np.ndarray:
-    return (doc_id.astype(np.uint64) * _KNUTH32) % _MOD32
+    # bijective ONLY on [0, 2^32): ids beyond that collide mod 2^32 and
+    # the 'reproducible across layouts' contract breaks silently — raise
+    # like sort.py does for out-of-range keys (never silently mis-rank);
+    # corpora with wider ids should remap to dense int64 first
+    ids = doc_id.astype(np.uint64)
+    if len(ids) and ids.max() >= _MOD32:
+        raise OverflowError(
+            "epoch_shuffle requires doc_id < 2^32 for a bijective key; "
+            "remap ids to a dense range first"
+        )
+    return (ids * _KNUTH32) % _MOD32
 
 
 def epoch_shuffle(

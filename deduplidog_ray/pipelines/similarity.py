@@ -952,9 +952,22 @@ def nn_self_join(
         nid = m_ids[cand]
         order = np.lexsort((nid, -cs), axis=1)[:, :kk]
         take = np.take_along_axis
+        out_nid = take(nid, order, axis=1)
+        # exact tie handling: argpartition keeps the top `pool` VALUES
+        # but picks arbitrarily inside the boundary tie group — if the
+        # pool's worst value still equals the kk-th selected value,
+        # smaller ids tied at that value may sit OUTSIDE the pool
+        # (> pool-8 duplicates of one vector). Re-rank those rows over
+        # every column; rare, and the matmul already paid O(B·N).
+        if pool < sims.shape[1]:
+            kth = take(cs, order[:, kk - 1:kk], axis=1)[:, 0]
+            risky = np.flatnonzero(cs.min(axis=1) == kth)
+            for r in risky:
+                full_order = np.lexsort((m_ids, -sims[r]))[:kk]
+                out_nid[r] = m_ids[full_order]
         return pa.table({
             id_col: pa.array(np.repeat(qids, kk)),
-            "nn_id": pa.array(take(nid, order, axis=1).reshape(-1)),
+            "nn_id": pa.array(out_nid.reshape(-1)),
             "rn": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
                                    len(qids))),
         })

@@ -402,7 +402,11 @@ def _best_rows(
     if o.dtype.kind == "M":
         o = o.astype("datetime64[us]").astype(np.int64)
     if not ascending:
-        o = -o.astype(np.int64, copy=False)
+        # negate in the column's OWN kind: casting a float score to
+        # int64 first would truncate 0.9 and 0.2 both to 0 and hand the
+        # decision to the tie column
+        o = -o.astype(np.int64 if o.dtype.kind in "iub" else np.float64,
+                      copy=False)
     codes, _ = pd.factorize(df[key_col], sort=False)
     idx = np.lexsort((df[tie_col].to_numpy(), o, codes))
     c_sorted = codes[idx]

@@ -146,8 +146,14 @@ def tiered_dedup(
     from deduplidog_ray.pipelines.textdedup import text_ngram_jaccard_pairs
 
     # ---- tier 1: exact (prefix-key, true-key equality in-partition) ----
+    # skinny: only (id, key) ride the exchange — the kernel reads
+    # nothing else, and shipping the text payload would break the
+    # module contract that the corpus is never re-shuffled. Null-text
+    # docs are quarantined (NULL != NULL; a failed scrape is not an
+    # exact duplicate of every other failed scrape).
     def _add_key(t: pa.Table) -> pa.Table:
-        return t.append_column(
+        t = t.filter(pc.is_valid(t[text_col]))
+        return t.select([id_col]).append_column(
             "_k", pc.utf8_slice_codeunits(t[text_col], 0, exact_key_chars)
         )
 
@@ -196,6 +202,19 @@ def tiered_dedup(
     )
     out["doc_id"] = out["doc_id"].astype("int64")
     out["root"] = out["root"].astype("int64")
+    # resolve chained roots (same rule as tiered_clips_dedup): a tier-1
+    # group min can itself fall to a later tier; every tier's root is a
+    # group MIN so chains strictly decrease and terminate
+    removed_map = dict(zip(out["doc_id"], out["root"]))
+
+    def _resolve(r):
+        while r in removed_map:
+            r = removed_map[r]
+        return r
+
+    out["root"] = np.fromiter(
+        (_resolve(r) for r in out["root"]), dtype=np.int64, count=len(out)
+    )
     return out.sort_values("doc_id", kind="stable").reset_index(drop=True)
 
 

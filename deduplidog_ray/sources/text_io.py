@@ -61,8 +61,16 @@ def read_documents_csv(path: str, columns: list[str] | None = None
 def jsonl_cache_for(parquet_path: str,
                     cache_root: str = "/tmp/deduplidog_ray_jsonl") -> str:
     """Deterministic JSONL mirror of a parquet table (sharded, cached)."""
+    import hashlib
+
     st = os.stat(parquet_path)
-    key = f"{abs(hash((os.path.abspath(parquet_path), st.st_mtime_ns)))%10**10}"
+    # process-stable key: builtin hash() is randomized per interpreter
+    # (PYTHONHASHSEED), which made every fresh process miss the cache
+    # and re-materialize the mirror
+    key = hashlib.blake2b(
+        f"{os.path.abspath(parquet_path)}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
     out_dir = os.path.join(cache_root, key)
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):

@@ -1,0 +1,95 @@
+"""Regression gates for the round-3 review findings: float-order argmax,
+kNN tie pools beyond argpartition's boundary, xcorr window aliasing,
+text-cascade chained roots / null text, epoch_shuffle key ceiling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from deduplidog_ray.pipelines.audioalign import _xcorr_peak
+from deduplidog_ray.pipelines.layout import epoch_shuffle
+from deduplidog_ray.pipelines.similarity import nn_self_join
+from deduplidog_ray.pipelines.stats import argmax_per_key
+from deduplidog_ray.pipelines.tiered import tiered_dedup
+
+
+def test_argmax_float_order_descending(ray_session):
+    # float scores must not be truncated to int64 before negation:
+    # 0.9 vs 0.2 both truncate to 0 and the tie column decides
+    t = pa.table({
+        "src": pa.array(["a", "a", "b", "b"]),
+        "score": pa.array([0.2, 0.9, 0.31, 0.3], type=pa.float64()),
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })
+    got = (
+        argmax_per_key(rd.from_arrow(t), key_col="src", order_col="score",
+                       tie_col="id", ascending=False)
+        .to_pandas().sort_values("src")
+    )
+    assert got["id"].tolist() == [2, 3]
+
+
+def test_nn_self_join_many_ties(ray_session):
+    # 13 identical vectors, k=3: every query's neighbors all tie at
+    # cos 1.0 — far more than the kk+8 argpartition pool — and the
+    # winners must still be the 3 SMALLEST other ids
+    n = 13
+    vecs = [np.array([1.0, 0.0, 0.0])] * n
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    got = nn_self_join(rd.from_arrow(t), k=3).to_pandas()
+    for q in range(n):
+        nn = got.loc[got["vec_id"] == q].sort_values("rn")["nn_id"].tolist()
+        expect = [i for i in range(n) if i != q][:3]
+        assert nn == expect, (q, nn, expect)
+
+
+def test_xcorr_out_of_window_peak_not_aliased():
+    # short x contained in long y OUTSIDE the search window: the true
+    # peak at +50000 must not wrap onto a bogus in-window negative lag
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 5000)
+    y = np.zeros(60000)
+    y[50000:55000] = x
+    lag, corr = _xcorr_peak(x, y, max_lag=16000)
+    assert corr < 0.5, (lag, corr)
+
+
+def test_tiered_text_chained_roots_and_null_text(ray_session):
+    base = ("alpha bravo charl delta echos foxtr golfy hotel india "
+            "julie ")                                   # 55 chars
+    a_txt = base + "kilom limas mikes novem"
+    b_txt = base + "oscar papas quebec romeo"           # same 50-char prefix
+    c_txt = "zulu " + a_txt                             # high token-gram overlap
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 7], type=pa.int64()),
+        "text": pa.array([c_txt, a_txt, b_txt, None]),
+    })
+    eye = np.eye(4, dtype=np.float32)
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 7], type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in eye],
+                              type=pa.list_(pa.float32())),
+    })
+    out = tiered_dedup(rd.from_arrow(docs), rd.from_arrow(emb))
+    got = out.set_index("doc_id")
+    # tier 1 removed B(2) under A(1); tier 2 removed A(1) under C(0);
+    # B's reported root must resolve through A to C
+    assert got.loc[1, "tier"] == "jaccard" and got.loc[1, "root"] == 0
+    assert got.loc[2, "tier"] == "exact" and got.loc[2, "root"] == 0
+    # null-text doc is quarantined, never merged
+    assert 7 not in got.index
+    assert 0 not in got.index
+
+
+def test_epoch_shuffle_rejects_wide_ids(ray_session):
+    t = pa.table({"doc_id": pa.array([1, 2, 1 << 33], type=pa.int64())})
+    # raised inside a Ray task -> surfaces wrapped in RayTaskError
+    with pytest.raises(Exception, match=r"doc_id < 2\^32"):
+        epoch_shuffle(rd.from_arrow(t)).to_pandas()
