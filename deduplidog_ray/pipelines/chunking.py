@@ -54,7 +54,8 @@ def chunk_docs(
                 out_txt.append(" ".join(piece))
         return pa.table(
             {
-                id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+                # preserve the input id dtype (string doc ids are legal)
+                id_col: pa.array(out_id, type=t[id_col].type),
                 "chunk_id": pa.array(np.asarray(out_cid, dtype=np.int64)),
                 "n_tokens": pa.array(np.asarray(out_n, dtype=np.int64)),
                 "chunk_text": pa.array(out_txt, type=pa.string()),

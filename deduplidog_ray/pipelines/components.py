@@ -218,14 +218,35 @@ def connected_components(
     """
 
     def _canon_batch(t: pa.Table) -> pa.Table:
-        lo, hi = _canon_dedupe(
-            t[a_col].to_numpy(zero_copy_only=False).astype(np.int64),
-            t[b_col].to_numpy(zero_copy_only=False).astype(np.int64),
-        )
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = _canon_dedupe(a, b)
+        # nodes appearing ONLY in self-loops must still be labeled
+        # ((id, id)): carry them as lo==hi rows AROUND the star rounds
+        singles = np.unique(a[a == b])
+        if len(singles):
+            lo = np.concatenate([lo, singles])
+            hi = np.concatenate([hi, singles])
         return _edges_table(lo, hi)
 
-    cur = pairs.map_batches(
+    def _real_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t["lo"], t["hi"]))
+
+    def _self_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["lo"], t["hi"]))
+
+    canon = pairs.map_batches(
         _canon_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    selfloops = canon.map_batches(
+        _self_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cur = canon.map_batches(
+        _real_edges, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     prev_sig = _signature(cur)
@@ -274,7 +295,10 @@ def connected_components(
             }
         )
 
-    rows = cur.map_batches(
+    # self-loop-only nodes join as (id, id) label rows; nodes with real
+    # edges may get both (id, id) and (id, component_min) rows — the
+    # min-per-id dedupe keeps the component min (labels are minima ≤ id)
+    rows = cur.union(selfloops).map_batches(
         _label_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     return (

@@ -226,10 +226,10 @@ def _survivors_small_task(
     ida, wk = a_col[~metam], wk_col[~metam]
     if not len(ida):
         return empty
-    # distinct (doc, key): winnowing can select the same fingerprint at
-    # several positions
-    dk = np.unique(np.stack([ida, wk], axis=1), axis=0)
-    ida, wk = dk[:, 0], dk[:, 1]
+    # (doc, key) pairs arrive distinct: winnow_keys removes per-doc
+    # duplicates by contract (stages/signatures.py:224) and each doc's
+    # keys come from exactly one call — no re-dedup pass needed here
+    # (the partitioned path relies on the same contract)
     uniqk, inv, cnts = np.unique(wk, return_inverse=True, return_counts=True)
     freq = cnts[inv]
     # rarest key per doc (ties → smallest key, deterministic)

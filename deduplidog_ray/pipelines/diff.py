@@ -48,8 +48,15 @@ DEFAULT_PARTITIONS = 64
 def _col_hash_u64(col: pa.ChunkedArray, seed: int) -> np.ndarray:
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         return hash_strings_u64(col.to_pylist(), seed=seed)
-    return mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64),
-                 seed=seed)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "f":
+        # hash the BIT PATTERN: casting a float to uint64 truncates the
+        # value (1.2 and 1.9 both became 1, a systematic false-unchanged)
+        arr = np.ascontiguousarray(arr, dtype=np.float64).view(np.uint64)
+        return mix64(arr, seed=seed)
+    if arr.dtype.kind == "M":
+        arr = arr.astype("datetime64[us]").astype(np.int64)
+    return mix64(arr.astype(np.uint64), seed=seed)
 
 
 def _tag_and_part(

@@ -181,6 +181,10 @@ def edit_distance_dup_pairs(
         raise ValueError("max_edits must be 1 or 2")
 
     def _variants(t: pa.Table) -> pa.Table:
+        # null text cannot be edit-compared: without this filter, null
+        # keys fill to one common hash, every null pair becomes a
+        # candidate, and the verify kernel crashes on len(None)
+        t = t.filter(pc.is_valid(t[text_col]))
         key = pc.utf8_slice_codeunits(t[text_col], 0, key_len)
         ids = t[id_col]
         levels = [key.combine_chunks() if isinstance(key, pa.ChunkedArray)

@@ -131,9 +131,13 @@ def incremental_exact(
             c = key_cols[0]
             hit = pc.fill_null(pc.is_in(t[c], value_set=s[c]), False)
             return t.filter(pc.invert(hit))
-        # multi-key: one vectorized left-merge indicator (pandas hash join)
+        # multi-key: one vectorized left-merge indicator (pandas hash
+        # join). corpus_hits is distinct per corpus BATCH only — the
+        # same key arriving from two corpus blocks appears twice, and a
+        # non-deduped right side would EXPAND left rows (mask length !=
+        # batch length → ArrowInvalid)
         left = t.select(key_cols).to_pandas()
-        right = s.select(key_cols).to_pandas()
+        right = s.select(key_cols).to_pandas().drop_duplicates(key_cols)
         right["_hit"] = np.int8(1)
         merged = left.merge(right, on=key_cols, how="left", sort=False)
         keep = merged["_hit"].isna().to_numpy()

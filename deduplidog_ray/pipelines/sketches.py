@@ -51,8 +51,15 @@ def _hash_col(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
         col = col.combine_chunks()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         return hash_strings_u64(col.to_pylist(), seed=seed)
-    return mix64(col.to_numpy(zero_copy_only=False).astype(np.uint64),
-                 seed=seed)
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "f":
+        # bit-pattern hash: a value cast would truncate floats sharing an
+        # integer part into one hash (0.1..0.9 → one distinct)
+        arr = np.ascontiguousarray(arr, dtype=np.float64).view(np.uint64)
+        return mix64(arr, seed=seed)
+    if arr.dtype.kind == "M":
+        arr = arr.astype("datetime64[us]").astype(np.int64)
+    return mix64(arr.astype(np.uint64), seed=seed)
 
 
 def _rank_and_register(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
@@ -90,6 +97,12 @@ def hll_distinct_per_key(
     def _partial(t: pa.Table) -> pa.Table:
         keys, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
         h = _hash_col(t[val_col], seed)
+        ok = keys >= 0          # factorize codes nulls -1, which would
+        if not ok.all():        # scatter null-key rows into uniq[-1]
+            keys, h = keys[ok], h[ok]
+        if len(uniq) == 0:
+            return pa.table({key_col: pa.array([], type=t[key_col].type),
+                             "_regs": pa.array([], type=pa.binary())})
         reg, rank = _rank_and_register(h, p)
         regs = np.zeros((len(uniq), m), dtype=np.uint8)
         np.maximum.at(regs, (keys, reg), rank)
@@ -161,6 +174,9 @@ def quantile_sketch_per_key(
     def _partial(t: pa.Table) -> pa.Table:
         keys, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
         vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = keys >= 0          # null keys would segment-label uniq[-1]
+        if not ok.all():
+            keys, vals = keys[ok], vals[ok]
         order = np.lexsort((vals, keys))
         keys_s, vals_s = keys[order], vals[order]
         starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])

@@ -145,6 +145,12 @@ def dedup_repeated_spans(
         out_ids, out_txt, out_ns, out_nd = [], [], [], []
         for did, text in zip(texts[id_col].to_numpy(),
                              texts["payload"].to_numpy()):
+            if text is None:          # null text: no spans, pass through
+                out_ids.append(did)
+                out_txt.append(None)
+                out_ns.append(0)
+                out_nd.append(0)
+                continue
             toks = text.split(" ")
             n = -(-len(toks) // span_tokens)
             gone = drop_map.get(did, ())

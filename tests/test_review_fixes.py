@@ -93,3 +93,92 @@ def test_epoch_shuffle_rejects_wide_ids(ray_session):
     # raised inside a Ray task -> surfaces wrapped in RayTaskError
     with pytest.raises(Exception, match=r"doc_id < 2\^32"):
         epoch_shuffle(rd.from_arrow(t)).to_pandas()
+
+
+def test_incremental_multikey_corpus_key_across_batches(ray_session):
+    from deduplidog_ray.pipelines.incremental import incremental_exact
+
+    # the same corpus key appears in TWO corpus blocks: the anti-join's
+    # right side must dedupe or the left-merge expands the batch mask
+    corp1 = pa.table({"k1": ["a", "x"], "k2": ["p", "q"],
+                      "id": pa.array([1, 2], type=pa.int64())})
+    corp2 = pa.table({"k1": ["a", "y"], "k2": ["p", "r"],
+                      "id": pa.array([3, 4], type=pa.int64())})
+    corpus = rd.from_arrow_refs(
+        [__import__("ray").put(corp1), __import__("ray").put(corp2)]
+    )
+    inc = pa.table({"k1": ["a", "z"], "k2": ["p", "z"],
+                    "id": pa.array([10, 11], type=pa.int64())})
+    out = incremental_exact(rd.from_arrow(inc), corpus,
+                            ["k1", "k2"], "id").to_pandas()
+    assert out["id"].tolist() == [11]          # (a,p) seen in corpus
+
+
+def test_dataset_diff_hash_compare_floats(ray_session):
+    from deduplidog_ray.pipelines.diff import dataset_diff
+
+    old = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                    "score": pa.array([1.2, 2.0], type=pa.float64())})
+    new = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                    "score": pa.array([1.9, 2.0], type=pa.float64())})
+    out = dataset_diff(rd.from_arrow(old), rd.from_arrow(new),
+                       ["id"], ["score"], hash_compare=True).to_pandas()
+    # 1.2 -> 1.9 changed within the same integer part: must be reported
+    assert out.set_index("id").loc[1, "status"] == "changed"
+    assert 2 not in out["id"].tolist()
+
+
+def test_hll_null_keys_and_float_values(ray_session):
+    from deduplidog_ray.pipelines.sketches import hll_distinct_per_key
+
+    t = pa.table({
+        "src": pa.array(["a"] * 9 + ["zz"] + [None] * 50),
+        "v": pa.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+                       1.5] + [float(i) for i in range(50)],
+                      type=pa.float64()),
+    })
+    got = hll_distinct_per_key(rd.from_arrow(t), "src", "v")
+    got = got.set_index("src")["approx_distinct"]
+    # floats sharing an integer part are distinct values (bit hashing)
+    assert got.loc["a"] == 9
+    # the lexically-last key must NOT absorb the null-key rows
+    assert got.loc["zz"] == 1
+    assert None not in got.index and "None" not in got.index
+
+
+def test_editdedup_and_spandedup_null_text(ray_session):
+    from deduplidog_ray.pipelines.editdedup import edit_distance_dup_pairs
+    from deduplidog_ray.pipelines.spandedup import dedup_repeated_spans
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["hello world text here", None,
+                          "hello world text hers", None]),
+    })
+    pairs = edit_distance_dup_pairs(rd.from_arrow(t)).to_pandas()
+    assert pairs.values.tolist() == [[1, 3]]   # nulls never pair
+    spans = dedup_repeated_spans(rd.from_arrow(t), span_tokens=2).to_pandas()
+    assert len(spans) == 4                      # null docs pass through
+    assert spans.set_index("doc_id").loc[2, "n_spans"] == 0
+
+
+def test_components_self_loop_only_node(ray_session):
+    from deduplidog_ray.pipelines.components import connected_components
+
+    pairs = pa.table({"a": pa.array([7, 1], type=pa.int64()),
+                      "b": pa.array([7, 2], type=pa.int64())})
+    got = (connected_components(rd.from_arrow(pairs))
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["id"].tolist() == [1, 2, 7]
+    assert got["cluster_id"].tolist() == [1, 1, 7]
+
+
+def test_chunk_docs_string_ids(ray_session):
+    from deduplidog_ray.pipelines.chunking import chunk_docs
+
+    t = pa.table({
+        "doc_id": pa.array(["doc-001"]),
+        "text": pa.array(["one two three four five six"]),
+    })
+    out = chunk_docs(rd.from_arrow(t), chunk_tokens=4, stride=4).to_pandas()
+    assert out["doc_id"].tolist() == ["doc-001", "doc-001"]
