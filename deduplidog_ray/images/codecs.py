@@ -77,9 +77,11 @@ def decode_image(buf) -> np.ndarray:
     magic, w, h, _, off = _parse_header(mv)
     ch = 3 if magic == b"P6" else 1
     need = w * h * ch
-    data = np.frombuffer(mv, dtype=np.uint8, count=need, offset=off)
-    if len(data) < need:
+    # frombuffer(count=need) raises its own ValueError on short buffers
+    # BEFORE the length check could run — keep the documented typed error
+    if len(mv) - off < need:
         raise ImageCodecError("truncated pixel data")
+    data = np.frombuffer(mv, dtype=np.uint8, count=need, offset=off)
     a = data.reshape(h, w, ch)
     return np.repeat(a, 3, axis=2) if ch == 1 else a
 

@@ -9,7 +9,7 @@ average-hash and the near-dup pipeline, and the PIL import-try in
 Scope (documented, asserted):
 
 - **Decoder**: baseline sequential DCT (SOF0), 8-bit, Huffman entropy
-  coding, ANY chroma sampling factors (4:4:4, 4:2:0, 4:2:2, grayscale —
+  coding, the integer-ratio chroma samplings (4:4:4, 4:2:0, 4:2:2, grayscale —
   the generic interleaved-MCU walk + replication upsample), arbitrary
   DHT/DQT (so libjpeg-produced baseline files decode too), restart
   markers (DRI/RSTn). Progressive (SOF2) and arithmetic coding raise
@@ -592,7 +592,16 @@ def decode_jpeg(buf) -> np.ndarray:
         cblk = coef.reshape(bh, bw, 8, 8)
         pix = np.einsum("xu,ijuv,yv->ijxy", _D.T, cblk, _D.T) + 128.0
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        # crop to the component's true size, then replicate-upsample
+        # crop to the component's true size, then replicate-upsample.
+        # Integer replication requires the max factors to be MULTIPLES
+        # of this component's (4:4:4 / 4:2:2 / 4:2:0 and kin) — legal
+        # but exotic ratios like 3:2 would need fractional interpolation;
+        # quarantine them as a typed error, never a broadcast crash
+        if vmax % vs or hmax % hs:
+            raise ImageCodecError(
+                f"unsupported sampling ratio {hs}x{vs} vs max "
+                f"{hmax}x{vmax} (non-integer upsample)"
+            )
         cw = -(-w * hs // hmax)
         ch = -(-h * vs // vmax)
         plane = plane[:ch, :cw]

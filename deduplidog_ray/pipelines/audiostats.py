@@ -38,8 +38,6 @@ CLIP_AT = 32737
 #: |sample| strictly below this counts as near-silence (~ -40 dBFS)
 SILENCE_BELOW = 328
 
-#: rows whose decoded PCM coexists during one stats pass (heap bound)
-CHUNK = 32
 
 
 class AudioStats:
@@ -62,28 +60,28 @@ class AudioStats:
 
         buf = byts.combine_chunks() if isinstance(byts, pa.ChunkedArray) else byts
         bufs = _buffer_views(buf)
-        for c0 in range(0, n, CHUNK):
-            for i in range(c0, min(n, c0 + CHUNK)):
-                v = bufs[i]
-                try:
-                    if v is None or len(v) == 0:
-                        raise CodecError("empty bytes")
-                    pcm, _sr, i16 = decode_full(v, codecs[i])
-                    if i16 is None:
-                        # lossy float codec: canonical int16 re-quantization
-                        i16 = np.clip(
-                            np.rint(pcm * 32767.0), -32767, 32767
-                        ).astype(np.int64)
-                    a = np.abs(i16.astype(np.int64))
-                    n_samples[i] = len(a)
-                    if len(a):
-                        peak_abs[i] = int(a.max())
-                        n_clipped[i] = int((a >= CLIP_AT).sum())
-                        n_silent[i] = int((a < SILENCE_BELOW).sum())
-                        sum_sq[i] = int((a * a).sum())
-                except CodecError as e:
-                    errors[i] = str(e)
-
+        # one clip's decoded PCM is alive per iteration (rebound each
+        # pass) — that IS the heap bound; no chunk tier needed
+        for i in range(n):
+            v = bufs[i]
+            try:
+                if v is None or len(v) == 0:
+                    raise CodecError("empty bytes")
+                pcm, _sr, i16 = decode_full(v, codecs[i])
+                if i16 is None:
+                    # lossy float codec: canonical int16 re-quantization
+                    i16 = np.clip(
+                        np.rint(pcm * 32767.0), -32767, 32767
+                    ).astype(np.int64)
+                a = np.abs(i16.astype(np.int64))
+                n_samples[i] = len(a)
+                if len(a):
+                    peak_abs[i] = int(a.max())
+                    n_clipped[i] = int((a >= CLIP_AT).sum())
+                    n_silent[i] = int((a < SILENCE_BELOW).sum())
+                    sum_sq[i] = int((a * a).sum())
+            except CodecError as e:
+                errors[i] = str(e)
         nz = np.maximum(n_samples, 1).astype(np.float64)
         return pa.table(
             {

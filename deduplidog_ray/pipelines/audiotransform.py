@@ -43,10 +43,6 @@ import ray.data
 from deduplidog_ray.audio.codecs import CodecError, decode, encode
 from deduplidog_ray.stages.decode import _buffer_views
 
-#: rows whose decoded PCM coexists during one transform pass (heap bound)
-_CHUNK = 32
-
-
 def fft_resample(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     """Ideal band-limited resample of a 1-D float signal (float64 math)."""
     n = len(pcm)
@@ -58,11 +54,19 @@ def fft_resample(pcm: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     out = np.zeros(k_out, dtype=np.complex128)
     k = min(len(spec), k_out)
     out[:k] = spec[:k]
-    if m < n and m % 2 == 0 and k_out <= len(spec):
-        # downsample landing on an even length: the new Nyquist bin folds
-        # two conjugate bins of the source — halve it to keep the inverse
-        # transform real-consistent and energy exact
-        out[-1] = spec[k_out - 1].real
+    if m < n:
+        if m % 2 == 0 and k_out <= len(spec):
+            # downsample landing on an even length: the new Nyquist bin
+            # FOLDS the source's +f and -f bins (conjugates), so it sums
+            # to 2*Re(X[m/2]) — writing Re(X) alone halved fold-frequency
+            # content vs exact decimation (scipy.signal.resample rule)
+            out[-1] = 2.0 * spec[k_out - 1].real
+    elif n % 2 == 0:
+        # upsample from an even length: the source Nyquist bin carried
+        # BOTH half-spectrum copies; in the wider spectrum that position
+        # is an ordinary bin, so it must split in half or its component
+        # doubles in amplitude
+        out[len(spec) - 1] = spec[-1] * 0.5
     x = np.fft.irfft(out, n=m) * (m / n)
     return x
 
@@ -87,23 +91,24 @@ class _Transform:
         out_sr = np.zeros(n, dtype=np.int32)
         out_dur = np.zeros(n, dtype=np.int32)
         errors: list[str | None] = [None] * n
-        for c0 in range(0, n, _CHUNK):
-            for i in range(c0, min(n, c0 + _CHUNK)):
-                v = bufs[i]
-                try:
-                    if v is None or len(v) == 0:
-                        raise CodecError("empty bytes")
-                    pcm, sr = decode(v, codecs[i])
-                    y, sr2 = self._apply(np.asarray(pcm, dtype=np.float64), sr)
-                    y = np.clip(y, -1.0, 1.0).astype(np.float32)
-                    out_bytes[i] = encode(y, sr2, codecs[i])
-                    out_sr[i] = sr2
-                    out_dur[i] = int(round(1000 * len(y) / max(sr2, 1)))
-                except CodecError as e:
-                    # pass the original row through, annotated — never
-                    # poison the batch
-                    out_bytes[i] = bytes(v) if v is not None else b""
-                    errors[i] = str(e)
+        # one clip's decoded PCM is alive per iteration (rebound each
+        # pass) — that is the heap bound; no chunk tier needed
+        for i in range(n):
+            v = bufs[i]
+            try:
+                if v is None or len(v) == 0:
+                    raise CodecError("empty bytes")
+                pcm, sr = decode(v, codecs[i])
+                y, sr2 = self._apply(np.asarray(pcm, dtype=np.float64), sr)
+                y = np.clip(y, -1.0, 1.0).astype(np.float32)
+                out_bytes[i] = encode(y, sr2, codecs[i])
+                out_sr[i] = sr2
+                out_dur[i] = int(round(1000 * len(y) / max(sr2, 1)))
+            except CodecError as e:
+                # pass the original row through, annotated — never
+                # poison the batch
+                out_bytes[i] = bytes(v) if v is not None else b""
+                errors[i] = str(e)
         cols = {name: batch[name] for name in batch.column_names}
         cols["bytes"] = pa.array(out_bytes, type=pa.binary())
         # error rows keep their original sr/dur
@@ -297,7 +302,7 @@ class SegmentClips:
     set), same philosophy as `_Transform`.
 
     Actor-pool stage: codec dispatch + parameters live once per actor;
-    each batch's decoded PCM is bounded by the `_CHUNK` heap rule.
+    one clip's decoded PCM is alive at a time (rebound per row).
     """
 
     def __init__(self, threshold: float = 0.01, frame_ms: int = 20,

@@ -95,6 +95,10 @@ def kmeans_centroids(
     downstream operators that need both the assignment and the vectors
     in one pass (``semdedup.semantic_dedup``)."""
     cent = _seed_centroids(ds, k, id_col, vec_col, seed)
+    # fewer rows than k: degrade to k' = n clusters (the seeding pass
+    # found every row); k-sized count/sum arrays over a (<k, d) centroid
+    # matrix would IndexError on the first update otherwise
+    k = cent.shape[0]
     d = cent.shape[1]
 
     def _partials_fn(ref):

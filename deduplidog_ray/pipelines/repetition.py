@@ -122,10 +122,15 @@ class _UnigramScorer:
         n = len(t)
         parents, flat = _doc_tokens(t["text"], lower=True)
         toks = flat.to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.vocab, toks)
-        pos_c = np.clip(pos, 0, len(self.vocab) - 1)
-        hit = self.vocab[pos_c] == toks
-        freq = np.where(hit, self.counts[pos_c], 0)
+        if len(self.vocab) == 0:
+            # a fully-pruned vocabulary scores every token as unseen —
+            # clip-to-(-1) on an empty array would IndexError instead
+            freq = np.zeros(len(toks), dtype=np.int64)
+        else:
+            pos = np.searchsorted(self.vocab, toks)
+            pos_c = np.clip(pos, 0, len(self.vocab) - 1)
+            hit = self.vocab[pos_c] == toks
+            freq = np.where(hit, self.counts[pos_c], 0)
         n_words = np.bincount(parents, minlength=n).astype(np.int64)
         sum_freq = np.zeros(n, dtype=np.int64)
         np.add.at(sum_freq, parents, freq)

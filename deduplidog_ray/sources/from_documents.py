@@ -112,6 +112,35 @@ def _synth_clips(batch: pa.Table, amplify: int = 1) -> pa.Table:
     )
 
 
+def _cached_parquet_dir(tag: str, sf_dir: str, build, force: bool,
+                        cache_root: str = "/tmp/deduplidog_ray_clips") -> str:
+    """Shared atomic-cache protocol for synthesized parquet dirs: key by
+    (sf_dir, generator version, tag), build into ``<path>.tmp``, stamp
+    ``_SUCCESS``, rename into place. ONE copy of the rename/marker dance
+    so a fix (e.g. for a concurrent-writer race) lands everywhere."""
+    import shutil
+
+    key = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}:{_GEN_VERSION}:{tag}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    path = os.path.join(cache_root, key)
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return path
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    build(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(_GEN_VERSION)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path
+
+
 def clips_path_for(
     sf_dir: str, amplify: int = 1, cache_root: str = "/tmp/deduplidog_ray_clips"
 ) -> str:
@@ -126,39 +155,26 @@ def clips_from_documents(
 ) -> str:
     """Ensure the synthesized clips parquet dir for ``sf_dir`` exists;
     returns its path. Distributed generation, cached."""
-    path = clips_path_for(sf_dir, amplify)
-    marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker) and not force:
-        return path
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        import shutil
 
-        shutil.rmtree(tmp)
-    os.makedirs(tmp, exist_ok=True)
-    # Split the (tiny) documents table into ~96 blocks BEFORE the synth map:
-    # the parquet source is one row group = ONE block, so without this a
-    # single task would synthesize the whole amplified corpus (at
-    # amplify=64 that is ~15 GB through one worker heap). Repartitioning
-    # the input costs nothing (5k rows) and makes synthesis 96-way
-    # parallel; writing straight from the map output then needs no
-    # repartition barrier over the full synthesized payload, and still
-    # yields the ~96-file layout v4 wants.
-    docs.repartition(96).map_batches(
-        _make_synth_clips(amplify), batch_format="pyarrow", batch_size=16,
-        zero_copy_batch=True,
-    ).write_parquet(tmp)
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write(_GEN_VERSION)
-    if os.path.exists(path):
-        import shutil
+    def _build(tmp: str) -> None:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        # Split the (tiny) documents table into ~96 blocks BEFORE the
+        # synth map: the parquet source is one row group = ONE block, so
+        # without this a single task would synthesize the whole amplified
+        # corpus (at amplify=64 that is ~15 GB through one worker heap).
+        # Repartitioning the input costs nothing (5k rows) and makes
+        # synthesis 96-way parallel; writing straight from the map output
+        # then needs no repartition barrier over the full synthesized
+        # payload, and still yields the ~96-file layout v4 wants.
+        docs.repartition(96).map_batches(
+            _make_synth_clips(amplify), batch_format="pyarrow",
+            batch_size=16, zero_copy_batch=True,
+        ).write_parquet(tmp)
 
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    return path
+    return _cached_parquet_dir(f"a{amplify}", sf_dir, _build, force)
 
 
 def textured_clips_from_documents(sf_dir: str, force: bool = False) -> str:
@@ -169,24 +185,6 @@ def textured_clips_from_documents(sf_dir: str, force: bool = False) -> str:
     duplicate planting here: landmark queries plant their own
     delayed/cropped copies so recall is measurable."""
     from deduplidog_ray.audio.synth import make_pcm_textured
-
-    key = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}:{_GEN_VERSION}:textured".encode(),
-        digest_size=8,
-    ).hexdigest()
-    path = os.path.join("/tmp/deduplidog_ray_clips", key)
-    marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker) and not force:
-        return path
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        import shutil
-
-        shutil.rmtree(tmp)
-    os.makedirs(tmp, exist_ok=True)
 
     def _synth(batch: pa.Table) -> pa.Table:
         dids = batch["doc_id"].to_pylist()
@@ -210,14 +208,13 @@ def textured_clips_from_documents(sf_dir: str, force: bool = False) -> str:
             "codec": pa.array(out["codec"], type=pa.string()),
         })
 
-    docs.repartition(96).map_batches(
-        _synth, batch_format="pyarrow", batch_size=16, zero_copy_batch=True
-    ).write_parquet(tmp)
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write(_GEN_VERSION)
-    if os.path.exists(path):
-        import shutil
+    def _build(tmp: str) -> None:
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        docs.repartition(96).map_batches(
+            _synth, batch_format="pyarrow", batch_size=16,
+            zero_copy_batch=True,
+        ).write_parquet(tmp)
 
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    return path
+    return _cached_parquet_dir("textured", sf_dir, _build, force)
