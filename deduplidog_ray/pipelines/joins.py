@@ -27,7 +27,10 @@ import ray.data
 def build_sorted_index(
     df: pd.DataFrame, key_col: str, ts_col: str
 ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    """{key: (sorted ts int64ns, row ordinal)} — the broadcast side."""
+    """{key: (sorted ts int64ns, row ordinal)} — the broadcast side.
+    Integer keys only (callers with string keys take the keyed path);
+    null-ts rows drop (SQL inner semantics — NaT would sort earliest)."""
+    df = df[df[ts_col].notna()]
     out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for k, g in df.groupby(key_col):
         ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
@@ -58,6 +61,7 @@ def asof_join_last_before(
 
     def _probe(df: pd.DataFrame) -> pd.DataFrame:
         index = ray.get(idx_ref)
+        df = df[df[probe_ts].notna()]   # NULL probe ts never matches
         keys = df[probe_key].to_numpy()
         ts = df[probe_ts].to_numpy().astype("datetime64[ns]").astype(np.int64)
         out_ts = np.full(len(df), np.iinfo(np.int64).min, dtype=np.int64)
@@ -145,16 +149,21 @@ def asof_join_keyed(
     carry pass if a key exceeds partition memory.
     """
 
+    ptypes = _payload_types(payload_cols, probe_ds, build_ds)
+
     def _tag(side: int):
         def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # null timestamps drop at the scan (SQL inner semantics: a
+            # NULL ts neither matches nor is matched — encoded as NaT it
+            # would act as the "earliest" build row for its key)
+            t = t.filter(pc.is_valid(t[ts_col]))
             cols = {}
             for c in payload_cols:
-                # -1 sentinel, not null: an int64 column with nulls would
-                # float64-ify the whole pandas partition frame
                 cols[c] = (
-                    t[c]
-                    if c in t.column_names
-                    else pa.array(np.full(len(t), -1, dtype=np.int64))
+                    t[c] if c in t.column_names
+                    else _typed_filler(len(t), ptypes[c])
                 )
             cols[key_col] = t[key_col]
             cols[ts_col] = t[ts_col]
@@ -212,7 +221,15 @@ def asof_join_auto(
     tests/test_results_paths.py.
     """
     build_sz = build_ds.size_bytes()
-    if build_sz is not None and build_sz <= broadcast_threshold_bytes:
+    sch = probe_ds.schema()
+    key_is_str = pa.types.is_string(sch.types[sch.names.index(key_col)]) \
+        or pa.types.is_large_string(sch.types[sch.names.index(key_col)])
+    # the broadcast index is integer-keyed (build_sorted_index does
+    # int(k)); string keys must take the keyed path regardless of size —
+    # otherwise the same query works or crashes depending only on how
+    # big the dimension table happens to be
+    if (not key_is_str and build_sz is not None
+            and build_sz <= broadcast_threshold_bytes):
         build_df = build_ds.to_pandas()
         out_cols = {c: c for c in payload_cols}
         return asof_join_last_before(
@@ -377,6 +394,11 @@ def nearest_join_keyed(
 
     def _tag(side: int):
         def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # NULL ts never matches and NaT (int64 min) would satisfy
+            # the delta=0 test against another NaT — drop at the scan
+            t = t.filter(pc.is_valid(t[ts_col]))
             cols = {}
             for c in payload_cols:
                 cols[c] = (
@@ -552,6 +574,11 @@ def range_join_keyed(
 
     def _tag(side: int, rename: dict[str, str] | None):
         def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # NULL ts: no interval position — one such row would NaN the
+            # partition frame and crash int(rel.max())
+            t = t.filter(pc.is_valid(t[ts_col]))
             cols: dict = {}
             src = {}
             if rename:

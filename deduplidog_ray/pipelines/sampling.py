@@ -38,6 +38,21 @@ _KNUTH32 = np.uint64(2654435761)
 _MOD32 = np.uint64(1 << 32)
 
 
+def _key_u64(t: pa.Table, col_name: str) -> tuple[pa.Table, np.ndarray]:
+    """(filtered table, uint64 keys): null-key rows are REMOVED first.
+    A null int64 column reaches numpy as float64 NaN, whose uint64 cast
+    is platform-dependent garbage — breaking the module's run/machine-
+    invariant membership guarantee. SQL's NULL-predicate semantics drop
+    the row, so the vectorized path does the same."""
+    import pyarrow.compute as pc
+
+    col = t[col_name]
+    if col.null_count:
+        t = t.filter(pc.is_valid(col))
+        col = t[col_name]
+    return t, col.to_numpy().astype(np.uint64)
+
+
 def sample_hash(
     ds: ray.data.Dataset,
     key_col: str = "doc_id",
@@ -54,7 +69,7 @@ def sample_hash(
     """
 
     def _f(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy().astype(np.uint64)
+        t, k = _key_u64(t, key_col)
         h = ((k + np.uint64(salt)) * _KNUTH32) % _MOD32
         return t.filter(pa.array((h % np.uint64(rate_den)) < np.uint64(rate_num)))
 
@@ -85,7 +100,7 @@ def split_by_hash(
     labels = [name for name, _ in splits]
 
     def _f(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy().astype(np.uint64)
+        t, k = _key_u64(t, key_col)
         h = ((k + np.uint64(salt)) * _KNUTH32) % _MOD32
         bucket = h % np.uint64(den)
         idx = np.searchsorted(bounds, bucket, side="right")
@@ -138,12 +153,19 @@ def balance_sources(
         for k, n in zip(counts[key_col], counts["count()"])
     }
 
+    # vectorized threshold lookup: factorize once per batch + np.take —
+    # a per-row Python dict probe in a streaming filter is the hot-path
+    # pattern this codebase bans (VERDICT r1 #9)
     def _f(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy().astype(np.uint64)
+        t, ids = _key_u64(t, id_col)
         h = ((ids + np.uint64(salt)) * _KNUTH32) % _MOD32
-        th = np.array(
-            [thresh[k] for k in t[key_col].to_pylist()], dtype=np.uint64
-        )
+        codes, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        th_u = np.array([thresh.get(k, np.uint64(0)) for k in uniq],
+                        dtype=np.uint64)
+        # null source (code -1) or a source absent from the census: no
+        # quota -> threshold 0 (row drops), never an arbitrary index
+        th = np.where(codes >= 0, th_u[np.clip(codes, 0, None)],
+                      np.uint64(0))
         return t.filter(pa.array(h < th))
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
@@ -219,7 +241,7 @@ def weighted_sample(
         raise ValueError("denom_log2 must be in (0, 30]")
 
     def _f(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy().astype(np.uint64)
+        t, k = _key_u64(t, key_col)
         w = t[weight_col].to_numpy().astype(np.int64)
         if (w < 0).any():
             raise ValueError("weighted_sample: negative weights")

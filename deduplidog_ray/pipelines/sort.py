@@ -49,6 +49,14 @@ _TIE_LIM = 1 << 32
 
 def _composite(t: pa.Table, key_col: str, tie_col: str,
                descending: bool) -> np.ndarray:
+    # nulls would arrive as float NaN, cast to int64 min, and WRAP past
+    # the |key| < 2^30 overflow guard (|int64 min| is itself negative) —
+    # an arbitrary rank instead of the contract's explicit refusal
+    if t[key_col].null_count or t[tie_col].null_count:
+        raise ValueError(
+            "distributed_sort_rank: null key/tie values cannot be "
+            "ranked; filter them or assign sentinels upstream"
+        )
     key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
     tie = t[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(key):

@@ -398,6 +398,14 @@ def _best_rows(
     + one first-in-run mask, every key at once."""
     if not len(df):
         return df
+    # null order values can never be a winner: NaT casts to int64 min,
+    # which after descending negation OVERFLOWS back to int64 min and
+    # sorts first either way — drop such rows before ranking
+    valid = df[order_col].notna().to_numpy()
+    if not valid.all():
+        df = df[valid]
+        if not len(df):
+            return df
     o = df[order_col].to_numpy()
     if o.dtype.kind == "M":
         o = o.astype("datetime64[us]").astype(np.int64)

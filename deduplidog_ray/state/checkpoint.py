@@ -59,12 +59,17 @@ class CheckpointManager:
         return out
 
     def done_partitions(self, stage: str) -> set[int]:
-        """Partitions completed under the *current* semantic config."""
-        return {
-            r["partition"]
-            for r in self._read_manifest()
-            if r["stage"] == stage and r["config"] == self.semantic_hash
-        }
+        """Partitions whose LATEST manifest line matches the current
+        semantic config. Latest-line semantics (same rule as
+        :meth:`is_done`): a later run under a different config overwrote
+        the partition directory in place, so an OLD matching line must
+        not certify the on-disk data — after a config flip A→B→A, the
+        dir holds B's output until A recomputes it."""
+        last: dict[int, str] = {}
+        for r in self._read_manifest():
+            if r["stage"] == stage:
+                last[r["partition"]] = r["config"]
+        return {p for p, cfg in last.items() if cfg == self.semantic_hash}
 
     def fragments_hash(self, fragments: list[str]) -> str:
         """Input-lineage hash: paths + sizes + mtimes of a partition's

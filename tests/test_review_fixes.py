@@ -182,3 +182,119 @@ def test_chunk_docs_string_ids(ray_session):
     })
     out = chunk_docs(rd.from_arrow(t), chunk_tokens=4, stride=4).to_pandas()
     assert out["doc_id"].tolist() == ["doc-001", "doc-001"]
+
+
+def _ev_tbl(rows):
+    ids, ks, ts, names = zip(*rows)
+    return pa.table({
+        "eid": pa.array(ids, type=pa.int64()),
+        "k": pa.array(ks, type=pa.int64()),
+        "ts": pa.array([None if t is None else
+                        pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t)
+                        for t in ts], type=pa.timestamp("us")),
+        "name": pa.array(names, type=pa.string()),
+    })
+
+
+def test_asof_keyed_string_payload_and_null_ts(ray_session):
+    from deduplidog_ray.pipelines.joins import asof_join_keyed
+
+    build = _ev_tbl([(1, 5, None, "nullts"), (2, 5, 10, "early")])
+    probe = _ev_tbl([(3, 5, 20, "p")])
+    out = asof_join_keyed(
+        rd.from_arrow(probe), rd.from_arrow(build), "k", "ts",
+        payload_cols=["eid", "name"],
+    ).to_pandas()
+    # string payload rides the tagged union; the null-ts build row is
+    # NOT the match (NaT would have been "earliest")
+    assert len(out) == 1
+    # null probe ts never matches either
+    probe2 = _ev_tbl([(4, 5, None, "p2")])
+    out2 = asof_join_keyed(
+        rd.from_arrow(probe2), rd.from_arrow(build), "k", "ts",
+        payload_cols=["eid"],
+    ).to_pandas()
+    assert len(out2) == 0
+
+
+def test_asof_auto_string_keys_small_build(ray_session):
+    from deduplidog_ray.pipelines.joins import asof_join_auto
+
+    def _t(ids, keys, secs):
+        return pa.table({
+            "eid": pa.array(ids, type=pa.int64()),
+            "k": pa.array(keys, type=pa.string()),
+            "ts": pa.array(
+                [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+                 for s in secs], type=pa.timestamp("us")),
+        })
+
+    build = _t([1], ["u"], [10])
+    probe = _t([2], ["u"], [20])
+    out = asof_join_auto(rd.from_arrow(probe), rd.from_arrow(build),
+                         "k", "ts", payload_cols=["eid"]).to_pandas()
+    assert len(out) == 1           # small string-keyed build must not crash
+
+
+def test_range_join_null_ts_no_crash(ray_session):
+    from deduplidog_ray.pipelines.joins import range_join_keyed
+
+    probe = _ev_tbl([(1, 5, 0, "a"), (2, 5, None, "b")])
+    build = _ev_tbl([(3, 5, 2, "c")])
+    out = range_join_keyed(
+        rd.from_arrow(probe), rd.from_arrow(build), "k", "ts",
+        probe_cols=["eid"], build_cols={"eid": "match_id"},
+        range_seconds=10,
+    ).to_pandas()
+    assert out["eid"].tolist() == [1]
+
+
+def test_argmax_null_order_never_wins(ray_session):
+    t = pa.table({
+        "src": pa.array(["a", "a"]),
+        "ts": pa.array([pd.Timestamp("2024-01-02"), None],
+                       type=pa.timestamp("us")),
+        "id": pa.array([1, 2], type=pa.int64()),
+    })
+    got = argmax_per_key(rd.from_arrow(t), "src", "ts", "id",
+                         ascending=False).to_pandas()
+    assert got["id"].tolist() == [1]
+
+
+def test_sample_hash_null_keys_dropped(ray_session):
+    from deduplidog_ray.pipelines.sampling import sample_hash
+
+    t = pa.table({"doc_id": pa.array([1, 2, None, 17], type=pa.int64())})
+    out = sample_hash(rd.from_arrow(t), rate_num=1, rate_den=1).to_pandas()
+    # rate 1/1 keeps every hashable row; the null key drops (SQL: NULL
+    # predicate is not true), never a platform-dependent cast
+    assert out["doc_id"].tolist() == [1, 2, 17]
+
+
+def test_sort_rank_null_key_raises(ray_session):
+    from deduplidog_ray.pipelines.sort import distributed_sort_rank
+
+    t = pa.table({"v": pa.array([1, None, 3], type=pa.int64()),
+                  "id": pa.array([1, 2, 3], type=pa.int64())})
+    with pytest.raises(Exception, match="null key"):
+        distributed_sort_rank(rd.from_arrow(t), "v", "id").to_pandas()
+
+
+def test_checkpoint_config_flipflop(tmp_path):
+    import json
+
+    from deduplidog_ray.state.checkpoint import CheckpointManager
+
+    a = CheckpointManager(str(tmp_path), "A")
+    with open(a.manifest_path, "a") as f:
+        # run under A, then rerun under B (the dir is overwritten in
+        # place by write_partition) — the manifest keeps BOTH lines
+        f.write(json.dumps({"stage": "sig", "partition": 0,
+                            "config": "A"}) + "\n")
+        f.write(json.dumps({"stage": "sig", "partition": 0,
+                            "config": "B"}) + "\n")
+    # the OLD matching A line must not certify B's on-disk data
+    assert a.done_partitions("sig") == set()
+    assert not a.is_done("sig", 0)
+    b = CheckpointManager(str(tmp_path), "B")
+    assert b.done_partitions("sig") == {0}
