@@ -50,6 +50,26 @@ shares its whole constellation with its container, so coverage→1 on the
 SHORTER side while the offset localizes the excerpt inside the
 container.
 
+Exchange mechanics (``exchange=`` parameter): the default ``auto`` picks
+the HIVE path on one node / shared storage — a map-side
+hive-partitioned parquet write into tmpfs plus one kernel task per
+partition (the flagship's measured-~3x-faster alternative to Ray's
+sort-based groupby, ``stages/exchange.py``), with rows fully skinny:
+landmark rows ship (hash, cid64, t) = 24 B and the exchange-1 kernel
+writes pair rows (a64, b64, dt, h) = 32 B STRAIGHT into the exchange-2
+directory (map-side shuffle write — no intermediate materialization
+hop), returning only per-clip meta partials (row count + distinct-hash
+count per partition; hash-space is disjoint across partitions, so the
+partials SUM to the exact per-clip totals). Vote tasks read one
+partition each with a once-broadcast cid64 → (clip_id, n_lm, n_hash)
+map. ``sort`` keeps Ray's sort-based groupby with self-describing rows
+(strings + inline meta) — the correct fallback on multi-node clusters
+without shared exchange storage. Both paths produce IDENTICAL pairs
+(tests/test_audiofp.py asserts bit parity). 64-bit cid routing keys are
+collision-safe to ~10^9 clips; beyond that, widen to a (h1, h2) 128-bit
+key pair and replace the broadcast id map with a final skinny join of
+the (few) confirmed pairs back to the clips table.
+
 No SQL oracle is possible (payload decode + STFT); parity gates live in
 tests/test_audiofp.py: planted shifted/µ-law re-encoded copies and
 excerpts recovered with frame-accurate offsets, distinct clips rejected,
@@ -58,10 +78,13 @@ stop-hash cap exercised.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from deduplidog_ray.audio.codecs import CodecError, decode
@@ -163,10 +186,19 @@ def _landmarks(
     return np.concatenate(hashes), np.concatenate(anchors)
 
 
+#: seed for the int64 routing key of clip_id on the skinny/hive path —
+#: the landmark stage and the driver-side id map must agree on it.
+_CID_SEED = 0xFA57
+
+
 class _LandmarkStage:
-    """Actor-pool batch fn: clips table → landmark rows
-    (hash, clip_id, t, n_lm). Window/pair params fixed in __init__;
-    decode errors drop the row (quarantine is the flagship's job)."""
+    """Actor-pool batch fn: clips table → landmark rows. Window/pair
+    params fixed in __init__; decode errors drop the row (quarantine is
+    the flagship's job). ``skinny=False`` (sort path) emits
+    self-describing rows (hash, clip_id, t, n_lm, n_hash); ``skinny=True``
+    (hive path) emits (hash, cid, t) only — 24 B/row; per-clip totals are
+    reconstructed exactly from exchange-1 partials (see module
+    docstring)."""
 
     def __init__(
         self,
@@ -177,6 +209,7 @@ class _LandmarkStage:
         fanout: int,
         zone_dt: int,
         id_col: str,
+        skinny: bool = False,
     ) -> None:
         self.work_sr = work_sr
         self.n_fft = n_fft
@@ -185,14 +218,24 @@ class _LandmarkStage:
         self.fanout = fanout
         self.zone_dt = zone_dt
         self.id_col = id_col
+        self.skinny = skinny
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from deduplidog_ray.stages.hashing import hash_strings_u64
+
         ids = t[self.id_col].to_pylist()
         bufs = t["bytes"].to_pylist()
         codecs = t["codec"].to_pylist()
         srs = t["sr_hz"].to_pylist()
+        cid64 = (
+            hash_strings_u64(ids, seed=_CID_SEED).view(np.int64)
+            if self.skinny else None
+        )
         out_h, out_id, out_t, out_n, out_nh = [], [], [], [], []
-        for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
+        kept_ids: list[str] = []
+        for k, (cid, buf, codec, sr) in enumerate(
+            zip(ids, bufs, codecs, srs)
+        ):
             try:
                 pcm, sr_dec = decode(buf, codec)
             except CodecError:
@@ -208,11 +251,49 @@ class _LandmarkStage:
                 continue
             out_h.append(h)
             out_t.append(ta)
-            out_id.extend([cid] * len(h))
-            out_n.append(np.full(len(h), len(h), dtype=np.int64))
-            out_nh.append(
-                np.full(len(h), len(np.unique(h)), dtype=np.int64)
+            if self.skinny:
+                out_id.append(np.full(len(h), cid64[k], dtype=np.int64))
+                kept_ids.append(cid)
+            else:
+                out_id.extend([cid] * len(h))
+                out_n.append(np.full(len(h), len(h), dtype=np.int64))
+                out_nh.append(
+                    np.full(len(h), len(np.unique(h)), dtype=np.int64)
+                )
+        if self.skinny:
+            # one sentinel ID ROW per contributing clip (hash=-1, the
+            # only negative hash — real hashes pack into < 2^22): carries
+            # the cid64 -> clip_id mapping through THIS pass so the hive
+            # driver never re-executes the (possibly expensive) upstream
+            # pipeline just to read the id column. Landmark rows leave
+            # clip_id null — parquet stores the all-null stretches for
+            # free.
+            if not out_h:
+                return pa.table({
+                    "hash": pa.array([], type=pa.int64()),
+                    "cid": pa.array([], type=pa.int64()),
+                    "t": pa.array([], type=pa.int64()),
+                    "clip_id": pa.array([], type=pa.string()),
+                })
+            lm_h = np.concatenate(out_h)
+            lm_cid = np.concatenate(out_id)
+            lm_t = np.concatenate(out_t)
+            id_cids = np.array(
+                [arr[0] for arr in out_id], dtype=np.int64
             )
+            id_strs = kept_ids
+            return pa.table({
+                "hash": pa.array(np.concatenate(
+                    [lm_h, np.full(len(id_cids), -1, dtype=np.int64)]
+                )),
+                "cid": pa.array(np.concatenate([lm_cid, id_cids])),
+                "t": pa.array(np.concatenate(
+                    [lm_t, np.zeros(len(id_cids), dtype=np.int64)]
+                )),
+                "clip_id": pa.array(
+                    [None] * len(lm_h) + id_strs, type=pa.string()
+                ),
+            })
         if not out_h:
             return pa.table({
                 "hash": pa.array([], type=pa.int64()),
@@ -294,49 +375,33 @@ def _bucket_pairs(g: pd.DataFrame, cap: int) -> pd.DataFrame:
     })
 
 
-def _vote_partition(
-    g: pd.DataFrame, min_votes: int, min_coverage: float,
-    min_hash_coverage: float, hop_ms: float,
-) -> pd.DataFrame:
-    """Partition kernel (exchange 2): pair rows → confirmed pairs.
-    Votes = count of the modal dt merged with its ±1-frame neighbors
-    (STFT quantization jitter); landmark coverage is votes over each
-    side's landmark count; hash coverage is the count of DISTINCT hashes
-    matching within ±1 frame of the modal dt over the shorter side's
-    distinct-hash vocabulary (the stationary-audio discriminator)."""
-    if len(g) == 0:
-        return pd.DataFrame(columns=PAIR_COLUMNS)
-    # factorize the string ids ONCE: all grouping/sorting below runs on
-    # dense int codes (an object-dtype np.lexsort costs a Python compare
-    # per element — measured ~2/3 of this kernel's wall at 3M pair rows);
-    # the strings are only fancy-indexed for the output rows
-    codes_a, _ = pd.factorize(g["a"], sort=False)
-    codes_b, _ = pd.factorize(g["b"], sort=False)
-    a = g["a"].to_numpy()
-    b = g["b"].to_numpy()
-    dt = g["dt"].to_numpy()
-    hh = g["h"].to_numpy()
-    na = g["n_a"].to_numpy()
-    nb = g["n_b"].to_numpy()
-    nha = g["nh_a"].to_numpy()
-    nhb = g["nh_b"].to_numpy()
-    order = np.lexsort((dt, codes_b, codes_a))
-    ca, cb = codes_a[order], codes_b[order]
-    a, b, dt, hh = a[order], b[order], dt[order], hh[order]
-    na, nb, nha, nhb = na[order], nb[order], nha[order], nhb[order]
-    n = len(a)
+def _vote_core(
+    ka: np.ndarray, kb: np.ndarray, dt: np.ndarray, hh: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Offset-histogram voting over pair rows keyed by int (ka, kb) —
+    the shared kernel of both exchange paths. Votes = count of the modal
+    dt merged with its ±1-frame neighbors (STFT quantization jitter);
+    hmatch counts DISTINCT hashes within ±1 frame of the modal dt.
+
+    Returns ``(order, first_idx, win_dt, win_votes, hmatch)``: ``order``
+    sorts the input rows by (ka, kb, dt); ``first_idx`` picks one SORTED
+    row per distinct pair, aligned with the per-pair ``win_*`` arrays."""
+    order = np.lexsort((dt, kb, ka))
+    ka_s, kb_s = ka[order], kb[order]
+    dt_s, hh_s = dt[order], hh[order]
+    n = len(ka_s)
     # pair ids: dense int per (a, b) over the sorted rows
     pair_new = np.concatenate(
-        [[True], (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])]
+        [[True], (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])]
     )
     pid = np.cumsum(pair_new) - 1
     # run-length encode identical (pid, dt)
     new = np.concatenate(
-        [[True], (pid[1:] != pid[:-1]) | (dt[1:] != dt[:-1])]
+        [[True], (pid[1:] != pid[:-1]) | (dt_s[1:] != dt_s[:-1])]
     )
     starts = np.nonzero(new)[0]
     counts = np.diff(np.concatenate([starts, [n]]))
-    rp, rdt = pid[starts], dt[starts]
+    rp, rdt = pid[starts], dt_s[starts]
     # same-pair neighbor runs at dt±1 add their counts (jitter merge)
     same_prev = np.zeros(len(starts), dtype=bool)
     same_prev[1:] = rp[1:] == rp[:-1]
@@ -355,21 +420,46 @@ def _vote_partition(
     # rows are (pid, dt, h); look up the pair's winning dt and count
     # unique h among rows with |dt - win| <= 1 — all vectorized
     win_for_row = win_dt[pid]            # win_pid is 0..P-1 == index
-    near = np.abs(dt - win_for_row) <= 1
+    near = np.abs(dt_s - win_for_row) <= 1
     if near.any():
         # landmark hashes pack (f, Δf, Δt) into < 2^22 (see _landmarks),
         # so (pid, h) packs losslessly into one int64 — a 1-D unique
         # instead of np.unique(axis=0)'s row-wise lexsort
-        key = (pid[near].astype(np.int64) << np.int64(32)) | hh[near]
+        key = (pid[near].astype(np.int64) << np.int64(32)) | hh_s[near]
         uk = np.unique(key)
         hmatch = np.bincount(uk >> np.int64(32), minlength=len(win_pid))
     else:
         hmatch = np.zeros(len(win_pid), dtype=np.int64)
     first_idx = starts[np.nonzero(np.concatenate(
-        [[True], rp[1:] != rp[:-1]]))[0]]      # one raw row per pair
-    rna, rnb = na[first_idx], nb[first_idx]
-    rnha, rnhb = nha[first_idx], nhb[first_idx]
-    ra, rb = a[first_idx], b[first_idx]
+        [[True], rp[1:] != rp[:-1]]))[0]]      # one sorted row per pair
+    return order, first_idx, win_dt, win_votes, hmatch
+
+
+def _vote_partition(
+    g: pd.DataFrame, min_votes: int, min_coverage: float,
+    min_hash_coverage: float, hop_ms: float,
+) -> pd.DataFrame:
+    """Partition kernel (exchange 2, sort path): self-describing pair
+    rows → confirmed pairs. Landmark coverage is votes over each side's
+    landmark count; hash coverage is hmatch over the shorter side's
+    distinct-hash vocabulary (the stationary-audio discriminator)."""
+    if len(g) == 0:
+        return pd.DataFrame(columns=PAIR_COLUMNS)
+    # factorize the string ids ONCE: all grouping/sorting below runs on
+    # dense int codes (an object-dtype np.lexsort costs a Python compare
+    # per element — measured ~2/3 of this kernel's wall at 3M pair rows);
+    # the strings are only fancy-indexed for the output rows
+    codes_a, _ = pd.factorize(g["a"], sort=False)
+    codes_b, _ = pd.factorize(g["b"], sort=False)
+    order, first_idx, win_dt, win_votes, hmatch = _vote_core(
+        codes_a, codes_b, g["dt"].to_numpy(), g["h"].to_numpy()
+    )
+    ra = g["a"].to_numpy()[order][first_idx]
+    rb = g["b"].to_numpy()[order][first_idx]
+    rna = g["n_a"].to_numpy()[order][first_idx]
+    rnb = g["n_b"].to_numpy()[order][first_idx]
+    rnha = g["nh_a"].to_numpy()[order][first_idx]
+    rnhb = g["nh_b"].to_numpy()[order][first_idx]
     cov_a = win_votes / np.maximum(rna, 1)
     cov_b = win_votes / np.maximum(rnb, 1)
     hcov = hmatch / np.maximum(np.minimum(rnha, rnhb), 1)
@@ -389,6 +479,238 @@ def _vote_partition(
     })
 
 
+def _bucket_pairs_skinny(
+    t: pa.Table, cap: int, partitions: int, x2dir: str, tag: str,
+) -> pa.Table:
+    """Hive exchange-1 kernel: one hash partition of skinny landmark
+    rows (hash, cid, t) → pair rows (a, b, dt, h) written STRAIGHT into
+    the exchange-2 directory hive-partitioned by the pair key (map-side
+    shuffle write), returning only per-clip meta partials
+    (cid, n_lm, n_hash). hash-space is disjoint across partitions, so
+    summing the partials over partitions yields each clip's exact total
+    landmark count and distinct-hash count."""
+    import pyarrow.parquet as pq
+
+    from deduplidog_ray.stages.hashing import mix64
+
+    h = t["hash"].to_numpy()
+    cid = t["cid"].to_numpy()
+    tt = t["t"].to_numpy()
+    order = np.argsort(h, kind="stable")
+    h, cid, tt = h[order], cid[order], tt[order]
+    n = len(h)
+    # meta partials: rows + distinct hashes per cid within this partition
+    o2 = np.lexsort((h, cid))
+    c2, h2 = cid[o2], h[o2]
+    cid_new = np.concatenate([[True], c2[1:] != c2[:-1]])
+    gid = np.cumsum(cid_new) - 1
+    dh_new = cid_new | np.concatenate([[True], h2[1:] != h2[:-1]])
+    meta = pa.table({
+        "cid": pa.array(c2[cid_new]),
+        "n_lm": pa.array(np.bincount(gid)),
+        "n_hash": pa.array(np.bincount(gid[dh_new])),
+    })
+    seg_starts = np.nonzero(np.concatenate([[True], h[1:] != h[:-1]]))[0]
+    seg_sizes = np.diff(np.concatenate([seg_starts, [n]]))
+    i, j, _stop = _pairs_within_segments(seg_starts, seg_sizes, cap)
+    if len(i) == 0:
+        return meta
+    ca, cb = cid[i], cid[j]
+    keep = ca != cb                       # self-matches (repeated content
+    i, j, ca, cb = i[keep], j[keep], ca[keep], cb[keep]       # in-clip)
+    if len(i) == 0:
+        return meta
+    swap = ca > cb
+    aa = np.where(swap, cb, ca)
+    bb = np.where(swap, ca, cb)
+    dt = np.where(swap, tt[i] - tt[j], tt[j] - tt[i])
+    part2 = (
+        (mix64(aa.view(np.uint64)) ^ mix64(bb.view(np.uint64)))
+        % np.uint64(partitions)
+    ).astype(np.int64)
+    pq.write_to_dataset(
+        pa.table({"a": aa, "b": bb, "dt": dt, "h": h[i], "part2": part2}),
+        x2dir,
+        partition_cols=["part2"],
+        basename_template=f"{tag}-{{i}}.parquet",
+    )
+    return meta
+
+
+def _vote_dir_skinny(
+    d: str, meta: tuple, idmap: tuple, min_votes: int, min_coverage: float,
+    min_hash_coverage: float, hop_ms: float,
+) -> pd.DataFrame:
+    """Hive exchange-2 kernel: one pair-key partition of skinny pair
+    rows → confirmed pairs. ``meta`` is the broadcast (cid_sorted, n_lm,
+    n_hash) arrays; ``idmap`` the broadcast (cid_sorted, clip_id)
+    arrays. Pair orientation is re-canonicalized to string order at the
+    end so both exchange paths emit IDENTICAL rows."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(os.path.join(d, "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    if len(t) == 0:
+        return pd.DataFrame(columns=PAIR_COLUMNS)
+    ka = t["a"].to_numpy()
+    kb = t["b"].to_numpy()
+    order, first_idx, win_dt, win_votes, hmatch = _vote_core(
+        ka, kb, t["dt"].to_numpy(), t["h"].to_numpy()
+    )
+    wa = ka[order][first_idx]
+    wb = kb[order][first_idx]
+    mc, mn, mh = meta
+    rna, rnha = mn[np.searchsorted(mc, wa)], mh[np.searchsorted(mc, wa)]
+    rnb, rnhb = mn[np.searchsorted(mc, wb)], mh[np.searchsorted(mc, wb)]
+    cov_a = win_votes / np.maximum(rna, 1)
+    cov_b = win_votes / np.maximum(rnb, 1)
+    hcov = hmatch / np.maximum(np.minimum(rnha, rnhb), 1)
+    ok = (
+        (win_votes >= min_votes)
+        & (np.maximum(cov_a, cov_b) >= min_coverage)
+        & (hcov >= min_hash_coverage)
+    )
+    ic, ids = idmap
+    ra = ids[np.searchsorted(ic, wa[ok])]
+    rb = ids[np.searchsorted(ic, wb[ok])]
+    win_dt, win_votes = win_dt[ok], win_votes[ok]
+    cov_a, cov_b, hcov = cov_a[ok], cov_b[ok], hcov[ok]
+    # numeric cid order != string order: restore the sort path's
+    # lexicographic orientation (swap sides, negate the offset)
+    flip = ra > rb
+    ra2 = np.where(flip, rb, ra)
+    rb2 = np.where(flip, ra, rb)
+    return pd.DataFrame({
+        "clip_a": ra2,
+        "clip_b": rb2,
+        "offset_ms": np.round(
+            np.where(flip, -win_dt, win_dt) * hop_ms
+        ).astype(np.int64),
+        "votes": win_votes,
+        "coverage_a": np.round(np.where(flip, cov_b, cov_a), 4),
+        "coverage_b": np.round(np.where(flip, cov_a, cov_b), 4),
+        "hash_coverage": np.round(hcov, 4),
+    })
+
+
+def _landmark_pairs_hive(
+    lm: ray.data.Dataset,
+    bucket_cap: int, min_votes: int, min_coverage: float,
+    min_hash_coverage: float, partitions: int, hop_ms: float,
+) -> pd.DataFrame:
+    """Hive-exchange driver: two map-side partitioned writes through
+    tmpfs/shared storage, one kernel task per partition, meta + id map
+    broadcast once via ray.put (see module docstring)."""
+    import glob as _glob
+    import shutil
+    import uuid
+
+    from deduplidog_ray.stages.exchange import exchange_base
+
+    run_id = uuid.uuid4().hex[:8]
+    base = exchange_base()
+    x1 = os.path.join(base, f"lmx1-{run_id}")
+    x2 = os.path.join(base, f"lmx2-{run_id}")
+
+    def _part1(t: pa.Table) -> pa.Table:
+        # sentinel id rows (hash = -1) get their own partition index P;
+        # landmark rows hash-partition into 0..P-1
+        h = t["hash"].to_numpy()
+        part = np.where(
+            h < 0,
+            np.int64(partitions),
+            (h.view(np.uint64) % np.uint64(partitions)).astype(np.int64),
+        )
+        return t.append_column("part", pa.array(part))
+
+    vote_task = ray.remote(_vote_dir_skinny)
+
+    @ray.remote
+    def _bucket_dir(d: str, tag: str) -> pa.Table:
+        import glob as _g
+
+        import pyarrow.parquet as pq
+
+        files = _g.glob(os.path.join(d, "*.parquet"))
+        t = pa.concat_tables([
+            pq.read_table(f, columns=["hash", "cid", "t"]) for f in files
+        ])
+        return _bucket_pairs_skinny(t, bucket_cap, partitions, x2, tag)
+
+    try:
+        os.makedirs(x2, exist_ok=True)
+        lm.map_batches(
+            _part1, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(x1, partition_cols=["part"])
+        id_dir = os.path.join(x1, f"part={partitions}")
+        part_dirs = sorted(
+            d for d in _glob.glob(os.path.join(x1, "part=*")) if d != id_dir
+        )
+        metas = ray.get([
+            _bucket_dir.remote(d, f"p{k}") for k, d in enumerate(part_dirs)
+        ])
+        # cid64 -> clip_id map from the sentinel id rows the landmark
+        # stage emitted into partition P — NOT from a second pass over
+        # ``clips`` (a lazy upstream with decode/transform stages would
+        # re-execute wholesale just to read the id column; measured
+        # +20 s on the driver query). At ~10^12 clips this map outgrows
+        # a broadcast — replace with a final keyed join of the (few)
+        # confirmed pairs to the clips table (module docstring).
+        import pyarrow.parquet as pq
+
+        id_files = _glob.glob(os.path.join(id_dir, "*.parquet"))
+        ids_tbl = pa.concat_tables([
+            pq.read_table(f, columns=["cid", "clip_id"]) for f in id_files
+        ]) if id_files else pa.table(
+            {"cid": pa.array([], type=pa.int64()),
+             "clip_id": pa.array([], type=pa.string())}
+        )
+        shutil.rmtree(x1, ignore_errors=True)
+        metas = [m for m in metas if len(m)]
+        if not metas:
+            return pd.DataFrame(columns=PAIR_COLUMNS)
+        # sum the per-partition partials into exact per-clip totals
+        mt = pa.concat_tables(metas)
+        mcid = mt["cid"].to_numpy()
+        morder = np.argsort(mcid, kind="stable")
+        mcid = mcid[morder]
+        firsts = np.concatenate([[True], mcid[1:] != mcid[:-1]])
+        gid = np.cumsum(firsts) - 1
+        meta = (
+            mcid[firsts],
+            np.bincount(gid, weights=mt["n_lm"].to_numpy()[morder])
+            .astype(np.int64),
+            np.bincount(gid, weights=mt["n_hash"].to_numpy()[morder])
+            .astype(np.int64),
+        )
+        ids = np.asarray(ids_tbl["clip_id"].to_pylist(), dtype=object)
+        cids = ids_tbl["cid"].to_numpy()
+        iorder = np.argsort(cids, kind="stable")
+        meta_ref = ray.put(meta)
+        idmap_ref = ray.put((cids[iorder], ids[iorder]))
+        pair_dirs = sorted(_glob.glob(os.path.join(x2, "part2=*")))
+        outs = ray.get([
+            vote_task.remote(
+                d, meta_ref, idmap_ref, min_votes, min_coverage,
+                min_hash_coverage, hop_ms,
+            )
+            for d in pair_dirs
+        ])
+    finally:
+        shutil.rmtree(x1, ignore_errors=True)
+        shutil.rmtree(x2, ignore_errors=True)
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return pd.DataFrame(columns=PAIR_COLUMNS)
+    return (
+        pd.concat(outs, ignore_index=True)
+        .sort_values(["clip_a", "clip_b"])
+        .reset_index(drop=True)
+    )
+
+
 def landmark_dup_pairs(
     clips: ray.data.Dataset,
     work_sr: int = 8000,
@@ -403,25 +725,41 @@ def landmark_dup_pairs(
     min_hash_coverage: float = 0.065,
     partitions: int = 32,
     id_col: str = "clip_id",
+    exchange: str = "auto",
 ) -> pd.DataFrame:
     """Robust audio duplicate / containment pairs via landmark voting:
     (clip_a, clip_b, offset_ms, votes, coverage_a, coverage_b), sorted.
     ``offset_ms`` is how much LATER the shared content plays in clip_b
     than in clip_a (positive: b carries a lead-in / is the delayed copy;
     negative: b is an excerpt starting |offset| into a). The max of the
-    two coverages is the contained side's matched fraction."""
+    two coverages is the contained side's matched fraction.
+
+    ``exchange``: "hive" (skinny map-side shuffle through tmpfs/shared
+    storage), "sort" (Ray sort-based groupby — correct anywhere), or
+    "auto" (hive where a directory exchange is safe; module docstring)."""
+    from deduplidog_ray.stages.exchange import hive_safe
+
+    if exchange not in ("auto", "hive", "sort"):
+        raise ValueError(f"unknown exchange {exchange!r}")
+    use_hive = exchange == "hive" or (exchange == "auto" and hive_safe())
+    hop_ms = hop * 1000.0 / work_sr
     lm = clips.map_batches(
         _LandmarkStage,
         fn_constructor_kwargs=dict(
             work_sr=work_sr, n_fft=n_fft, hop=hop,
             peaks_per_frame=peaks_per_frame, fanout=fanout,
-            zone_dt=zone_dt, id_col=id_col,
+            zone_dt=zone_dt, id_col=id_col, skinny=use_hive,
         ),
         concurrency=(1, 16),
         batch_size=32,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if use_hive:
+        return _landmark_pairs_hive(
+            lm, bucket_cap, min_votes, min_coverage,
+            min_hash_coverage, partitions, hop_ms,
+        )
 
     def _part1(t: pa.Table) -> pa.Table:
         part = (t["hash"].to_numpy().view(np.uint64)
@@ -449,7 +787,6 @@ def landmark_dup_pairs(
         part = ((ha ^ hb) % np.uint64(partitions)).astype(np.int64)
         return t.append_column("part", pa.array(part))
 
-    hop_ms = hop * 1000.0 / work_sr
     confirmed = (
         pair_rows.map_batches(
             _part2, batch_format="pyarrow", zero_copy_batch=True

@@ -148,6 +148,26 @@ def test_containment_excerpt_localized():
     assert len(out) == 1
 
 
+def test_exchange_paths_bit_parity():
+    """hive (skinny map-side shuffle through tmpfs) and sort (Ray
+    groupby) exchanges emit IDENTICAL confirmed pairs — planted shift,
+    µ-law re-encode and excerpt all present, orientation and offsets
+    bit-equal."""
+    rows = [_row(f"c{i}", _sig(200 + i)) for i in range(12)]
+    d = int(SR * 0.48)
+    rows.append(_row(
+        "c204_shift",
+        np.concatenate([np.zeros(d, np.float32), _sig(204)]),
+        codec="ulaw",
+    ))
+    base = _sig(207)
+    rows.append(_row("c207_cut", base[int(SR * 0.8):int(SR * 2.2)]))
+    a = _run(rows, exchange="sort")
+    b = _run(rows, exchange="hive")
+    assert len(a) >= 2, a
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_distinct_clips_produce_no_pairs():
     rows = [_row(f"d{i}", _sig(1000 + i)) for i in range(12)]
     out = _run(rows)
