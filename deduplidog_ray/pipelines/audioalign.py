@@ -76,10 +76,9 @@ def _xcorr_peak(
     return int(lags[i]), float(vals[i] / denom)
 
 
-@ray.remote
-def _verify_chunk(
+def _verify_pairs(
     store: dict, pairs: list, sr: int, max_shift_ms: int,
-    corr_threshold: float,
+    corr_threshold: float, durs: dict | None = None,
 ) -> list:
     max_lag = sr * max_shift_ms // 1000
     out = []
@@ -100,6 +99,22 @@ def _verify_chunk(
         return cache[cid]
 
     for a, b in pairs:
+        if durs is not None:
+            da, db = durs.get(a), durs.get(b)
+            # duration pre-gate, consistent with the threshold: the
+            # normalized xcorr of an n- vs m-sample clip is bounded by
+            # sqrt(min/max) at ANY lag (the numerator covers at most
+            # min(n, m) samples while the denominator is ||x||·||y||),
+            # so a pair whose duration ratio falls below
+            # corr_threshold^2 cannot pass — skip its FFTs. The 0.95
+            # margin absorbs resample rounding; pairs within the shift
+            # window are always verified.
+            if (
+                da and db and abs(da - db) > max_shift_ms
+                and min(da, db) / max(da, db)
+                < corr_threshold ** 2 * 0.95
+            ):
+                continue
         xa, xb = _pcm(a), _pcm(b)
         if xa is None or xb is None or not len(xa) or not len(xb):
             continue
@@ -107,6 +122,36 @@ def _verify_chunk(
         if corr >= corr_threshold:
             out.append((a, b, int(round(1000 * lag / sr)), corr))
     return out
+
+
+@ray.remote
+def _verify_chunk_blocks(
+    refs: list, pairs: list, sr: int, max_shift_ms: int,
+    corr_threshold: float, id_col: str,
+) -> list:
+    """Verify one pair chunk against payload BLOCKS in plasma: ``refs``
+    are ObjectRefs to the (member-filtered) payload tables this chunk's
+    members live in — ray.get maps them zero-copy from shared memory on
+    a node (at most one transfer per node on a cluster), so payload
+    bytes never route through the driver or a per-task pickled dict."""
+    tables = ray.get(list(refs))
+    members = {cid for p in pairs for cid in p}
+    store: dict = {}
+    durs: dict = {}
+    for t in tables:
+        ids = t[id_col].to_pylist()
+        has_dur = "dur_ms" in t.schema.names
+        hit = [ri for ri, cid in enumerate(ids) if cid in members]
+        for ri in hit:
+            store[ids[ri]] = (
+                t["bytes"][ri].as_py(), t["codec"][ri].as_py(),
+                int(t["sr_hz"][ri].as_py()),
+            )
+            if has_dur:
+                durs[ids[ri]] = t["dur_ms"][ri].as_py()
+    return _verify_pairs(
+        store, pairs, sr, max_shift_ms, corr_threshold, durs or None
+    )
 
 
 def shifted_dup_pairs(
@@ -144,28 +189,44 @@ def shifted_dup_pairs(
 
     def _fetch(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t[id_col], value_set=member_arr)
-        return t.filter(keep).select([id_col, "bytes", "codec", "sr_hz"])
+        cols = [id_col, "bytes", "codec", "sr_hz"]
+        if "dur_ms" in t.schema.names:   # enables the duration pre-gate
+            cols.append("dur_ms")
+        return t.filter(keep).select(cols)
 
-    rows = clips.map_batches(
+    # Member payloads stay IN PLASMA as the materialized blocks of the
+    # filtered scan — never ``take_all()``'d to the driver (when the
+    # candidate graph covers most of the corpus, as it does on a
+    # near-stationary corpus, "members ≤ 2·|pairs|" is no bound at all:
+    # the old driver pull concentrated ~the whole payload table in one
+    # process, then re-shipped it as pickled per-chunk dicts). Each
+    # verify task ray.gets only the blocks its own pairs live in —
+    # zero-copy on a node, at most one transfer per node on a cluster.
+    mat = clips.map_batches(
         _fetch, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()                     # members ≤ 2·|pairs| — pairs-bounded
-    store = {
-        r[id_col]: (r["bytes"], r["codec"], int(r["sr_hz"])) for r in rows
-    }
+    ).materialize()
+    blocks = mat.to_arrow_refs()
 
-    # Per-chunk MINI-stores: shipping one global store ref makes every
-    # verify task deserialize the whole payload dict (measured: ~40
-    # tasks × 100s-of-MB dominated a sf0.1 run at 133 s wall). Sorting
-    # pairs groups shared members into the same chunk, so each task
-    # receives only its own members' bytes.
+    @ray.remote
+    def _block_ids(t: pa.Table) -> list:
+        return t[id_col].to_pylist()
+
+    block_of: dict = {}
+    for bi, ids in enumerate(ray.get([_block_ids.remote(b) for b in blocks])):
+        for cid in ids:
+            block_of[cid] = bi
+    # Sorting pairs groups shared members into the same chunk, so each
+    # task maps few blocks.
     pair_list = sorted(zip(cand["clip_a"], cand["clip_b"]))
     futs = []
     for i in range(0, len(pair_list), _PAIR_CHUNK):
         chunk = pair_list[i:i + _PAIR_CHUNK]
-        mini = {cid: store[cid]
-                for p in chunk for cid in p if cid in store}
-        futs.append(_verify_chunk.remote(
-            mini, chunk, work_sr, max_shift_ms, corr_threshold,
+        need = sorted({
+            block_of[cid] for p in chunk for cid in p if cid in block_of
+        })
+        futs.append(_verify_chunk_blocks.remote(
+            [blocks[b] for b in need], chunk, work_sr, max_shift_ms,
+            corr_threshold, id_col,
         ))
     confirmed = [row for chunk in ray.get(futs) for row in chunk]
     return pd.DataFrame(
