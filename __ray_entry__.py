@@ -2200,6 +2200,55 @@ def q_top_orders_revenue(sf_dir: str):
                         ascending=False, tie_col="orderkey")
 
 
+def _click_edges(sf_dir: str):
+    """events → (src, dst, w) click-transition edges: extract the page
+    id `k` from the props JSON with one Arrow RE2 pass, then ONE
+    hash(user)%P exchange of four skinny columns and per-partition
+    pre-aggregated partials (graph.py:transition_edges)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.graph import transition_edges
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "props"],
+    )
+
+    def _extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return t.drop_columns(["props"]).append_column("node", k)
+
+    ds = ds.map_batches(_extract, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return transition_edges(ds)
+
+
+def q_click_edges(sf_dir: str):
+    """Weighted directed click-graph edges from consecutive same-user
+    events in (ts, event_id) order — what SQL does with lead() over a
+    window; here one skinny exchange + a lexsort-shift kernel per
+    partition, partials |V|²-bounded (graph.py)."""
+    return _click_edges(sf_dir)
+
+
+def q_pagerank_clicks(sf_dir: str):
+    """Fixed-point integer PageRank over the click graph — the
+    iterative-graph workload shape: edges are extracted/aggregated
+    distributed (one exchange), index-mapped + materialized once, and
+    each of the 10 iterations moves ONLY the |V| rank vector (broadcast
+    down, |V|-bounded partial sums back). All arithmetic is int64 floor
+    division, so the recursive-CTE oracle is bit-exact by construction
+    (summation order cannot matter). Dangling mass drops (documented
+    PageRank variant)."""
+    from deduplidog_ray.pipelines.graph import pagerank
+
+    return pagerank(_click_edges(sf_dir), iters=10)
+
+
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -2311,6 +2360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_dup_clusters": q_edit_dup_clusters,
         "search_docs": q_search_docs,
         "props_k_stats": q_props_k_stats,
+        "click_edges": q_click_edges,
+        "pagerank_clicks": q_pagerank_clicks,
     }
 
 
@@ -3554,5 +3605,68 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT)) AS max_k
             FROM events
             GROUP BY event_type
+        """,
+        "click_edges": r"""
+            WITH trans AS (
+                SELECT CAST(regexp_extract(props, '"k": (\d+)', 1)
+                            AS BIGINT) AS src,
+                       lead(CAST(regexp_extract(props, '"k": (\d+)', 1)
+                                 AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS dst
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+            FROM trans
+            WHERE src IS NOT NULL AND dst IS NOT NULL
+            GROUP BY src, dst
+        """,
+        "pagerank_clicks": r"""
+            WITH RECURSIVE trans AS (
+                SELECT CAST(regexp_extract(props, '"k": (\d+)', 1)
+                            AS BIGINT) AS src,
+                       lead(CAST(regexp_extract(props, '"k": (\d+)', 1)
+                                 AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS dst
+                FROM events WHERE ts IS NOT NULL
+            ), edges AS (
+                SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                FROM trans
+                WHERE src IS NOT NULL AND dst IS NOT NULL
+                GROUP BY src, dst
+            ), outdeg AS (
+                SELECT src, CAST(sum(w) AS BIGINT) AS od
+                FROM edges GROUP BY src
+            ), verts AS (
+                -- NOT "a UNION b": inside WITH RECURSIVE DuckDB treats a
+                -- top-level UNION CTE as a recursive union and skips the
+                -- dedup, yielding 2 rows per vertex
+                SELECT DISTINCT v FROM (
+                    SELECT src AS v FROM edges
+                    UNION ALL SELECT dst FROM edges
+                )
+            ), eaug AS (
+                -- zero-weight self-loop per vertex keeps every vertex
+                -- present as a dst each iteration (contributes floor(0)=0)
+                SELECT e.src, e.dst, e.w, o.od
+                FROM edges e JOIN outdeg o USING (src)
+                UNION ALL
+                SELECT v, v, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+                FROM verts
+            ), pr(iter, node, r) AS (
+                SELECT 0, v, CAST(1000000000 AS BIGINT) FROM verts
+                UNION ALL
+                -- base (scale*15//100) + sum of floor-divided integer
+                -- contributions: bit-exact, order-independent
+                SELECT p.iter + 1, e.dst,
+                       CAST(150000000
+                            + sum((85 * p.r * e.w) // (100 * e.od))
+                            AS BIGINT)
+                FROM pr p JOIN eaug e ON e.src = p.node
+                WHERE p.iter < 10
+                GROUP BY p.iter, e.dst
+            )
+            SELECT node, r AS rank_scaled FROM pr WHERE iter = 10
         """,
     }
