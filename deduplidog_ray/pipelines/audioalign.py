@@ -78,11 +78,19 @@ def _xcorr_peak(
 
 def _verify_pairs(
     store: dict, pairs: list, sr: int, max_shift_ms: int,
-    corr_threshold: float, durs: dict | None = None,
+    corr_threshold: float,
 ) -> list:
     max_lag = sr * max_shift_ms // 1000
     out = []
     cache: dict[str, np.ndarray] = {}
+    csq: dict[str, np.ndarray] = {}
+
+    def _prefix(cid: str, p: np.ndarray) -> np.ndarray:
+        c = csq.get(cid)
+        if c is None:
+            c = np.concatenate(([0.0], np.cumsum(p * p)))
+            csq[cid] = c
+        return c
 
     def _pcm(cid: str) -> np.ndarray | None:
         if cid not in cache:
@@ -99,25 +107,29 @@ def _verify_pairs(
         return cache[cid]
 
     for a, b in pairs:
-        if durs is not None:
-            da, db = durs.get(a), durs.get(b)
-            # duration pre-gate, consistent with the threshold: the
-            # normalized xcorr of an n- vs m-sample clip is bounded by
-            # sqrt(min/max) at ANY lag (the numerator covers at most
-            # min(n, m) samples while the denominator is ||x||·||y||),
-            # so a pair whose duration ratio falls below
-            # corr_threshold^2 cannot pass — skip its FFTs. The 0.95
-            # margin absorbs resample rounding; pairs within the shift
-            # window are always verified.
-            if (
-                da and db and abs(da - db) > max_shift_ms
-                and min(da, db) / max(da, db)
-                < corr_threshold ** 2 * 0.95
-            ):
-                continue
         xa, xb = _pcm(a), _pcm(b)
         if xa is None or xb is None or not len(xa) or not len(xb):
             continue
+        # Energy-window pre-gate, sound by Cauchy-Schwarz: at any single
+        # lag the overlap covers at most len(shorter) samples of the
+        # longer clip, so the xcorr numerator is <= sqrt(E_short) *
+        # sqrt(max length-len(shorter) window energy of the longer), and
+        # corr <= sqrt(Ewin_max / E_long). A pure duration-ratio gate is
+        # NOT sound here (a silence pad adds duration but no energy and
+        # _xcorr_peak normalizes by global energy), so the bound uses
+        # decoded energies: one cached cumsum per clip, one O(n) slice
+        # max per pair — far cheaper than the padded FFTs it skips.
+        if len(xa) != len(xb):
+            if len(xa) < len(xb):
+                w, l_id, xl = len(xa), b, xb
+            else:
+                w, l_id, xl = len(xb), a, xa
+            c = _prefix(l_id, xl)
+            e_l = c[-1]
+            ewin = float(np.max(c[w:] - c[:-w]))
+            # 0.995 margin absorbs FFT/cumsum float rounding
+            if e_l > 0.0 and ewin < (corr_threshold * 0.995) ** 2 * e_l:
+                continue
         lag, corr = _xcorr_peak(xa, xb, max_lag)
         if corr >= corr_threshold:
             out.append((a, b, int(round(1000 * lag / sr)), corr))
@@ -137,21 +149,15 @@ def _verify_chunk_blocks(
     tables = ray.get(list(refs))
     members = {cid for p in pairs for cid in p}
     store: dict = {}
-    durs: dict = {}
     for t in tables:
         ids = t[id_col].to_pylist()
-        has_dur = "dur_ms" in t.schema.names
         hit = [ri for ri, cid in enumerate(ids) if cid in members]
         for ri in hit:
             store[ids[ri]] = (
                 t["bytes"][ri].as_py(), t["codec"][ri].as_py(),
                 int(t["sr_hz"][ri].as_py()),
             )
-            if has_dur:
-                durs[ids[ri]] = t["dur_ms"][ri].as_py()
-    return _verify_pairs(
-        store, pairs, sr, max_shift_ms, corr_threshold, durs or None
-    )
+    return _verify_pairs(store, pairs, sr, max_shift_ms, corr_threshold)
 
 
 def shifted_dup_pairs(
@@ -189,10 +195,7 @@ def shifted_dup_pairs(
 
     def _fetch(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t[id_col], value_set=member_arr)
-        cols = [id_col, "bytes", "codec", "sr_hz"]
-        if "dur_ms" in t.schema.names:   # enables the duration pre-gate
-            cols.append("dur_ms")
-        return t.filter(keep).select(cols)
+        return t.filter(keep).select([id_col, "bytes", "codec", "sr_hz"])
 
     # Member payloads stay IN PLASMA as the materialized blocks of the
     # filtered scan — never ``take_all()``'d to the driver (when the

@@ -411,8 +411,18 @@ def _vote_core(
     adj_next = np.zeros(len(starts), dtype=bool)
     adj_next[:-1] = same_prev[1:] & (rdt[:-1] == rdt[1:] - 1)
     votes[adj_next] += counts[np.nonzero(adj_next)[0] + 1]
-    # argmax votes per pair: sort by (pid, votes, -dt) take last
-    sel = np.lexsort((-rdt, votes, rp))
+    # argmax votes per pair. Tie-breaks must be EQUIVARIANT under dt
+    # negation, because the hive path votes in cid64 orientation (dt
+    # negated vs string order for roughly half the pairs) and flips to
+    # string orientation only at the end — a plain min-dt tie-break
+    # would elect different offsets on the two paths. Ties on votes
+    # prefer the smallest |dt| (negation-equivariant, and the
+    # physically closest alignment); ±|dt| ties prefer the run with
+    # the smaller hash sum (the two runs are the same physical rows in
+    # either orientation, so this is orientation-invariant); a final
+    # positive-dt fallback fires only when even the hash sums tie.
+    rhsum = np.add.reduceat(hh_s.astype(np.int64), starts)
+    sel = np.lexsort((rdt, -rhsum, -np.abs(rdt), votes, rp))
     rp_s, rdt_s, votes_s = rp[sel], rdt[sel], votes[sel]
     last = np.concatenate([rp_s[1:] != rp_s[:-1], [True]])
     win_pid, win_dt, win_votes = rp_s[last], rdt_s[last], votes_s[last]
@@ -454,12 +464,13 @@ def _vote_partition(
     order, first_idx, win_dt, win_votes, hmatch = _vote_core(
         codes_a, codes_b, g["dt"].to_numpy(), g["h"].to_numpy()
     )
-    ra = g["a"].to_numpy()[order][first_idx]
-    rb = g["b"].to_numpy()[order][first_idx]
-    rna = g["n_a"].to_numpy()[order][first_idx]
-    rnb = g["n_b"].to_numpy()[order][first_idx]
-    rnha = g["nh_a"].to_numpy()[order][first_idx]
-    rnhb = g["nh_b"].to_numpy()[order][first_idx]
+    sel = order[first_idx]        # one P-sized gather per column, not
+    ra = g["a"].to_numpy()[sel]   # an O(N) permutation then a pick
+    rb = g["b"].to_numpy()[sel]
+    rna = g["n_a"].to_numpy()[sel]
+    rnb = g["n_b"].to_numpy()[sel]
+    rnha = g["nh_a"].to_numpy()[sel]
+    rnhb = g["nh_b"].to_numpy()[sel]
     cov_a = win_votes / np.maximum(rna, 1)
     cov_b = win_votes / np.maximum(rnb, 1)
     hcov = hmatch / np.maximum(np.minimum(rnha, rnhb), 1)
@@ -559,8 +570,9 @@ def _vote_dir_skinny(
     order, first_idx, win_dt, win_votes, hmatch = _vote_core(
         ka, kb, t["dt"].to_numpy(), t["h"].to_numpy()
     )
-    wa = ka[order][first_idx]
-    wb = kb[order][first_idx]
+    sel = order[first_idx]
+    wa = ka[sel]
+    wb = kb[sel]
     mc, mn, mh = meta
     rna, rnha = mn[np.searchsorted(mc, wa)], mh[np.searchsorted(mc, wa)]
     rnb, rnhb = mn[np.searchsorted(mc, wb)], mh[np.searchsorted(mc, wb)]

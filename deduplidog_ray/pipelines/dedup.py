@@ -282,33 +282,20 @@ class NearDupPipeline:
         return pairs1.union(pairs2)
 
     def _exchange_base(self) -> str:
-        """Exchange-directory root. With a workdir the exchange lives next
-        to the checkpoints (on a multi-node cluster that path is the shared
-        store — the classic external-shuffle layout). Without one, prefer
-        tmpfs: the single-node exchange is an in-memory shuffle, and
-        writing it to disk-backed /tmp made the exchange pay fixed disk
-        bandwidth that a real cluster's per-node shuffle would not."""
-        if self.workdir:
-            return self.workdir
-        shm = "/dev/shm/deduplidog_ray_exchange"
-        try:
-            os.makedirs(shm, exist_ok=True)
-            return shm
-        except OSError:  # pragma: no cover — no tmpfs: fall back to /tmp
-            return "/tmp/deduplidog_ray_exchange"
+        """Exchange-directory root: the shared helper, rooted at the
+        workdir when one exists so the exchange lives next to the
+        checkpoints (``stages/exchange.py`` has the full rationale)."""
+        from deduplidog_ray.stages.exchange import exchange_base
+
+        return exchange_base(self.workdir)
 
     def _hive_exchange_safe(self) -> bool:
-        """The hive exchange writes band rows to a directory that every
-        verify task must be able to read. On one node that's trivially
-        true; on a multi-node cluster it is ONLY true when the directory
-        is on shared storage — band rows written by remote workers would
-        otherwise be invisible to the per-partition readers and their
-        duplicate pairs silently dropped (ADVICE r1). The operator asserts
-        shared storage with DEDUPLIDOG_SHARED_EXCHANGE=1."""
-        alive = [n for n in ray.nodes() if n.get("Alive", False)]
-        if len(alive) <= 1:
-            return True
-        return os.environ.get("DEDUPLIDOG_SHARED_EXCHANGE") == "1"
+        """Delegates to the shared safety check (``stages/exchange.py``):
+        single node, or shared storage asserted with
+        DEDUPLIDOG_SHARED_EXCHANGE=1 (ADVICE r1)."""
+        from deduplidog_ray.stages.exchange import hive_safe
+
+        return hive_safe()
 
     def _pairs_hive_exchange(self, exploded: ray.data.Dataset) -> ray.data.Dataset:
         """MapReduce-style band-row exchange: map-side hive-partitioned

@@ -38,6 +38,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -237,10 +238,20 @@ def pagerank(
             {"node": pa.array(verts), "rank_scaled": pa.array(ranks)}
         )
 
-    # distributed path: build (index-map + bake out-degree) once
-    from ray.data.aggregate import Sum
+    # distributed path: materialize the edges ONCE first — an explicit
+    # mode='dist' caller may pass a lazy upstream, and the scans below
+    # (od groupby, dst scan, index map) would each re-run it wholesale
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank_scaled": pa.array([], pa.int64())})
+    # build (index-map + bake out-degree) once; fold max(w) into the
+    # same groupby instead of a separate edges.max() scan
+    from ray.data.aggregate import Max, Sum
 
-    od_rows = edges.groupby("src").aggregate(Sum("w", alias_name="od"))
+    od_rows = edges.groupby("src").aggregate(
+        Sum("w", alias_name="od"), Max("w", alias_name="mw")
+    )
     od_tbl = pa.concat_tables(
         list(od_rows.iter_batches(batch_format="pyarrow"))
     )
@@ -281,7 +292,7 @@ def pagerank(
         _index_map, batch_format="pyarrow"
     ).materialize()
 
-    max_w = int(edges.max("w") or 0)
+    max_w = int(pc.max(od_tbl["mw"]).as_py() or 0)
     ranks = np.full(n, scale, dtype=np.int64)
     for _ in range(iters):
         _guard(ranks, max_w)

@@ -87,6 +87,44 @@ def test_planted_delays_found_with_offsets(ray_session):
         assert ia == ib, (a, b)
 
 
+def test_silence_padded_dup_not_gated():
+    # Regression: a trailing silence pad adds duration but no energy, so
+    # a duration-ratio pre-gate would wrongly skip this perfect dup
+    # (2000 vs 5000 ms). The energy-window gate must let it through.
+    from deduplidog_ray.pipelines.audioalign import _verify_pairs
+    base = _sig(42, dur_s=2.0)
+    padded = np.r_[base, np.zeros(3 * SR)]
+    store = {
+        "a": (encode(base.astype(np.float32), SR, "pcm_s16le"),
+              "pcm_s16le", SR),
+        "b": (encode(padded.astype(np.float32), SR, "pcm_s16le"),
+              "pcm_s16le", SR),
+    }
+    out = _verify_pairs(store, [("a", "b")], SR, 1000, 0.85)
+    assert len(out) == 1
+    _, _, off, corr = out[0]
+    assert corr > 0.95 and abs(off) <= 20
+
+
+def test_energy_gate_skips_impossible_pairs(monkeypatch):
+    # Uniform-energy clips at an 8x duration ratio cannot reach the
+    # threshold (corr <= sqrt(Ewin/E_long) ~ sqrt(1/8)); the gate must
+    # skip the FFT entirely.
+    import deduplidog_ray.pipelines.audioalign as aa
+    calls = []
+    real = aa._xcorr_peak
+    monkeypatch.setattr(
+        aa, "_xcorr_peak", lambda *a: calls.append(1) or real(*a))
+    store = {
+        "s": (encode(_sig(7, dur_s=1.0).astype(np.float32), SR,
+                     "pcm_s16le"), "pcm_s16le", SR),
+        "l": (encode(_sig(8, dur_s=8.0).astype(np.float32), SR,
+                     "pcm_s16le"), "pcm_s16le", SR),
+    }
+    out = aa._verify_pairs(store, [("s", "l")], SR, 500, 0.8)
+    assert out == [] and not calls
+
+
 def test_no_pairs_on_distinct_corpus(ray_session):
     rows = [_row(f"c{i}", _sig(500 + i)) for i in range(8)]
     out = shifted_dup_pairs(

@@ -99,6 +99,28 @@ def test_vote_partition_jitter_merge_and_thresholds():
     assert r["hash_coverage"] == 1.0
 
 
+def test_vote_tie_break_orientation_equivariant():
+    # Regression: two tied modal offsets (dt rows [5,5,9,9]). The hive
+    # path votes with dt negated vs string order, so the elected winner
+    # must negate exactly under (swap sides, negate dt) or the two
+    # exchange paths disagree on offset_ms / hash_coverage.
+    from deduplidog_ray.pipelines.audiofp import _vote_core
+    ka = np.zeros(4, dtype=np.int64)
+    kb = np.ones(4, dtype=np.int64)
+    dt = np.array([5, 5, 9, 9], dtype=np.int64)
+    hh = np.array([1, 2, 3, 4], dtype=np.int64)
+    _, _, win_fwd, votes_fwd, _ = _vote_core(ka, kb, dt, hh)
+    _, _, win_rev, votes_rev, _ = _vote_core(kb, ka, -dt, hh)
+    assert votes_fwd[0] == votes_rev[0] == 2
+    assert win_fwd[0] == -win_rev[0] == 5   # min |dt| wins in both
+    # ±|dt| tie: hash-sum run invariant decides identically
+    dt2 = np.array([-7, -7, 7, 7], dtype=np.int64)
+    hh2 = np.array([9, 9, 1, 1], dtype=np.int64)
+    _, _, w1, _, _ = _vote_core(ka, kb, dt2, hh2)
+    _, _, w2, _, _ = _vote_core(kb, ka, -dt2, hh2)
+    assert w1[0] == -w2[0] == 7             # smaller hash-sum run wins
+
+
 def test_bucket_pairs_drops_self_matches():
     g = pd.DataFrame({
         "hash": [7, 7, 7],

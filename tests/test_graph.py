@@ -177,3 +177,6 @@ def test_pagerank_empty_edges(ray_session):
     )
     t = pagerank(ds, iters=3, mode="local")
     assert t.num_rows == 0
+    # regression: dist mode crashed on the empty concat
+    t2 = pagerank(ds, iters=3, mode="dist")
+    assert t2.num_rows == 0 and t2.schema.equals(t.schema)
