@@ -383,9 +383,12 @@ def _vote_core(
     dt merged with its ±1-frame neighbors (STFT quantization jitter);
     hmatch counts DISTINCT hashes within ±1 frame of the modal dt.
 
-    Returns ``(order, first_idx, win_dt, win_votes, hmatch)``: ``order``
-    sorts the input rows by (ka, kb, dt); ``first_idx`` picks one SORTED
-    row per distinct pair, aligned with the per-pair ``win_*`` arrays."""
+    Returns ``(order, first_idx, win_dt, win_votes, hmatch, amb)``:
+    ``order`` sorts the input rows by (ka, kb, dt); ``first_idx`` picks
+    one SORTED row per distinct pair, aligned with the per-pair
+    ``win_*``/``amb`` arrays. ``amb`` flags pairs whose ±d offset runs
+    are content-indistinguishable (see tie-break comment) — callers
+    re-orienting a pair must NOT negate an amb offset."""
     order = np.lexsort((dt, kb, ka))
     ka_s, kb_s = ka[order], kb[order]
     dt_s, hh_s = dt[order], hh[order]
@@ -418,19 +421,51 @@ def _vote_core(
     # would elect different offsets on the two paths. Ties on votes
     # prefer the smallest |dt| (negation-equivariant, and the
     # physically closest alignment); ±|dt| ties prefer the run with
-    # the smaller hash sum (the two runs are the same physical rows in
-    # either orientation, so this is orientation-invariant); a final
-    # positive-dt fallback fires only when even the hash sums tie.
+    # the smaller hash (sum, min, max) — run content is the same
+    # physical rows in either orientation, so these are all
+    # orientation-invariant. The final positive-dt fallback fires only
+    # when the ±d runs tie on ALL content stats; such pairs are flagged
+    # ``amb`` so the two alignments are treated as indistinguishable:
+    # both orientations elect +|d|, the hmatch window is symmetric over
+    # ±|d|, and the caller must NOT negate amb offsets when flipping a
+    # pair back to string orientation — keeping the two exchange paths
+    # bit-identical even in this degenerate corner.
     rhsum = np.add.reduceat(hh_s.astype(np.int64), starts)
-    sel = np.lexsort((rdt, -rhsum, -np.abs(rdt), votes, rp))
+    rhmin = np.minimum.reduceat(hh_s, starts)
+    rhmax = np.maximum.reduceat(hh_s, starts)
+    sel = np.lexsort(
+        (rdt, -rhmax, -rhmin, -rhsum, -np.abs(rdt), votes, rp)
+    )
     rp_s, rdt_s, votes_s = rp[sel], rdt[sel], votes[sel]
     last = np.concatenate([rp_s[1:] != rp_s[:-1], [True]])
     win_pid, win_dt, win_votes = rp_s[last], rdt_s[last], votes_s[last]
+    # fully-tied ±d twin: all chain keys equal except the sign of dt.
+    # The twin, if it exists, sorts IMMEDIATELY before the winner (all
+    # earlier keys equal => adjacent, ordered by the rdt key), and the
+    # winner then has dt > 0.
+    j = np.nonzero(last)[0]
+    k = j - 1                       # j==0 wraps to -1, masked below
+    counts_s = counts[sel]
+    rhsum_s, rhmin_s, rhmax_s = rhsum[sel], rhmin[sel], rhmax[sel]
+    amb = (
+        (j > 0)
+        & (rp_s[k] == win_pid)
+        & (win_dt > 0)
+        & (rdt_s[k] == -win_dt)
+        & (votes_s[k] == win_votes)
+        & (counts_s[k] == counts_s[j])
+        & (rhsum_s[k] == rhsum_s[j])
+        & (rhmin_s[k] == rhmin_s[j])
+        & (rhmax_s[k] == rhmax_s[j])
+    )
     # distinct hashes matching within ±1 of each pair's modal dt:
     # rows are (pid, dt, h); look up the pair's winning dt and count
-    # unique h among rows with |dt - win| <= 1 — all vectorized
+    # unique h among rows with |dt - win| <= 1 — all vectorized.
+    # amb pairs use the SYMMETRIC window (either of the two tied
+    # alignments), which is invariant under dt negation.
     win_for_row = win_dt[pid]            # win_pid is 0..P-1 == index
     near = np.abs(dt_s - win_for_row) <= 1
+    near |= amb[pid] & (np.abs(dt_s + win_for_row) <= 1)
     if near.any():
         # landmark hashes pack (f, Δf, Δt) into < 2^22 (see _landmarks),
         # so (pid, h) packs losslessly into one int64 — a 1-D unique
@@ -442,7 +477,7 @@ def _vote_core(
         hmatch = np.zeros(len(win_pid), dtype=np.int64)
     first_idx = starts[np.nonzero(np.concatenate(
         [[True], rp[1:] != rp[:-1]]))[0]]      # one sorted row per pair
-    return order, first_idx, win_dt, win_votes, hmatch
+    return order, first_idx, win_dt, win_votes, hmatch, amb
 
 
 def _vote_partition(
@@ -461,7 +496,9 @@ def _vote_partition(
     # the strings are only fancy-indexed for the output rows
     codes_a, _ = pd.factorize(g["a"], sort=False)
     codes_b, _ = pd.factorize(g["b"], sort=False)
-    order, first_idx, win_dt, win_votes, hmatch = _vote_core(
+    # amb pairs already carry +|d| and the string orientation IS the
+    # vote orientation here, so the flag needs no further handling
+    order, first_idx, win_dt, win_votes, hmatch, _amb = _vote_core(
         codes_a, codes_b, g["dt"].to_numpy(), g["h"].to_numpy()
     )
     sel = order[first_idx]        # one P-sized gather per column, not
@@ -567,15 +604,16 @@ def _vote_dir_skinny(
         return pd.DataFrame(columns=PAIR_COLUMNS)
     ka = t["a"].to_numpy()
     kb = t["b"].to_numpy()
-    order, first_idx, win_dt, win_votes, hmatch = _vote_core(
+    order, first_idx, win_dt, win_votes, hmatch, amb = _vote_core(
         ka, kb, t["dt"].to_numpy(), t["h"].to_numpy()
     )
     sel = order[first_idx]
     wa = ka[sel]
     wb = kb[sel]
     mc, mn, mh = meta
-    rna, rnha = mn[np.searchsorted(mc, wa)], mh[np.searchsorted(mc, wa)]
-    rnb, rnhb = mn[np.searchsorted(mc, wb)], mh[np.searchsorted(mc, wb)]
+    ia, ib = np.searchsorted(mc, wa), np.searchsorted(mc, wb)
+    rna, rnha = mn[ia], mh[ia]
+    rnb, rnhb = mn[ib], mh[ib]
     cov_a = win_votes / np.maximum(rna, 1)
     cov_b = win_votes / np.maximum(rnb, 1)
     hcov = hmatch / np.maximum(np.minimum(rnha, rnhb), 1)
@@ -587,10 +625,12 @@ def _vote_dir_skinny(
     ic, ids = idmap
     ra = ids[np.searchsorted(ic, wa[ok])]
     rb = ids[np.searchsorted(ic, wb[ok])]
-    win_dt, win_votes = win_dt[ok], win_votes[ok]
+    win_dt, win_votes, amb = win_dt[ok], win_votes[ok], amb[ok]
     cov_a, cov_b, hcov = cov_a[ok], cov_b[ok], hcov[ok]
     # numeric cid order != string order: restore the sort path's
-    # lexicographic orientation (swap sides, negate the offset)
+    # lexicographic orientation (swap sides, negate the offset) —
+    # EXCEPT amb pairs, whose ±d alignments are indistinguishable and
+    # canonically elected as +|d| in every orientation (_vote_core)
     flip = ra > rb
     ra2 = np.where(flip, rb, ra)
     rb2 = np.where(flip, ra, rb)
@@ -598,7 +638,7 @@ def _vote_dir_skinny(
         "clip_a": ra2,
         "clip_b": rb2,
         "offset_ms": np.round(
-            np.where(flip, -win_dt, win_dt) * hop_ms
+            np.where(flip & ~amb, -win_dt, win_dt) * hop_ms
         ).astype(np.int64),
         "votes": win_votes,
         "coverage_a": np.round(np.where(flip, cov_b, cov_a), 4),
@@ -611,6 +651,7 @@ def _landmark_pairs_hive(
     lm: ray.data.Dataset,
     bucket_cap: int, min_votes: int, min_coverage: float,
     min_hash_coverage: float, partitions: int, hop_ms: float,
+    workdir: str | None = None,
 ) -> pd.DataFrame:
     """Hive-exchange driver: two map-side partitioned writes through
     tmpfs/shared storage, one kernel task per partition, meta + id map
@@ -622,7 +663,7 @@ def _landmark_pairs_hive(
     from deduplidog_ray.stages.exchange import exchange_base
 
     run_id = uuid.uuid4().hex[:8]
-    base = exchange_base()
+    base = exchange_base(workdir)
     x1 = os.path.join(base, f"lmx1-{run_id}")
     x2 = os.path.join(base, f"lmx2-{run_id}")
 
@@ -738,6 +779,7 @@ def landmark_dup_pairs(
     partitions: int = 32,
     id_col: str = "clip_id",
     exchange: str = "auto",
+    workdir: str | None = None,
 ) -> pd.DataFrame:
     """Robust audio duplicate / containment pairs via landmark voting:
     (clip_a, clip_b, offset_ms, votes, coverage_a, coverage_b), sorted.
@@ -748,12 +790,26 @@ def landmark_dup_pairs(
 
     ``exchange``: "hive" (skinny map-side shuffle through tmpfs/shared
     storage), "sort" (Ray sort-based groupby — correct anywhere), or
-    "auto" (hive where a directory exchange is safe; module docstring)."""
+    "auto" (hive where a directory exchange is safe; module docstring).
+    ``workdir``: shared-storage root for the hive exchange directories.
+    On a multi-node cluster the hive path REQUIRES one (asserted shared
+    via DEDUPLIDOG_SHARED_EXCHANGE=1) — without it the exchange would
+    land on node-local tmpfs and remote workers' partitions would be
+    invisible to readers, silently dropping pairs — so "auto" falls
+    back to the sort exchange and an explicit "hive" raises."""
     from deduplidog_ray.stages.exchange import hive_safe
 
     if exchange not in ("auto", "hive", "sort"):
         raise ValueError(f"unknown exchange {exchange!r}")
-    use_hive = exchange == "hive" or (exchange == "auto" and hive_safe())
+    if exchange == "hive" and not hive_safe(workdir):
+        raise RuntimeError(
+            "exchange='hive' on a multi-node cluster needs a shared "
+            "workdir= (and DEDUPLIDOG_SHARED_EXCHANGE=1 asserting it is "
+            "on shared storage); use exchange='sort' otherwise"
+        )
+    use_hive = exchange == "hive" or (
+        exchange == "auto" and hive_safe(workdir)
+    )
     hop_ms = hop * 1000.0 / work_sr
     lm = clips.map_batches(
         _LandmarkStage,
@@ -770,7 +826,7 @@ def landmark_dup_pairs(
     if use_hive:
         return _landmark_pairs_hive(
             lm, bucket_cap, min_votes, min_coverage,
-            min_hash_coverage, partitions, hop_ms,
+            min_hash_coverage, partitions, hop_ms, workdir,
         )
 
     def _part1(t: pa.Table) -> pa.Table:

@@ -292,10 +292,11 @@ class NearDupPipeline:
     def _hive_exchange_safe(self) -> bool:
         """Delegates to the shared safety check (``stages/exchange.py``):
         single node, or shared storage asserted with
-        DEDUPLIDOG_SHARED_EXCHANGE=1 (ADVICE r1)."""
+        DEDUPLIDOG_SHARED_EXCHANGE=1 AND a workdir to root it at
+        (ADVICE r1)."""
         from deduplidog_ray.stages.exchange import hive_safe
 
-        return hive_safe()
+        return hive_safe(self.workdir)
 
     def _pairs_hive_exchange(self, exploded: ray.data.Dataset) -> ray.data.Dataset:
         """MapReduce-style band-row exchange: map-side hive-partitioned

@@ -66,7 +66,13 @@ def _edges_partition(
     node = g[node_col]
     numeric = pd.api.types.is_numeric_dtype(node)
     valid = node.notna().to_numpy()[order]
-    vals = node.to_numpy(dtype=object)[order]
+    if numeric:
+        # int64 end-to-end for numeric nodes — no per-row PyObject
+        # boxing and a C-int groupby below (nulls become 0 but are
+        # masked out of ``keep`` via ``valid``)
+        vals = node.fillna(0).to_numpy(dtype=np.int64)[order]
+    else:
+        vals = node.to_numpy(dtype=object)[order]
     c = codes[order]
     same = c[:-1] == c[1:]
     keep = same & valid[:-1] & valid[1:]
@@ -120,6 +126,22 @@ def transition_edges(
     )
 
 
+def _edge_contrib(
+    ranks: np.ndarray,
+    src_idx: np.ndarray,
+    w: np.ndarray,
+    od: np.ndarray,
+    d_num: int,
+    d_den: int,
+) -> np.ndarray:
+    """THE per-edge integer contribution: (d_num·r_src·w) //
+    (d_den·od_src). int64 floor division == SQL ``//`` on the positive
+    operands used here. This single function is called by BOTH the
+    driver-local step and the distributed _ContribStage, so the two
+    paths are bit-identical by construction."""
+    return (d_num * ranks[src_idx] * w) // (d_den * od)
+
+
 def _pagerank_step(
     ranks: np.ndarray,
     src_idx: np.ndarray,
@@ -130,12 +152,9 @@ def _pagerank_step(
     d_num: int,
     d_den: int,
 ) -> np.ndarray:
-    """One scatter-add of per-edge integer contributions into a dense
-    |V| vector: Σ_dst (d_num·r_src·w) // (d_den·od_src). int64 floor
-    division == SQL ``//`` on the positive operands used here. Shared
-    verbatim by the driver-local and the distributed path, so the two
-    paths are bit-identical by construction."""
-    contrib = (d_num * ranks[src_idx] * w) // (d_den * od)
+    """One scatter-add of per-edge contributions (:func:`_edge_contrib`)
+    into a dense |V| vector: the driver-local iteration body."""
+    contrib = _edge_contrib(ranks, src_idx, w, od, d_num, d_den)
     out = np.zeros(n, dtype=np.int64)
     np.add.at(out, dst_idx, contrib)
     return out
@@ -157,7 +176,7 @@ class _ContribStage:
         dst_idx = t["dst_idx"].to_numpy()
         w = t["w"].to_numpy()
         od = t["od"].to_numpy()
-        contrib = (d_num * ranks[src_idx] * w) // (d_den * od)
+        contrib = _edge_contrib(ranks, src_idx, w, od, d_num, d_den)
         # compact partial: one row per DISTINCT dst in this block
         uniq, inv = np.unique(dst_idx, return_inverse=True)
         sums = np.zeros(len(uniq), dtype=np.int64)
@@ -256,14 +275,15 @@ def pagerank(
         list(od_rows.iter_batches(batch_format="pyarrow"))
     )
     srcs = np.asarray(od_tbl["src"])
+    # distinct dst via a distributed groupby — the driver receives |V|
+    # rows, never the |E|-sized dst column (that pull would be an ~80 GB
+    # driver array at 10^10 edges, contradicting the |V|-bounded driver
+    # state this mode exists to guarantee)
+    dst_rows = edges.select_columns(["dst"]).groupby("dst").count()
     dsts = np.unique(
         np.asarray(
             pa.concat_tables(
-                list(
-                    edges.select_columns(["dst"]).iter_batches(
-                        batch_format="pyarrow"
-                    )
-                )
+                list(dst_rows.iter_batches(batch_format="pyarrow"))
             )["dst"]
         )
     )

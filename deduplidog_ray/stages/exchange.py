@@ -43,11 +43,20 @@ def exchange_base(workdir: str | None = None) -> str:
         return "/tmp/deduplidog_ray_exchange"
 
 
-def hive_safe() -> bool:
+def hive_safe(workdir: str | None = None) -> bool:
     """True when a directory exchange is readable by every reduce task:
     single alive node, or shared storage asserted by the operator with
-    ``DEDUPLIDOG_SHARED_EXCHANGE=1``."""
+    ``DEDUPLIDOG_SHARED_EXCHANGE=1``. On a multi-node cluster the
+    assertion only helps if the exchange actually LIVES on the shared
+    storage — i.e. the caller supplied a ``workdir`` that
+    :func:`exchange_base` will root at. Without one the exchange falls
+    back to node-local tmpfs, where partitions written by remote
+    workers are invisible to readers on other nodes and pairs would be
+    silently dropped — so the env var alone is NOT enough."""
     alive = [n for n in ray.nodes() if n.get("Alive", False)]
     if len(alive) <= 1:
         return True
-    return os.environ.get("DEDUPLIDOG_SHARED_EXCHANGE") == "1"
+    return (
+        os.environ.get("DEDUPLIDOG_SHARED_EXCHANGE") == "1"
+        and workdir is not None
+    )

@@ -109,16 +109,43 @@ def test_vote_tie_break_orientation_equivariant():
     kb = np.ones(4, dtype=np.int64)
     dt = np.array([5, 5, 9, 9], dtype=np.int64)
     hh = np.array([1, 2, 3, 4], dtype=np.int64)
-    _, _, win_fwd, votes_fwd, _ = _vote_core(ka, kb, dt, hh)
-    _, _, win_rev, votes_rev, _ = _vote_core(kb, ka, -dt, hh)
+    _, _, win_fwd, votes_fwd, _, _ = _vote_core(ka, kb, dt, hh)
+    _, _, win_rev, votes_rev, _, _ = _vote_core(kb, ka, -dt, hh)
     assert votes_fwd[0] == votes_rev[0] == 2
     assert win_fwd[0] == -win_rev[0] == 5   # min |dt| wins in both
     # ±|dt| tie: hash-sum run invariant decides identically
     dt2 = np.array([-7, -7, 7, 7], dtype=np.int64)
     hh2 = np.array([9, 9, 1, 1], dtype=np.int64)
-    _, _, w1, _, _ = _vote_core(ka, kb, dt2, hh2)
-    _, _, w2, _, _ = _vote_core(kb, ka, -dt2, hh2)
+    _, _, w1, _, _, _ = _vote_core(ka, kb, dt2, hh2)
+    _, _, w2, _, _, _ = _vote_core(kb, ka, -dt2, hh2)
     assert w1[0] == -w2[0] == 7             # smaller hash-sum run wins
+    # equal sums but different run contents: min-hash invariant decides
+    # identically (this was the r3 review's confirmed parity break)
+    dt3 = np.array([5, 5, -5, -5], dtype=np.int64)
+    hh3 = np.array([1, 4, 2, 3], dtype=np.int64)   # sums 5 vs 5
+    _, _, w3, _, _, a3 = _vote_core(ka, kb, dt3, hh3)
+    _, _, w4, _, _, a4 = _vote_core(kb, ka, -dt3, hh3)
+    assert w3[0] == -w4[0] == 5             # run {1,4} (min 1) wins
+    assert not a3[0] and not a4[0]
+
+
+def test_vote_fully_tied_twin_is_canonical():
+    # ±d runs with IDENTICAL hash multisets are content-
+    # indistinguishable: both orientations must flag amb, elect +|d|,
+    # and count hmatch over the symmetric window, so the skinny path
+    # (which skips the negate-on-flip for amb pairs) emits the same
+    # row as the sort path.
+    from deduplidog_ray.pipelines.audiofp import _vote_core
+    ka = np.zeros(4, dtype=np.int64)
+    kb = np.ones(4, dtype=np.int64)
+    dt = np.array([5, 5, -5, -5], dtype=np.int64)
+    hh = np.array([1, 4, 1, 4], dtype=np.int64)
+    _, _, wf, vf, hf, af = _vote_core(ka, kb, dt, hh)
+    _, _, wr, vr, hr, ar = _vote_core(kb, ka, -dt, hh)
+    assert af[0] and ar[0]
+    assert wf[0] == wr[0] == 5              # +|d| in BOTH orientations
+    assert vf[0] == vr[0] == 2
+    assert hf[0] == hr[0] == 2              # symmetric window
 
 
 def test_bucket_pairs_drops_self_matches():

@@ -66,3 +66,40 @@ def test_store_lookup_resolves_hash_collisions():
     pos, ok = store_lookup(store, h, ids)
     assert list(ok) == [True, True, True, False]
     assert list(pos[:3]) == [1, 0, 2]
+
+
+def test_hive_safe_requires_shared_workdir_on_multinode(monkeypatch):
+    """Multi-node: the env var asserting shared storage is not enough —
+    the exchange must also be ROOTED there (a workdir), else it falls
+    back to node-local tmpfs and remote partitions vanish (r3 review)."""
+    import ray as _ray
+
+    from deduplidog_ray.stages import exchange as ex
+
+    monkeypatch.setattr(
+        _ray, "nodes", lambda: [{"Alive": True}, {"Alive": True}]
+    )
+    monkeypatch.delenv("DEDUPLIDOG_SHARED_EXCHANGE", raising=False)
+    assert not ex.hive_safe()
+    assert not ex.hive_safe("/mnt/shared/work")
+    monkeypatch.setenv("DEDUPLIDOG_SHARED_EXCHANGE", "1")
+    assert not ex.hive_safe()            # env var alone: still unsafe
+    assert ex.hive_safe("/mnt/shared/work")
+    # single node: always safe
+    monkeypatch.setattr(_ray, "nodes", lambda: [{"Alive": True}])
+    assert ex.hive_safe()
+
+
+def test_landmark_explicit_hive_raises_when_unsafe(monkeypatch):
+    import ray as _ray
+
+    import pytest
+
+    from deduplidog_ray.pipelines.audiofp import landmark_dup_pairs
+
+    monkeypatch.setattr(
+        _ray, "nodes", lambda: [{"Alive": True}, {"Alive": True}]
+    )
+    monkeypatch.delenv("DEDUPLIDOG_SHARED_EXCHANGE", raising=False)
+    with pytest.raises(RuntimeError, match="shared"):
+        landmark_dup_pairs(None, exchange="hive")
