@@ -379,6 +379,26 @@ def q_events_dense_hourly(sf_dir: str):
     return dense_hourly_counts(ds, partitions=32)
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Global-timeline peak concurrency (sweep.py:peak_concurrency):
+    per event type, the max number of simultaneously open 5-minute
+    activity intervals and the first instant attaining it — a
+    distributed prefix sum (bucketed partials + driver carry fold), the
+    parallel-scan shape no hash-partitioned windows kernel can express.
+    Bit-exact vs a SQL window oracle (integer counts + timestamps)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.sweep import peak_concurrency
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type"],
+    )
+    return peak_concurrency(
+        ds, window_ms=300_000, bucket_seconds=3600
+    )
+
+
 def q_search_bm25(sf_dir: str):
     """Ranked search serving (textops.py:search_bm25_topk): BM25 top-10
     for a 3-term query — idf + length normalization, bit-exact vs SQL
@@ -2277,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_percentile": q_len_percentile,
         "key_skew": q_key_skew,
         "events_dense_hourly": q_events_dense_hourly,
+        "peak_concurrency": q_peak_concurrency,
         "search_bm25": q_search_bm25,
         "weighted_sample": q_weighted_sample,
         "len_outliers": q_len_outliers,
@@ -2548,6 +2569,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.user_id, g.hour_bucket,
                    COALESCE(c.n, 0) AS n_events
             FROM grid g LEFT JOIN c USING (user_id, hour_bucket)
+        """,
+        # running sum over ORDER BY (t, delta): −1 endpoints of
+        # half-open intervals sort before +1 at the same instant. cur's
+        # per-row values within an equal-(t,delta) run depend on the
+        # engine's tie order, but the peak and its earliest t do not
+        # (all tied rows carry the same delta).
+        "peak_concurrency": """
+            WITH pts AS (
+                SELECT event_type, ts AS t, 1 AS delta
+                FROM events WHERE ts IS NOT NULL
+                UNION ALL
+                SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1
+                FROM events WHERE ts IS NOT NULL
+            ), sweep AS (
+                SELECT event_type, t,
+                       CAST(SUM(delta) OVER (
+                           PARTITION BY event_type
+                           ORDER BY t, delta
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW
+                       ) AS BIGINT) AS cur
+                FROM pts
+            ), peaks AS (
+                SELECT event_type, MAX(cur) AS peak_concurrent
+                FROM sweep GROUP BY event_type
+            )
+            SELECT s.event_type, p.peak_concurrent,
+                   MIN(s.t) AS peak_ts
+            FROM sweep s
+            JOIN peaks p ON s.event_type = p.event_type
+                        AND s.cur = p.peak_concurrent
+            GROUP BY s.event_type, p.peak_concurrent
+            ORDER BY s.event_type
         """,
         "search_bm25": r"""
             WITH toks AS (

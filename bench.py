@@ -84,6 +84,11 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
     # subprocesses) stays single-shot — the scaling protocol has its own
     # interleaved-trials structure.
     headline_only = bool(os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"))
+    # local-iteration filter: GRAFT_BENCH_ONLY="a,b" times only those
+    # query names (the driver never sets it — full suite by default)
+    only = set(
+        filter(None, os.environ.get("GRAFT_BENCH_ONLY", "").split(","))
+    )
     repeats = 1 if headline_only else int(
         os.environ.get("GRAFT_BENCH_REPEATS", "3")
     )
@@ -136,7 +141,11 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
     # The scaling subprocesses skip it: both arms of an efficiency RATIO
     # see the same host state, and the 2-CPU leg would double a ~7-minute
     # run for no change in the ratio.
-    if not os.environ.get("GRAFT_BENCH_NO_WARMUP"):
+    if only and "clips_near_dedup" not in only:
+        # iteration mode on a subset that excludes the flagship: skip
+        # its warmups and timing entirely
+        headline = float("inf")
+    elif not os.environ.get("GRAFT_BENCH_NO_WARMUP"):
         # TWO untimed executions: 2026-08-19 forensics (BASELINE.md
         # "Host noise") measured in-session walls of 8.1 / 8.7 / 6.0 /
         # 5.4 s — the first TWO runs carry the plasma-growth/first-fault
@@ -147,7 +156,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         _flagship(sf_dir).count()
         _flagship(sf_dir).count()
 
-    headline = timed("clips_near_dedup", _flagship)
+    if not (only and "clips_near_dedup" not in only):
+        headline = timed("clips_near_dedup", _flagship)
 
     if headline_only:
         ray.shutdown()
@@ -265,7 +275,12 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "search_docs",
         "search_bm25",
         "props_k_stats",
+        "click_edges",
+        "pagerank_clicks",
+        "peak_concurrency",
     ]:
+        if only and name not in only:
+            continue
         timed(name, entry.queries()[name])
 
     ray.shutdown()
