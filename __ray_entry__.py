@@ -2269,6 +2269,18 @@ def q_pagerank_clicks(sf_dir: str):
     return pagerank(_click_edges(sf_dir), iters=10)
 
 
+def q_triangle_clicks(sf_dir: str):
+    """Exact triangle count of the undirected click graph — the graph-
+    analytics shape SQL does with a three-way self-join. Here: degree-
+    ordered wedge generation (each triangle charged to its lowest-
+    (degree, node)-rank vertex, O(m^1.5) total wedges) + ONE (u, v)
+    groupby joining wedges against edge markers; only the |V| rank map
+    is broadcast, only the count lands on the driver (graph.py)."""
+    from deduplidog_ray.pipelines.graph import triangle_count
+
+    return triangle_count(_click_edges(sf_dir))
+
+
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -2383,6 +2395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": q_props_k_stats,
         "click_edges": q_click_edges,
         "pagerank_clicks": q_pagerank_clicks,
+        "triangle_clicks": q_triangle_clicks,
     }
 
 
@@ -3722,5 +3735,28 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY p.iter, e.dst
             )
             SELECT node, r AS rank_scaled FROM pr WHERE iter = 10
+        """,
+        "triangle_clicks": r"""
+            WITH trans AS (
+                SELECT CAST(regexp_extract(props, '"k": (\d+)', 1)
+                            AS BIGINT) AS src,
+                       lead(CAST(regexp_extract(props, '"k": (\d+)', 1)
+                                 AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS dst
+                FROM events WHERE ts IS NOT NULL
+            ), ue AS (
+                -- undirected simple graph: drop self-loops, collapse
+                -- direction + multiplicity
+                SELECT DISTINCT least(src, dst) AS u,
+                                greatest(src, dst) AS v
+                FROM trans
+                WHERE src IS NOT NULL AND dst IS NOT NULL
+                  AND src <> dst
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM ue a
+            JOIN ue b ON b.u = a.v
+            JOIN ue c ON c.u = a.u AND c.v = b.v
         """,
     }

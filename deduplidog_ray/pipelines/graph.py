@@ -334,3 +334,167 @@ def pagerank(
             )
         ranks = base + total
     return pa.table({"node": pa.array(verts), "rank_scaled": pa.array(ranks)})
+
+
+def _wedge_partition(g: pd.DataFrame, rank_ref) -> pd.DataFrame:
+    """All adjacency lists of one node-hash partition → wedge rows.
+    For node n, emit every pair (a, b) of HIGHER-rank neighbors (rank =
+    (degree, node), broadcast sorted arrays): the classic
+    degree-ordered node-iterator, which charges each triangle to its
+    lowest-rank vertex exactly once and bounds total wedge work by
+    O(m^1.5) instead of Σ deg² (hub-proof)."""
+    nodes_sorted, rank_of = ray.get(rank_ref) if not isinstance(
+        rank_ref, tuple
+    ) else rank_ref
+    if not len(g):
+        return pd.DataFrame({"u": pd.Series(dtype=np.int64),
+                             "v": pd.Series(dtype=np.int64)})
+    n = g["n"].to_numpy()
+    nbr = g["nbr"].to_numpy()
+    rn = rank_of[np.searchsorted(nodes_sorted, n)]
+    rb = rank_of[np.searchsorted(nodes_sorted, nbr)]
+    keep = rb > rn
+    n, nbr = n[keep], nbr[keep]
+    # per-node neighbor segments, then all intra-segment pairs via
+    # segment arithmetic (no Python loop over nodes)
+    order = np.lexsort((nbr, n))
+    n_s, nbr_s = n[order], nbr[order]
+    starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+    ends = np.r_[starts[1:], len(n_s)]
+    d = ends - starts
+    npairs = d * (d - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        return pd.DataFrame({"u": pd.Series(dtype=np.int64),
+                             "v": pd.Series(dtype=np.int64)})
+    # flatten all C(d,2) index pairs: for each segment enumerate
+    # (i, j) with i < j over local indices
+    seg_id = np.repeat(np.arange(len(starts)), npairs)
+    off = np.r_[0, np.cumsum(npairs[:-1])]
+    k = np.arange(total, dtype=np.int64) - off[seg_id]   # pair rank in seg
+    dd = d[seg_id]
+    # lexicographic pair unranking: rem = pairs strictly after rank k;
+    # the first-index i satisfies C(m,2) <= rem < C(m+1,2) with
+    # m = d-1-i. Float sqrt gets an exact +-1 integer correction so the
+    # form holds for any segment size (verified to d=1e8).
+    rem = npairs[seg_id] - 1 - k
+    m = ((1.0 + np.sqrt(8.0 * rem.astype(np.float64) + 1.0)) / 2.0
+         ).astype(np.int64)
+    m = np.where(m * (m - 1) // 2 > rem, m - 1, m)
+    m = np.where((m + 1) * m // 2 <= rem, m + 1, m)
+    i = dd - 1 - m
+    j = k - i * (dd - 1) + i * (i - 1) // 2 + i + 1
+    a = nbr_s[starts[seg_id] + i]
+    b = nbr_s[starts[seg_id] + j]
+    u = np.minimum(a, b)
+    v = np.maximum(a, b)
+    return pd.DataFrame({"u": u, "v": v})
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    partitions: int = 64,
+) -> pa.Table:
+    """Exact triangle count of the undirected simple graph underlying a
+    directed weighted edge table (src, dst, w): self-loops dropped,
+    direction and multiplicity collapsed. Returns a one-row table
+    ``(n_triangles)`` — bit-exact vs a three-way self-join SQL oracle.
+
+    Shape: canonicalize + distinct (one groupby) → degree rank
+    (|V|-bounded broadcast, same bound as pagerank's rank vector) →
+    degree-ordered wedge generation per node partition (O(m^1.5) total
+    wedges) → one (u, v) groupby joining wedges against edge markers.
+    The edge set streams through two groupbys; only the |V| rank map
+    and the final count land on the driver."""
+    from ray.data.aggregate import Sum
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": np.minimum(s, d),
+            "v": np.maximum(s, d),
+        })
+
+    e = (
+        edges.map_batches(_canon, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        return pa.table({
+            "n": np.concatenate([u, v]),
+            "nbr": np.concatenate([v, u]),
+        })
+
+    adj = e.map_batches(_explode, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    deg_rows = adj.groupby("n").count()
+    deg_parts = list(deg_rows.iter_batches(batch_format="pyarrow"))
+    deg_tbl = (
+        pa.concat_tables(deg_parts)
+        if deg_parts
+        else pa.table({"n": pa.array([], pa.int64()),
+                       "count()": pa.array([], pa.int64())})
+    )
+    if deg_tbl.num_rows == 0:
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    nodes = deg_tbl["n"].to_numpy()
+    degs = deg_tbl["count()"].to_numpy()
+    o = np.argsort(nodes, kind="stable")
+    nodes_sorted, degs_sorted = nodes[o], degs[o]
+    # rank = position in (degree, node) order: a strict total order so
+    # "higher-rank neighbor" is unambiguous even on degree ties
+    rank_of = np.empty(len(nodes_sorted), dtype=np.int64)
+    rank_of[np.lexsort((nodes_sorted, degs_sorted))] = np.arange(
+        len(nodes_sorted)
+    )
+    rank_ref = ray.put((nodes_sorted, rank_of))
+
+    wedges = adj.groupby("n").map_groups(
+        lambda g: _wedge_partition(g, rank_ref),
+        batch_format="pandas",
+    )
+
+    def _tag(t: pa.Table, is_edge: int) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "u": t["u"],
+            "v": t["v"],
+            "wedge": pa.array(
+                np.full(n, 1 - is_edge, dtype=np.int64)
+            ),
+            "edge": pa.array(np.full(n, is_edge, dtype=np.int64)),
+        })
+
+    marked = wedges.map_batches(
+        lambda t: _tag(t, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(e.map_batches(
+        lambda t: _tag(t, 1), batch_format="pyarrow", zero_copy_batch=True
+    ))
+    per_pair = marked.groupby(["u", "v"]).aggregate(
+        Sum("wedge", alias_name="wedges"),
+        Sum("edge", alias_name="edges"),
+    )
+
+    def _tri(t: pa.Table) -> pa.Table:
+        w = t["wedges"].to_numpy()
+        ee = t["edges"].to_numpy()
+        return pa.table({
+            "tri": pa.array([int(w[ee > 0].sum())], pa.int64())
+        })
+
+    parts = per_pair.map_batches(_tri, batch_format="pyarrow")
+    total = sum(
+        b["tri"].to_numpy().sum()
+        for b in parts.iter_batches(batch_format="pyarrow")
+    )
+    return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})

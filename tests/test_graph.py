@@ -180,3 +180,103 @@ def test_pagerank_empty_edges(ray_session):
     # regression: dist mode crashed on the empty concat
     t2 = pagerank(ds, iters=3, mode="dist")
     assert t2.num_rows == 0 and t2.schema.equals(t.schema)
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _brute_triangles(src, dst):
+    from itertools import combinations
+
+    nodes = sorted({*src, *dst})
+    adj = {n: set() for n in nodes}
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    return sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+
+def test_triangle_count_random_vs_brute(ray_session):
+    import ray.data
+
+    from deduplidog_ray.pipelines.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    for nv, ne in [(1, 1), (30, 90), (80, 600), (25, 25)]:
+        src = rng.integers(0, nv, ne)
+        dst = rng.integers(0, nv, ne)
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"src": src, "dst": dst, "w": np.ones(ne, np.int64)}
+            ).astype(np.int64)
+        )
+        got = triangle_count(ds)["n_triangles"][0].as_py()
+        assert got == _brute_triangles(src, dst), (nv, ne)
+
+
+def test_triangle_count_direction_and_multiplicity(ray_session):
+    """One triangle regardless of edge direction, duplicates, self-loops."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.graph import triangle_count
+
+    src = [0, 1, 2, 2, 0, 0, 1]
+    dst = [1, 2, 0, 0, 1, 0, 1]   # (2,0) twice reversed, (0,1) dup, loops
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"src": src, "dst": dst, "w": [1] * len(src)}
+        ).astype(np.int64)
+    )
+    assert triangle_count(ds)["n_triangles"][0].as_py() == 1
+
+
+def test_triangle_count_hub_star_plus_clique(ray_session):
+    """A 500-spoke star (0 triangles) + K6 (20 triangles): the degree-
+    ordered wedge kernel must not blow up on the hub and must unrank
+    large C(d,2) segments exactly."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.graph import triangle_count
+
+    hub_src = np.zeros(500, np.int64)
+    hub_dst = np.arange(10, 510, dtype=np.int64)
+    k6 = np.array(
+        [(a, b) for a in range(1000, 1006) for b in range(a + 1, 1006)],
+        np.int64,
+    )
+    src = np.r_[hub_src, k6[:, 0]]
+    dst = np.r_[hub_dst, k6[:, 1]]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"src": src, "dst": dst, "w": np.ones(len(src), np.int64)}
+        )
+    )
+    assert triangle_count(ds)["n_triangles"][0].as_py() == 20
+
+
+def test_wedge_unranking_exact():
+    """The closed-form lexicographic pair unranking inside
+    _wedge_partition must reproduce itertools.combinations for every
+    segment size, including ones big enough to stress the float sqrt."""
+    from itertools import combinations
+
+    from deduplidog_ray.pipelines.graph import _wedge_partition
+
+    # one node with d higher-rank neighbors → C(d,2) wedge rows
+    for d in [2, 3, 7, 50, 331]:
+        nbrs = np.arange(1, d + 1, dtype=np.int64)
+        g = pd.DataFrame(
+            {"n": np.zeros(d, np.int64), "nbr": nbrs}
+        )
+        nodes_sorted = np.arange(0, d + 1, dtype=np.int64)
+        rank_of = np.arange(0, d + 1, dtype=np.int64)  # node 0 lowest
+        out = _wedge_partition(g, (nodes_sorted, rank_of))
+        exp = np.array(list(combinations(nbrs, 2)))
+        got = out.sort_values(["u", "v"]).to_numpy()
+        exp = exp[np.lexsort((exp[:, 1], exp[:, 0]))]
+        assert np.array_equal(got, exp), d
