@@ -2281,6 +2281,38 @@ def q_triangle_clicks(sf_dir: str):
     return triangle_count(_click_edges(sf_dir))
 
 
+def q_co_clicks(sf_dir: str):
+    """Item-affinity (association-mining) shape: for every unordered
+    page pair, the number of distinct users who clicked both, support
+    >= 3. ONE (user, page) distinct groupby, ONE hash(user)%P exchange
+    of two skinny columns, per-partition closed-form pair generation
+    pre-aggregated to |pages|²-bounded partials (graph.py:
+    cooccurrence_pairs) — the event set never moves twice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.graph import cooccurrence_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "props"],
+    )
+
+    def _extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        out = t.drop_columns(["props"]).append_column("node", k)
+        return out.filter(pc.is_valid(out["node"]))
+
+    ds = ds.map_batches(_extract, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return cooccurrence_pairs(
+        ds, key_col="user_id", item_col="node", min_support=3
+    )
+
+
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -2396,6 +2428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_edges": q_click_edges,
         "pagerank_clicks": q_pagerank_clicks,
         "triangle_clicks": q_triangle_clicks,
+        "co_clicks": q_co_clicks,
     }
 
 
@@ -3758,5 +3791,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ue a
             JOIN ue b ON b.u = a.v
             JOIN ue c ON c.u = a.u AND c.v = b.v
+        """,
+        "co_clicks": r"""
+            WITH ki AS (
+                SELECT DISTINCT user_id,
+                       CAST(regexp_extract(props, '"k": (\d+)', 1)
+                            AS BIGINT) AS k
+                FROM events
+            )
+            SELECT a.k AS item_a, b.k AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM ki a
+            JOIN ki b ON b.user_id = a.user_id AND b.k > a.k
+            WHERE a.k IS NOT NULL AND b.k IS NOT NULL
+            GROUP BY a.k, b.k
+            HAVING count(*) >= 3
         """,
     }

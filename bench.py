@@ -277,6 +277,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "props_k_stats",
         "click_edges",
         "pagerank_clicks",
+        "triangle_clicks",
+        "co_clicks",
         "peak_concurrency",
     ]:
         if only and name not in only:

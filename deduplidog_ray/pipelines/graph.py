@@ -58,7 +58,13 @@ def _edges_partition(
     partials. One lexsort by (key, ts, tiebreak), one shift compare —
     no per-key Python. A null node breaks the chain on BOTH sides
     (matching SQL ``lead() .. WHERE src IS NOT NULL AND dst IS NOT
-    NULL``): A, NULL, B yields no A→B edge."""
+    NULL``): A, NULL, B yields no A→B edge.
+
+    Returns an ARROW table: the downstream ``groupby().aggregate()``
+    sort-shuffles its input blocks, and Ray's sort over pandas blocks
+    is ~10× slower than over Arrow blocks (measured 11.8 s vs 1.2 s on
+    134k partial rows) — every partition kernel that feeds an
+    aggregate returns Arrow."""
     codes, _ = pd.factorize(g[key_col], sort=False)
     ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
     tb = g[tiebreak_col].to_numpy()
@@ -77,21 +83,19 @@ def _edges_partition(
     same = c[:-1] == c[1:]
     keep = same & valid[:-1] & valid[1:]
     if not keep.any():
-        dt = np.int64 if numeric else str
-        return pd.DataFrame(
-            {
-                "src": pd.Series([], dtype=dt),
-                "dst": pd.Series([], dtype=dt),
-                "w": pd.Series([], dtype=np.int64),
-            }
-        )
+        nt = pa.int64() if numeric else pa.string()
+        return pa.table({
+            "src": pa.array([], nt),
+            "dst": pa.array([], nt),
+            "w": pa.array([], pa.int64()),
+        })
     pairs = pd.DataFrame({"src": vals[:-1][keep], "dst": vals[1:][keep]})
     agg = pairs.groupby(["src", "dst"], sort=False).size().reset_index(name="w")
     if numeric:
         agg["src"] = agg["src"].astype(np.int64)
         agg["dst"] = agg["dst"].astype(np.int64)
     agg["w"] = agg["w"].astype(np.int64)
-    return agg
+    return pa.Table.from_pandas(agg, preserve_index=False)
 
 
 def transition_edges(
@@ -336,21 +340,55 @@ def pagerank(
     return pa.table({"node": pa.array(verts), "rank_scaled": pa.array(ranks)})
 
 
+def _segment_pairs(d: np.ndarray):
+    """All C(d,2) intra-segment index pairs for segments of sizes ``d``,
+    in lexicographic (i, j) order, i < j — fully vectorized.
+
+    Returns ``(seg_id, i, j)`` arrays of total length Σ C(d,2).
+    Closed-form unranking: for pair rank k within a segment,
+    rem = pairs strictly after k, and the first index i satisfies
+    C(m,2) <= rem < C(m+1,2) with m = d-1-i. The float sqrt gets an
+    exact ±1 integer correction so the form holds for any segment size
+    (verified against itertools to d=2000 and by rank round-trip to
+    d=1e8)."""
+    d = d.astype(np.int64)
+    npairs = d * (d - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    seg_id = np.repeat(np.arange(len(d)), npairs)
+    off = np.r_[0, np.cumsum(npairs[:-1])]
+    k = np.arange(total, dtype=np.int64) - off[seg_id]
+    dd = d[seg_id]
+    rem = npairs[seg_id] - 1 - k
+    m = ((1.0 + np.sqrt(8.0 * rem.astype(np.float64) + 1.0)) / 2.0
+         ).astype(np.int64)
+    m = np.where(m * (m - 1) // 2 > rem, m - 1, m)
+    m = np.where((m + 1) * m // 2 <= rem, m + 1, m)
+    i = dd - 1 - m
+    j = k - i * (dd - 1) + i * (i - 1) // 2 + i + 1
+    return seg_id, i, j
+
+
 def _wedge_partition(g: pd.DataFrame, rank_ref) -> pd.DataFrame:
     """All adjacency lists of one node-hash partition → wedge rows.
     For node n, emit every pair (a, b) of HIGHER-rank neighbors (rank =
     (degree, node), broadcast sorted arrays): the classic
     degree-ordered node-iterator, which charges each triangle to its
     lowest-rank vertex exactly once and bounds total wedge work by
-    O(m^1.5) instead of Σ deg² (hub-proof)."""
+    O(m^1.5) instead of Σ deg² (hub-proof). Returns Arrow — the wedge
+    rows feed a groupby aggregate, and Ray's sort shuffle is ~10×
+    faster over Arrow blocks than pandas blocks."""
+    EMPTY = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
     nodes_sorted, rank_of = ray.get(rank_ref) if not isinstance(
         rank_ref, tuple
     ) else rank_ref
     if not len(g):
-        return pd.DataFrame({"u": pd.Series(dtype=np.int64),
-                             "v": pd.Series(dtype=np.int64)})
-    n = g["n"].to_numpy()
-    nbr = g["nbr"].to_numpy()
+        return EMPTY
+    n = g["n"].to_numpy(dtype=np.int64)
+    nbr = g["nbr"].to_numpy(dtype=np.int64)
     rn = rank_of[np.searchsorted(nodes_sorted, n)]
     rb = rank_of[np.searchsorted(nodes_sorted, nbr)]
     keep = rb > rn
@@ -362,33 +400,15 @@ def _wedge_partition(g: pd.DataFrame, rank_ref) -> pd.DataFrame:
     starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
     ends = np.r_[starts[1:], len(n_s)]
     d = ends - starts
-    npairs = d * (d - 1) // 2
-    total = int(npairs.sum())
-    if total == 0:
-        return pd.DataFrame({"u": pd.Series(dtype=np.int64),
-                             "v": pd.Series(dtype=np.int64)})
-    # flatten all C(d,2) index pairs: for each segment enumerate
-    # (i, j) with i < j over local indices
-    seg_id = np.repeat(np.arange(len(starts)), npairs)
-    off = np.r_[0, np.cumsum(npairs[:-1])]
-    k = np.arange(total, dtype=np.int64) - off[seg_id]   # pair rank in seg
-    dd = d[seg_id]
-    # lexicographic pair unranking: rem = pairs strictly after rank k;
-    # the first-index i satisfies C(m,2) <= rem < C(m+1,2) with
-    # m = d-1-i. Float sqrt gets an exact +-1 integer correction so the
-    # form holds for any segment size (verified to d=1e8).
-    rem = npairs[seg_id] - 1 - k
-    m = ((1.0 + np.sqrt(8.0 * rem.astype(np.float64) + 1.0)) / 2.0
-         ).astype(np.int64)
-    m = np.where(m * (m - 1) // 2 > rem, m - 1, m)
-    m = np.where((m + 1) * m // 2 <= rem, m + 1, m)
-    i = dd - 1 - m
-    j = k - i * (dd - 1) + i * (i - 1) // 2 + i + 1
+    # flatten all C(d,2) index pairs per segment (closed-form unranking)
+    seg_id, i, j = _segment_pairs(d)
+    if not len(seg_id):
+        return EMPTY
     a = nbr_s[starts[seg_id] + i]
     b = nbr_s[starts[seg_id] + j]
     u = np.minimum(a, b)
     v = np.maximum(a, b)
-    return pd.DataFrame({"u": u, "v": v})
+    return pa.table({"u": pa.array(u), "v": pa.array(v)})
 
 
 def triangle_count(
@@ -459,9 +479,16 @@ def triangle_count(
     )
     rank_ref = ray.put((nodes_sorted, rank_of))
 
-    wedges = adj.groupby("n").map_groups(
-        lambda g: _wedge_partition(g, rank_ref),
-        batch_format="pandas",
+    # ONE call of the wedge kernel per hash(node) partition — the kernel
+    # segments its partition internally (windows-family _add_part shape),
+    # never one Python call per node
+    wedges = (
+        _add_part(adj, "n", partitions)
+        .groupby("_part")
+        .map_groups(
+            lambda g: _wedge_partition(g, rank_ref),
+            batch_format="pandas",
+        )
     )
 
     def _tag(t: pa.Table, is_edge: int) -> pa.Table:
@@ -498,3 +525,107 @@ def triangle_count(
         for b in parts.iter_batches(batch_format="pyarrow")
     )
     return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
+
+
+def _cooccur_partition(
+    g: pd.DataFrame, key_col: str, item_col: str
+) -> pd.DataFrame:
+    """All keys of one hash(key) partition → pre-aggregated unordered
+    item-pair partials (item_a < item_b, n_keys). Handles RAW (key,
+    item) multiplicity itself (dedup after the lexsort — a key's rows
+    all hash here, so no upstream distinct shuffle is needed). One
+    lexsort + closed-form segment unranking + dense-code np.unique
+    counting — no per-key Python, no hash groupby. Partials are
+    |items|²-bounded, so the final pair groupby moves at most
+    P·|items|² rows."""
+    it_pa = (
+        pa.int64()
+        if pd.api.types.is_numeric_dtype(g[item_col])
+        else pa.string()
+    )
+    empty = pa.table({
+        "item_a": pa.array([], it_pa),
+        "item_b": pa.array([], it_pa),
+        "n_keys": pa.array([], pa.int64()),
+    })
+    if not len(g):
+        return empty
+    # a null key or item cannot co-occur (SQL join semantics) — and
+    # factorize codes nulls as -1, which would otherwise pair
+    valid = g[key_col].notna() & g[item_col].notna()
+    if not valid.all():
+        g = g[valid]
+        if not len(g):
+            return empty
+    codes, _ = pd.factorize(g[key_col], sort=False)
+    # sort=True: code order == value order, so a < b in code space is
+    # a < b on the item values (canonical pair orientation). Dense
+    # codes also make the pair key a single int64 below.
+    icodes, iuniq = pd.factorize(g[item_col], sort=True)
+    icodes = icodes.astype(np.int64)
+    ni = len(iuniq)
+    order = np.lexsort((icodes, codes))
+    c, it = codes[order], icodes[order]
+    # drop duplicate (key, item) rows: distinct semantics, in-kernel
+    first = np.r_[True, (c[1:] != c[:-1]) | (it[1:] != it[:-1])]
+    c, it = c[first], it[first]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    ends = np.r_[starts[1:], len(c)]
+    seg_id, i, j = _segment_pairs(ends - starts)
+    if not len(seg_id):
+        return empty
+    a = it[starts[seg_id] + i]   # segment sorted asc → a < b already
+    b = it[starts[seg_id] + j]
+    # single-int64 pair key (ni² < 2^63 for any real partition) →
+    # sort-based np.unique count, no hash groupby
+    comb = a * ni + b
+    uniq, cnt = np.unique(comb, return_counts=True)
+    vals = np.asarray(iuniq)
+    return pa.table({
+        "item_a": pa.array(vals[uniq // ni]),
+        "item_b": pa.array(vals[uniq % ni]),
+        "n_keys": pa.array(cnt.astype(np.int64)),
+    })
+
+
+def cooccurrence_pairs(
+    ds: ray.data.Dataset,
+    key_col: str = "key",
+    item_col: str = "item",
+    min_support: int = 2,
+    partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """Bipartite co-occurrence projection: for every unordered item
+    pair, the number of distinct keys under which both items appear —
+    SQL's ``SELECT a.item, b.item, count(*) FROM ki a JOIN ki b ON
+    a.key = b.key AND a.item < b.item GROUP BY 1,2 HAVING count(*) >=
+    min_support`` over distinct (key, item). The association-mining
+    staple (item-affinity / co-click statistics).
+
+    Shape: ONE hash(key)%P exchange of the two skinny columns (a key's
+    rows all land in one partition, so the (key, item) DISTINCT happens
+    in-kernel — no separate distinct shuffle) → per-partition
+    segment-pair generation (closed-form unranking, zero per-key
+    Python) pre-aggregated to |items|²-bounded partials → one small
+    pair groupby + support filter. Per-key pair fan-out is inherently
+    C(d,2) — identical to the SQL semantics; keys hash-partition
+    whole, so partial counts sum correctly."""
+    from ray.data.aggregate import Sum
+
+    ki = ds.select_columns([key_col, item_col])
+    partials = (
+        _add_part(ki, key_col, partitions)
+        .groupby("_part")
+        .map_groups(
+            lambda g: _cooccur_partition(g, key_col, item_col),
+            batch_format="pandas",
+        )
+    )
+    out = partials.groupby(["item_a", "item_b"]).aggregate(
+        Sum("n_keys", alias_name="n_keys")
+    )
+    if min_support > 1:
+        out = out.filter(
+            expr=f"n_keys >= {int(min_support)}"
+        )
+    return out

@@ -275,8 +275,68 @@ def test_wedge_unranking_exact():
         )
         nodes_sorted = np.arange(0, d + 1, dtype=np.int64)
         rank_of = np.arange(0, d + 1, dtype=np.int64)  # node 0 lowest
-        out = _wedge_partition(g, (nodes_sorted, rank_of))
+        out = _wedge_partition(g, (nodes_sorted, rank_of)).to_pandas()
         exp = np.array(list(combinations(nbrs, 2)))
         got = out.sort_values(["u", "v"]).to_numpy()
         exp = exp[np.lexsort((exp[:, 1], exp[:, 0]))]
         assert np.array_equal(got, exp), d
+
+
+# ------------------------------------------------------------- co-occurrence
+
+
+def test_cooccurrence_pairs_vs_brute(ray_session):
+    import ray.data
+
+    from deduplidog_ray.pipelines.graph import cooccurrence_pairs
+
+    rng = np.random.default_rng(5)
+    n = 800
+    df = pd.DataFrame({
+        "key": rng.integers(0, 40, n),
+        "item": rng.integers(0, 25, n),
+    }).astype(np.int64)
+    got = (
+        cooccurrence_pairs(
+            ray.data.from_pandas(df), "key", "item", min_support=2
+        )
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    # brute force over distinct (key, item)
+    ki = df.drop_duplicates()
+    m = ki.merge(ki, on="key")
+    m = m[m.item_x < m.item_y]
+    exp = (
+        m.groupby(["item_x", "item_y"]).size().reset_index(name="n_keys")
+    )
+    exp = exp[exp.n_keys >= 2].rename(
+        columns={"item_x": "item_a", "item_y": "item_b"}
+    ).sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    exp["n_keys"] = exp["n_keys"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cooccurrence_pairs_strings_nulls_dups(ray_session):
+    """String items pair in VALUE order; nulls and duplicate (key, item)
+    rows are ignored (DISTINCT + join semantics)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.graph import cooccurrence_pairs
+
+    df = pd.DataFrame({
+        "key": ["u1", "u1", "u1", "u2", "u2", "u2", None, "u3"],
+        "item": ["b", "a", "a", "a", "b", None, "a", "a"],
+    })
+    got = (
+        cooccurrence_pairs(
+            ray.data.from_pandas(df), "key", "item", min_support=1
+        )
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == [
+        {"item_a": "a", "item_b": "b", "n_keys": 2}
+    ]
