@@ -54,9 +54,12 @@ _EMPTY_PAIRS = {
 
 def _pairs_from_partition(
     g: pd.DataFrame, partitions: int, max_key_group: int | None
-) -> pd.DataFrame:
+) -> pa.Table:
     """Per key-partition: meta rows pass through; key rows → candidate
-    pairs with partition-local shared-key counts, re-keyed by hash(a)."""
+    pairs with partition-local shared-key counts, re-keyed by hash(a).
+    Arrow out (all-int64, inference-safe): the downstream
+    ``groupby("part")`` sorts ~10× faster over Arrow blocks than pandas
+    ones (see graph._edges_partition)."""
     # meta rows are the ones carrying nk >= 1 (a real wkey could bit-cast
     # to -1, so the discriminator is nk, not the wkey sentinel)
     meta = g[g["nk"] >= 0]
@@ -107,19 +110,24 @@ def _pairs_from_partition(
             ).astype(np.int64)
             out_frames.append(pairs)
     if not out_frames:
-        return pd.DataFrame(
-            {
-                "a": pd.Series(dtype="int64"),
-                "b": pd.Series(dtype="int64"),
-                "cnt": pd.Series(dtype="int64"),
-                "nk": pd.Series(dtype="int64"),
-                "part": pd.Series(dtype="int64"),
-            }
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "nk": pd.Series(dtype="int64"),
+                    "part": pd.Series(dtype="int64"),
+                }
+            ),
+            preserve_index=False,
         )
-    return pd.concat(out_frames, ignore_index=True)
+    return pa.Table.from_pandas(
+        pd.concat(out_frames, ignore_index=True), preserve_index=False
+    )
 
 
-def _attach_nk_a(g: pd.DataFrame, partitions: int) -> pd.DataFrame:
+def _attach_nk_a(g: pd.DataFrame, partitions: int) -> pa.Table:
     """Partitioned by hash(a): sum partition-local counts globally, attach
     n_keys(a); meta rows pass through re-keyed for the hash(b) stage."""
     meta = g[g["b"] == -1]
@@ -145,17 +153,22 @@ def _attach_nk_a(g: pd.DataFrame, partitions: int) -> pd.DataFrame:
         ).astype(np.int64)
         out_frames.append(agg[["a", "b", "cnt", "nk", "part", "nk_a"]])
     if not out_frames:
-        return pd.DataFrame(
-            {
-                "a": pd.Series(dtype="int64"),
-                "b": pd.Series(dtype="int64"),
-                "cnt": pd.Series(dtype="int64"),
-                "nk": pd.Series(dtype="int64"),
-                "part": pd.Series(dtype="int64"),
-                "nk_a": pd.Series(dtype="int64"),
-            }
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "nk": pd.Series(dtype="int64"),
+                    "part": pd.Series(dtype="int64"),
+                    "nk_a": pd.Series(dtype="int64"),
+                }
+            ),
+            preserve_index=False,
         )
-    return pd.concat(out_frames, ignore_index=True)
+    return pa.Table.from_pandas(
+        pd.concat(out_frames, ignore_index=True), preserve_index=False
+    )
 
 
 def _prefilter(g: pd.DataFrame) -> pd.DataFrame:

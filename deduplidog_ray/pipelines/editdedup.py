@@ -107,12 +107,14 @@ def lev_le_k(a: list[str], b: list[str], k: int) -> np.ndarray:
 
 def _pairs_partition(
     g: pd.DataFrame, k: int, max_group: int
-) -> pd.DataFrame:
+) -> pa.Table:
     """One hash partition: all variant groups at once — sort by variant
-    hash, counts/repeat all-pairs expansion, local dedup, verify."""
-    empty = pd.DataFrame({
-        "id_a": pd.Series(dtype=np.int64),
-        "id_b": pd.Series(dtype=np.int64),
+    hash, counts/repeat all-pairs expansion, local dedup, verify.
+    Arrow out: the result feeds dedupe_exact's hash + groupby exchange,
+    which sorts ~10× faster over Arrow blocks than pandas ones."""
+    empty = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
     })
     if len(g) < 2:
         return empty
@@ -159,7 +161,10 @@ def _pairs_partition(
         return empty
     ok = lev_le_k(cand["_ka"].tolist(), cand["_kb"].tolist(), k)
     out = cand.loc[ok, ["id_a", "id_b"]]
-    return out.astype({"id_a": np.int64, "id_b": np.int64})
+    return pa.table({
+        "id_a": pa.array(out["id_a"].to_numpy(dtype=np.int64)),
+        "id_b": pa.array(out["id_b"].to_numpy(dtype=np.int64)),
+    })
 
 
 def edit_distance_dup_pairs(

@@ -131,22 +131,36 @@ def anti_unique(
 
 
 def _stats_partition(
-    g: pd.DataFrame, key_cols: list[str], group_col: str
-) -> pd.DataFrame:
+    t: pa.Table, key_cols: list[str], group_col: str
+) -> pa.Table:
     """Per-partition partial: (group, rows, distinct keys). Keys are
     co-located by the hash partitioner, so a (group, key) pair lives in
-    exactly ONE partition and the partial distinct counts sum exactly."""
+    exactly ONE partition and the partial distinct counts sum exactly.
+
+    Arrow in AND out: the group column's Arrow type carries through even
+    when one partition's groups are all null (pandas inference would
+    degrade that to a null/double column and break the downstream
+    groupby's schema), and the downstream ``groupby().sum()``
+    sort-shuffle runs ~10× faster over Arrow blocks than pandas ones
+    (see graph._edges_partition)."""
+    g = t.to_pandas()
     rows = g.groupby(group_col, sort=False, dropna=False).size()
     uniq = (
         g.drop_duplicates([group_col, *key_cols])
         .groupby(group_col, sort=False, dropna=False)
         .size()
     )
-    return pd.DataFrame(
+    return pa.table(
         {
-            group_col: rows.index,
-            "n_docs": rows.to_numpy(dtype=np.int64),
-            "n_unique": uniq.reindex(rows.index).to_numpy(dtype=np.int64),
+            group_col: pa.array(
+                rows.index.to_numpy(),
+                type=t.schema.field(group_col).type,
+                from_pandas=True,
+            ),
+            "n_docs": pa.array(rows.to_numpy(dtype=np.int64)),
+            "n_unique": pa.array(
+                uniq.reindex(rows.index).to_numpy(dtype=np.int64)
+            ),
         }
     )
 
@@ -171,8 +185,8 @@ def dup_stats_by_group(
 
     hashed = add_key_hash(ds, key_cols, partitions=partitions)
     partials = hashed.groupby("_part").map_groups(
-        lambda g: _stats_partition(g, key_cols, group_col),
-        batch_format="pandas",
+        lambda t: _stats_partition(t, key_cols, group_col),
+        batch_format="pyarrow",
     )
     agg = partials.groupby(group_col).sum(["n_docs", "n_unique"])
 

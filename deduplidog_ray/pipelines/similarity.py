@@ -576,7 +576,7 @@ def embedding_near_dup_pairs(
             }
         )
 
-    def _cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _cand_pairs(g: pd.DataFrame) -> pa.Table:
         wk = g["key"].to_numpy()
         ids = g["a"].to_numpy()
         order = np.lexsort((ids, wk))    # id-ascending WITHIN each bucket
@@ -596,10 +596,13 @@ def embedding_near_dup_pairs(
         dup = a == b
         if dup.any():
             a, b = a[~dup], b[~dup]
+        # Arrow out: the downstream groupby("part") sort-shuffles these
+        # blocks, and Ray's sort over pandas blocks is ~10× slower than
+        # over Arrow (see graph._edges_partition)
         if not len(a):
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                 "part": pd.Series(dtype="int64")}
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
             )
         df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
         with np.errstate(over="ignore"):
@@ -609,16 +612,21 @@ def embedding_near_dup_pairs(
                 + df["b"].to_numpy().astype(np.uint64),
                 seed=0xA1,
             )
-        df["part"] = (ph % np.uint64(partitions)).astype(np.int64)
-        return df
+        return pa.table(
+            {"a": pa.array(df["a"].to_numpy()),
+             "b": pa.array(df["b"].to_numpy()),
+             "part": pa.array((ph % np.uint64(partitions)).astype(np.int64))}
+        )
 
-    def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop_duplicates(["a", "b"]).copy()
-        out["part"] = (
-            mix64(out["a"].to_numpy().astype(np.uint64), seed=0xE4B)
-            % np.uint64(partitions)
-        ).astype(np.int64)
-        return out
+    def _dedup_pairs(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(["a", "b"])
+        return pa.table(
+            {"a": pa.array(out["a"].to_numpy()),
+             "b": pa.array(out["b"].to_numpy()),
+             "part": pa.array(
+                 (mix64(out["a"].to_numpy().astype(np.uint64), seed=0xE4B)
+                  % np.uint64(partitions)).astype(np.int64))}
+        )
 
     def _doc_rows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy().astype(np.int64)

@@ -161,11 +161,11 @@ def test_containment_short_docs_and_midtoken(ray_session, tmp_path):
 def test_dup_stats_partial_immune_to_hash_collision():
     """`_stats_partition` counts distinct REAL keys (not hashes): a planted
     64-bit collision between two different keys must still count both."""
-    import pandas as pd
+    import pyarrow as pa
 
     from deduplidog_ray.pipelines.exact import _stats_partition
 
-    g = pd.DataFrame(
+    g = pa.table(
         {
             "_key_hash": [7, 7, 7, 9],
             "_k": ["alpha", "beta", "alpha", "gamma"],
@@ -173,7 +173,7 @@ def test_dup_stats_partial_immune_to_hash_collision():
             "_part": [0, 0, 0, 0],
         }
     )
-    out = _stats_partition(g, ["_k"], "source").set_index("source")
+    out = _stats_partition(g, ["_k"], "source").to_pandas().set_index("source")
     assert out.loc["s1", "n_docs"] == 3
     assert out.loc["s1", "n_unique"] == 2   # alpha+beta despite shared hash
     assert out.loc["s2", "n_docs"] == 1
