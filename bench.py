@@ -144,7 +144,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
     if only and "clips_near_dedup" not in only:
         # iteration mode on a subset that excludes the flagship: skip
         # its warmups and timing entirely
-        headline = float("inf")
+        headline = None
     elif not os.environ.get("GRAFT_BENCH_NO_WARMUP"):
         # TWO untimed executions: 2026-08-19 forensics (BASELINE.md
         # "Host noise") measured in-session walls of 8.1 / 8.7 / 6.0 /
@@ -163,13 +163,14 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         ray.shutdown()
         return {
             "metric": "near_dup_pipeline_sec",
-            "value": round(headline, 3),
+            "value": round(headline, 3) if headline else None,
             "unit": "sec",
             "queries": queries,
             "sf": sf_dir,
             "num_cpus": num_cpus,
             "n_clips": n_clips,
-            "clips_per_sec": round(n_clips / headline, 1),
+            "clips_per_sec": round(n_clips / headline, 1)
+            if headline else None,
             "phases": phase_metrics,
         }
 
@@ -288,13 +289,13 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
     ray.shutdown()
     return {
         "metric": "near_dup_pipeline_sec",
-        "value": round(headline, 3),
+        "value": round(headline, 3) if headline else None,
         "unit": "sec",
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_clips": n_clips,
-        "clips_per_sec": round(n_clips / headline, 1),
+        "clips_per_sec": round(n_clips / headline, 1) if headline else None,
         "protocol": {
             "repeats": repeats,
             "stat": "median",

@@ -48,6 +48,7 @@ from deduplidog_ray.pipelines.windows import (
     _add_part,
     _drop_null_ts,
 )
+from deduplidog_ray.stages.segments import segment_pairs
 
 
 def _edges_partition(
@@ -340,38 +341,17 @@ def pagerank(
     return pa.table({"node": pa.array(verts), "rank_scaled": pa.array(ranks)})
 
 
-def _segment_pairs(d: np.ndarray):
-    """All C(d,2) intra-segment index pairs for segments of sizes ``d``,
-    in lexicographic (i, j) order, i < j — fully vectorized.
-
-    Returns ``(seg_id, i, j)`` arrays of total length Σ C(d,2).
-    Closed-form unranking: for pair rank k within a segment,
-    rem = pairs strictly after k, and the first index i satisfies
-    C(m,2) <= rem < C(m+1,2) with m = d-1-i. The float sqrt gets an
-    exact ±1 integer correction so the form holds for any segment size
-    (verified against itertools to d=2000 and by rank round-trip to
-    d=1e8)."""
-    d = d.astype(np.int64)
-    npairs = d * (d - 1) // 2
-    total = int(npairs.sum())
-    if total == 0:
-        z = np.empty(0, np.int64)
-        return z, z, z
-    seg_id = np.repeat(np.arange(len(d)), npairs)
-    off = np.r_[0, np.cumsum(npairs[:-1])]
-    k = np.arange(total, dtype=np.int64) - off[seg_id]
-    dd = d[seg_id]
-    rem = npairs[seg_id] - 1 - k
-    m = ((1.0 + np.sqrt(8.0 * rem.astype(np.float64) + 1.0)) / 2.0
-         ).astype(np.int64)
-    m = np.where(m * (m - 1) // 2 > rem, m - 1, m)
-    m = np.where((m + 1) * m // 2 <= rem, m + 1, m)
-    i = dd - 1 - m
-    j = k - i * (dd - 1) + i * (i - 1) // 2 + i + 1
-    return seg_id, i, j
+def _node_positions(nodes_sorted: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Positions of ``x`` in the value-ascending distinct node array —
+    binary search for numeric nodes, hash probe for object (string)
+    nodes (np.searchsorted over object arrays is a Python-compare per
+    probe). Every x is a graph node by construction, so lookups hit."""
+    if nodes_sorted.dtype == object:
+        return pd.Index(nodes_sorted).get_indexer(x).astype(np.int64)
+    return np.searchsorted(nodes_sorted, x).astype(np.int64)
 
 
-def _wedge_partition(g: pd.DataFrame, rank_ref) -> pd.DataFrame:
+def _wedge_partition(g: pd.DataFrame, rank_ref) -> pa.Table:
     """All adjacency lists of one node-hash partition → wedge rows.
     For node n, emit every pair (a, b) of HIGHER-rank neighbors (rank =
     (degree, node), broadcast sorted arrays): the classic
@@ -379,7 +359,12 @@ def _wedge_partition(g: pd.DataFrame, rank_ref) -> pd.DataFrame:
     lowest-rank vertex exactly once and bounds total wedge work by
     O(m^1.5) instead of Σ deg² (hub-proof). Returns Arrow — the wedge
     rows feed a groupby aggregate, and Ray's sort shuffle is ~10×
-    faster over Arrow blocks than pandas blocks."""
+    faster over Arrow blocks than pandas blocks.
+
+    Wedges are emitted in node-INDEX space (positions in the broadcast
+    value-ascending node array): int64 regardless of the node dtype, so
+    string node tables (e.g. from transition_edges) work, and min/max
+    orientation is preserved because index order == value order."""
     EMPTY = pa.table({"u": pa.array([], pa.int64()),
                       "v": pa.array([], pa.int64())})
     nodes_sorted, rank_of = ray.get(rank_ref) if not isinstance(
@@ -387,25 +372,20 @@ def _wedge_partition(g: pd.DataFrame, rank_ref) -> pd.DataFrame:
     ) else rank_ref
     if not len(g):
         return EMPTY
-    n = g["n"].to_numpy(dtype=np.int64)
-    nbr = g["nbr"].to_numpy(dtype=np.int64)
-    rn = rank_of[np.searchsorted(nodes_sorted, n)]
-    rb = rank_of[np.searchsorted(nodes_sorted, nbr)]
-    keep = rb > rn
-    n, nbr = n[keep], nbr[keep]
+    nidx = _node_positions(nodes_sorted, g["n"].to_numpy())
+    bidx = _node_positions(nodes_sorted, g["nbr"].to_numpy())
+    keep = rank_of[bidx] > rank_of[nidx]
+    nidx, bidx = nidx[keep], bidx[keep]
     # per-node neighbor segments, then all intra-segment pairs via
     # segment arithmetic (no Python loop over nodes)
-    order = np.lexsort((nbr, n))
-    n_s, nbr_s = n[order], nbr[order]
+    order = np.lexsort((bidx, nidx))
+    n_s, nbr_s = nidx[order], bidx[order]
     starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
-    ends = np.r_[starts[1:], len(n_s)]
-    d = ends - starts
-    # flatten all C(d,2) index pairs per segment (closed-form unranking)
-    seg_id, i, j = _segment_pairs(d)
-    if not len(seg_id):
+    lpos, rpos = segment_pairs(starts, np.diff(np.r_[starts, len(n_s)]))
+    if not len(lpos):
         return EMPTY
-    a = nbr_s[starts[seg_id] + i]
-    b = nbr_s[starts[seg_id] + j]
+    a = nbr_s[lpos]
+    b = nbr_s[rpos]
     u = np.minimum(a, b)
     v = np.maximum(a, b)
     return pa.table({"u": pa.array(u), "v": pa.array(v)})
@@ -467,14 +447,16 @@ def triangle_count(
     )
     if deg_tbl.num_rows == 0:
         return pa.table({"n_triangles": pa.array([0], pa.int64())})
-    nodes = deg_tbl["n"].to_numpy()
-    degs = deg_tbl["count()"].to_numpy()
+    nodes = deg_tbl["n"].to_numpy(zero_copy_only=False)
+    degs = deg_tbl["count()"].to_numpy(zero_copy_only=False)
     o = np.argsort(nodes, kind="stable")
     nodes_sorted, degs_sorted = nodes[o], degs[o]
     # rank = position in (degree, node) order: a strict total order so
-    # "higher-rank neighbor" is unambiguous even on degree ties
+    # "higher-rank neighbor" is unambiguous even on degree ties.
+    # nodes_sorted is value-ascending, so a STABLE sort by degree alone
+    # tie-breaks by node — object-dtype-safe (np.lexsort is not)
     rank_of = np.empty(len(nodes_sorted), dtype=np.int64)
-    rank_of[np.lexsort((nodes_sorted, degs_sorted))] = np.arange(
+    rank_of[np.argsort(degs_sorted, kind="stable")] = np.arange(
         len(nodes_sorted)
     )
     rank_ref = ray.put((nodes_sorted, rank_of))
@@ -502,9 +484,22 @@ def triangle_count(
             "edge": pa.array(np.full(n, is_edge, dtype=np.int64)),
         })
 
+    def _edge_idx(t: pa.Table) -> pa.Table:
+        # edge markers join wedges in node-INDEX space (int64 for any
+        # node dtype); index order == value order, so u < v holds
+        ns, _ = ray.get(rank_ref)
+        return pa.table({
+            "u": pa.array(_node_positions(
+                ns, t["u"].to_numpy(zero_copy_only=False))),
+            "v": pa.array(_node_positions(
+                ns, t["v"].to_numpy(zero_copy_only=False))),
+        })
+
     marked = wedges.map_batches(
         lambda t: _tag(t, 0), batch_format="pyarrow", zero_copy_batch=True
     ).union(e.map_batches(
+        _edge_idx, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
         lambda t: _tag(t, 1), batch_format="pyarrow", zero_copy_batch=True
     ))
     per_pair = marked.groupby(["u", "v"]).aggregate(
@@ -528,28 +523,30 @@ def triangle_count(
 
 
 def _cooccur_partition(
-    g: pd.DataFrame, key_col: str, item_col: str
-) -> pd.DataFrame:
+    t: pa.Table, key_col: str, item_col: str
+) -> pa.Table:
     """All keys of one hash(key) partition → pre-aggregated unordered
     item-pair partials (item_a < item_b, n_keys). Handles RAW (key,
     item) multiplicity itself (dedup after the lexsort — a key's rows
     all hash here, so no upstream distinct shuffle is needed). One
-    lexsort + closed-form segment unranking + dense-code np.unique
-    counting — no per-key Python, no hash groupby. Partials are
-    |items|²-bounded, so the final pair groupby moves at most
-    P·|items|² rows."""
-    it_pa = (
-        pa.int64()
-        if pd.api.types.is_numeric_dtype(g[item_col])
-        else pa.string()
-    )
+    lexsort + segment-pair expansion + dense-code np.unique counting —
+    no per-key Python, no hash groupby. Partials are |items|²-bounded,
+    so the final pair groupby moves at most P·|items|² rows.
+
+    Arrow in AND out: the item column's Arrow type is carried through
+    explicitly (pandas inference would emit int64 empties next to
+    int32/float non-empties and break the downstream groupby's
+    schema), and the pair groupby sorts ~10× faster over Arrow
+    blocks."""
+    it_pa = t.schema.field(item_col).type
     empty = pa.table({
         "item_a": pa.array([], it_pa),
         "item_b": pa.array([], it_pa),
         "n_keys": pa.array([], pa.int64()),
     })
-    if not len(g):
+    if not len(t):
         return empty
+    g = t.to_pandas()
     # a null key or item cannot co-occur (SQL join semantics) — and
     # factorize codes nulls as -1, which would otherwise pair
     valid = g[key_col].notna() & g[item_col].notna()
@@ -570,20 +567,19 @@ def _cooccur_partition(
     first = np.r_[True, (c[1:] != c[:-1]) | (it[1:] != it[:-1])]
     c, it = c[first], it[first]
     starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-    ends = np.r_[starts[1:], len(c)]
-    seg_id, i, j = _segment_pairs(ends - starts)
-    if not len(seg_id):
+    lpos, rpos = segment_pairs(starts, np.diff(np.r_[starts, len(c)]))
+    if not len(lpos):
         return empty
-    a = it[starts[seg_id] + i]   # segment sorted asc → a < b already
-    b = it[starts[seg_id] + j]
+    a = it[lpos]   # segment sorted asc → a < b already
+    b = it[rpos]
     # single-int64 pair key (ni² < 2^63 for any real partition) →
     # sort-based np.unique count, no hash groupby
     comb = a * ni + b
     uniq, cnt = np.unique(comb, return_counts=True)
     vals = np.asarray(iuniq)
     return pa.table({
-        "item_a": pa.array(vals[uniq // ni]),
-        "item_b": pa.array(vals[uniq % ni]),
+        "item_a": pa.array(vals[uniq // ni], type=it_pa, from_pandas=True),
+        "item_b": pa.array(vals[uniq % ni], type=it_pa, from_pandas=True),
         "n_keys": pa.array(cnt.astype(np.int64)),
     })
 
@@ -617,8 +613,8 @@ def cooccurrence_pairs(
         _add_part(ki, key_col, partitions)
         .groupby("_part")
         .map_groups(
-            lambda g: _cooccur_partition(g, key_col, item_col),
-            batch_format="pandas",
+            lambda t: _cooccur_partition(t, key_col, item_col),
+            batch_format="pyarrow",
         )
     )
     out = partials.groupby(["item_a", "item_b"]).aggregate(

@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from deduplidog_ray.stages.segments import segment_pairs as _segment_pairs
+
 
 def _mat_from_list_col(col, dtype=np.float32) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -302,30 +304,6 @@ def _gather_emb(
         col = col.combine_chunks()
     return col.take(pa.array(order[pos]))
 
-
-def _segment_pairs(
-    seg_start: np.ndarray, sizes: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """All within-segment position pairs (left < right), fully vectorized.
-
-    Replaces the per-bucket Python loop (np.unique + triu per segment):
-    with centered/balanced band keys a corpus produces MANY SMALL buckets
-    — 100k+ segments — and a Python iteration per segment dominates the
-    whole candidate stage. Here every pair position is computed with
-    repeat/cumsum arithmetic: element at local index l contributes l pairs
-    as the right member, paired with the l elements before it.
-    """
-    n = int(sizes.sum())
-    loc = np.arange(n, dtype=np.int64) - np.repeat(seg_start, sizes)
-    total = int(loc.sum())
-    if total == 0:
-        z = np.empty(0, dtype=np.int64)
-        return z, z
-    right = np.repeat(np.arange(n, dtype=np.int64), loc)
-    before = np.concatenate(([0], np.cumsum(loc)[:-1]))
-    within = np.arange(total, dtype=np.int64) - np.repeat(before, loc)
-    left = np.repeat(np.repeat(seg_start, sizes), loc) + within
-    return left, right
 
 
 def _centroid_of_normalized(ds: ray.data.Dataset, vec_col: str) -> np.ndarray:

@@ -103,10 +103,25 @@ def peak_concurrency(
     |types|×|buckets|-bounded carries. ``max_partials`` turns a
     pathological bucket count (nanosecond buckets over a decade) into an
     explicit error instead of a driver OOM."""
+    import pyarrow.compute as pc
+
     win_us = np.int64(window_ms) * 1000
     bucket_us = np.int64(bucket_seconds) * 1_000_000
+    # preserve the type column's Arrow type end-to-end (int codes, etc.);
+    # fall back to string when the upstream schema can't say
+    try:
+        sch = ds.schema()
+        ty_type = dict(zip(sch.names, sch.types)).get(type_col)
+    except Exception:  # pragma: no cover - schema probe only
+        ty_type = None
+    if not isinstance(ty_type, pa.DataType):
+        ty_type = pa.string()
 
     def _endpoints(tbl: pa.Table) -> pa.Table:
+        # null event_type drops at the scan: factorize would fold those
+        # rows into another type's counts, and the SQL oracle's
+        # peaks-join on event_type never matches NULL anyway
+        tbl = tbl.filter(pc.is_valid(tbl[type_col]))
         ts = tbl[ts_col].to_numpy().astype("datetime64[us]").astype(
             np.int64
         )
@@ -132,23 +147,28 @@ def peak_concurrency(
         .groupby("bucket")
         .map_groups(_sweep_partition, batch_format="pandas")
     )
-    parts = [
-        b for b in partials_ds.iter_batches(batch_format="pandas")
-        if len(b)
-    ]
+    # the guard must fire WHILE partials stream in — materializing them
+    # all first would be the very driver OOM it exists to prevent
+    parts: list[pd.DataFrame] = []
+    n_partials = 0
+    for b in partials_ds.iter_batches(batch_format="pandas"):
+        if not len(b):
+            continue
+        n_partials += len(b)
+        if n_partials > max_partials:
+            raise ValueError(
+                f">{max_partials} sweep partials (max_partials); "
+                f"raise bucket_seconds to bound driver state"
+            )
+        parts.append(b)
     out_schema = pa.schema([
-        ("event_type", pa.string()),
+        ("event_type", ty_type),
         ("peak_concurrent", pa.int64()),
         ("peak_ts", pa.timestamp("us")),
     ])
     if not parts:
         return out_schema.empty_table()
     p = pd.concat(parts, ignore_index=True)
-    if len(p) > max_partials:
-        raise ValueError(
-            f"{len(p)} sweep partials (> max_partials={max_partials}); "
-            f"raise bucket_seconds to bound driver state"
-        )
     p = p.sort_values(["event_type", "bucket"], kind="stable")
     codes, uniq = pd.factorize(p["event_type"], sort=True)
     dsum = p["delta_sum"].to_numpy()
@@ -167,7 +187,7 @@ def peak_concurrency(
         np.where(at_max, np.arange(len(codes)), len(codes)), starts
     )
     return pa.table({
-        "event_type": pa.array(uniq, type=pa.string()),
+        "event_type": pa.array(uniq, type=ty_type, from_pandas=True),
         "peak_concurrent": pa.array(peak, type=pa.int64()),
         "peak_ts": pa.array(
             p["peak_t"].to_numpy()[first_idx].astype("datetime64[us]")

@@ -260,9 +260,9 @@ def test_triangle_count_hub_star_plus_clique(ray_session):
 
 
 def test_wedge_unranking_exact():
-    """The closed-form lexicographic pair unranking inside
-    _wedge_partition must reproduce itertools.combinations for every
-    segment size, including ones big enough to stress the float sqrt."""
+    """The vectorized segment-pair expansion inside _wedge_partition
+    (stages/segments.py, shared with the LSH candidate stage) must
+    reproduce itertools.combinations for every segment size."""
     from itertools import combinations
 
     from deduplidog_ray.pipelines.graph import _wedge_partition
@@ -340,3 +340,41 @@ def test_cooccurrence_pairs_strings_nulls_dups(ray_session):
     assert got.to_dict("records") == [
         {"item_a": "a", "item_b": "b", "n_keys": 2}
     ]
+
+
+def test_triangle_count_string_nodes(ray_session):
+    """String node tables (what transition_edges emits for string node
+    columns) count triangles correctly — wedges run in node-index
+    space, so the kernel never casts node values to int64."""
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.graph import triangle_count
+
+    src = ["a", "b", "c", "c", "d"]
+    dst = ["b", "c", "a", "d", "a"]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"src": src, "dst": dst, "w": [1] * len(src)}
+    ))
+    got = triangle_count(ds, partitions=4)["n_triangles"][0].as_py()
+    assert got == _brute_triangles(src, dst) == 2
+
+
+def test_cooccurrence_int32_with_empty_partitions(ray_session):
+    """Empty/all-null partitions must emit partials with the SAME item
+    Arrow type as non-empty ones (int32 here), or the downstream pair
+    groupby sees mismatched block schemas."""
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.graph import cooccurrence_pairs
+
+    t = pa.table({
+        "key": pa.array([1, 1, 2, 2, None], type=pa.int64()),
+        "item": pa.array([10, 20, 10, 20, 30], type=pa.int32()),
+    })
+    out = cooccurrence_pairs(
+        rd.from_arrow(t), key_col="key", item_col="item",
+        min_support=1, partitions=16,   # >> |keys|: most partitions empty
+    ).to_pandas().sort_values(["item_a", "item_b"]).reset_index(drop=True)
+    assert out["item_a"].tolist() == [10]
+    assert out["item_b"].tolist() == [20]
+    assert out["n_keys"].tolist() == [2]

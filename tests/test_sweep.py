@@ -101,3 +101,34 @@ def test_max_partials_guard(ray_session):
     with pytest.raises(ValueError, match="max_partials"):
         peak_concurrency(rd.from_arrow(t), bucket_seconds=1,
                          max_partials=3)
+
+
+def test_null_event_type_dropped(ray_session):
+    """Null types drop at the scan: factorize would fold them into the
+    LAST type's counts (codes -1 wrap). The SQL oracle's peaks-join on
+    event_type never matches NULL, so exclusion IS oracle parity."""
+    t = pa.table({
+        "ts": pa.array(np.array([0, 1, 2, 3], dtype=np.int64)
+                       .astype("datetime64[us]")),
+        "event_type": pa.array([None, None, "a", "z"]),
+    })
+    out = peak_concurrency(rd.from_arrow(t), window_ms=1000,
+                           bucket_seconds=3600).to_pydict()
+    assert out["event_type"] == ["a", "z"]
+    assert out["peak_concurrent"] == [1, 1]
+
+
+def test_integer_type_column(ray_session):
+    """A non-string type column (int64 category codes) round-trips: the
+    output event_type column keeps the input Arrow type."""
+    t = pa.table({
+        "ts": pa.array(np.array([0, 1_000, 2_000], dtype=np.int64)
+                       .astype("datetime64[us]")),
+        "event_type": pa.array([7, 7, 9], type=pa.int64()),
+    })
+    out = peak_concurrency(rd.from_arrow(t), window_ms=5,
+                           bucket_seconds=3600)
+    assert out.schema.field("event_type").type == pa.int64()
+    d = out.to_pydict()
+    assert d["event_type"] == [7, 9]
+    assert d["peak_concurrent"] == [2, 1]
