@@ -399,6 +399,40 @@ def q_peak_concurrency(sf_dir: str):
     )
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (cohort.py:cohort_retention): distinct
+    users per (first-seen day, active day) cell — the derived-dimension
+    distinct-count shape (SQL needs a self-join back through MIN(ts);
+    the engine needs exactly ONE hash(user) exchange because a user's
+    history co-locates). Bit-exact integer day indices
+    (epoch_us // 86400e6 in both engines — no float boundary risk)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.cohort import cohort_retention
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return cohort_retention(ds, partitions=16)
+
+
+def q_users_timeline(sf_dir: str):
+    """Distinct-user timeline (cohort.py:distinct_users_timeline):
+    per day, exact new / active / cumulative distinct user counts —
+    the exact "distinct count over time" curve (the HLL sketch's exact
+    sibling), folded from the same one-exchange cohort matrix."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.cohort import distinct_users_timeline
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return distinct_users_timeline(ds, partitions=16)
+
+
 def q_search_bm25(sf_dir: str):
     """Ranked search serving (textops.py:search_bm25_topk): BM25 top-10
     for a 3-term query — idf + length normalization, bit-exact vs SQL
@@ -2342,6 +2376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": q_key_skew,
         "events_dense_hourly": q_events_dense_hourly,
         "peak_concurrency": q_peak_concurrency,
+        "cohort_retention": q_cohort_retention,
+        "users_timeline": q_users_timeline,
         "search_bm25": q_search_bm25,
         "weighted_sample": q_weighted_sample,
         "len_outliers": q_len_outliers,
@@ -2648,6 +2684,48 @@ def oracle_sql() -> dict[str, str]:
                         AND s.cur = p.peak_concurrent
             GROUP BY s.event_type, p.peak_concurrent
             ORDER BY s.event_type
+        """,
+        # integer day indices via epoch_us // 86400e6 — integer floor
+        # division in BOTH engines (all epochs positive; DuckDB //
+        # truncates toward zero, numpy floors — identical on >= 0)
+        "cohort_retention": """
+            WITH up AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS period
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), coh AS (
+                SELECT user_id, MIN(period) AS cohort
+                FROM up GROUP BY user_id
+            )
+            SELECT c.cohort, u.period, COUNT(*) AS n_users
+            FROM up u JOIN coh c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "users_timeline": """
+            WITH up AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS period
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), coh AS (
+                SELECT user_id, MIN(period) AS cohort
+                FROM up GROUP BY user_id
+            ), act AS (
+                SELECT period, COUNT(*) AS active_users
+                FROM up GROUP BY period
+            ), nu AS (
+                SELECT cohort AS period, COUNT(*) AS new_users
+                FROM coh GROUP BY cohort
+            )
+            SELECT a.period,
+                   COALESCE(n.new_users, 0) AS new_users,
+                   a.active_users,
+                   CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+                       ORDER BY a.period
+                   ) AS BIGINT) AS cum_users
+            FROM act a LEFT JOIN nu n ON a.period = n.period
+            ORDER BY a.period
         """,
         "search_bm25": r"""
             WITH toks AS (
