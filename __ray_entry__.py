@@ -1464,41 +1464,23 @@ def q_clips_segments(sf_dir: str):
 def q_clips_shifted_dups(sf_dir: str):
     """Time-shift-robust audio dedup (pipelines/audioalign.py): a
     deterministic 1-in-8 sample of the clips ships again with 240 ms of
-    lead-in silence; the operator must find each (original, delayed)
-    pair and recover the offset via FFT cross-correlation. Rows-only
-    (payload decode + FFT); exact offset/recall gates in
-    tests/test_audioalign.py."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    lead-in silence (cached fixture,
+    sources/from_documents.py:shifted_variants_from_clips); the operator
+    must find each (original, delayed) pair and recover the offset via
+    FFT cross-correlation. Rows-only (payload decode + FFT); exact
+    offset/recall gates in tests/test_audioalign.py."""
     import ray.data
 
     from deduplidog_ray.pipelines.audioalign import shifted_dup_pairs
-    from deduplidog_ray.pipelines.audiotransform import Delay
-    from deduplidog_ray.sources.from_documents import clips_from_documents
-    from deduplidog_ray.stages.hashing import hash_strings_u64
-
-    clips_path = clips_from_documents(sf_dir)
-    ds = ray.data.read_parquet(
-        clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    from deduplidog_ray.sources.from_documents import (
+        clips_from_documents,
+        shifted_variants_from_clips,
     )
 
-    def _sample(t: pa.Table) -> pa.Table:
-        h = hash_strings_u64(t["clip_id"].to_pylist(), seed=0x5F1F)
-        return t.filter(pa.array(h % np.uint64(8) == 0))
-
-    delayed = ds.map_batches(
-        _sample, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
-        Delay, fn_constructor_kwargs={"delay_ms": 240},
-        batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
-        concurrency=(1, 8),
-    ).map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("clip_id"), "clip_id",
-            pc.binary_join_element_wise(t["clip_id"], "_shift", ""),
-        ).select(["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]),
-        batch_format="pyarrow", zero_copy_batch=True,
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    ds = ray.data.read_parquet(clips_from_documents(sf_dir), columns=cols)
+    delayed = ray.data.read_parquet(
+        shifted_variants_from_clips(sf_dir), columns=cols
     )
     return shifted_dup_pairs(
         ds.union(delayed), embed_threshold=0.97, corr_threshold=0.8,
@@ -1510,61 +1492,30 @@ def q_clips_landmark_dups(sf_dir: str):
     """Shazam-style landmark fingerprint matching
     (pipelines/audiofp.py): a deterministic 1-in-8 sample ships again
     delayed 480 ms (µ-law re-encoded), a disjoint 1-in-16 sample ships
-    as a middle excerpt (25%..85% crop); the operator must recover both
-    kinds via constellation-hash voting with frame-accurate offsets.
-    Input is the TEXTURED clips table (time-varying spectra) — the
-    standard `make_pcm` corpus is near-stationary tone mixtures, the
-    documented degenerate case for constellation hashing. Rows-only
-    (payload decode + STFT); offset/recall/precision gates in
-    tests/test_audiofp.py."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    as a middle excerpt (25%..85% crop) — both planted as a cached
+    fixture (sources/from_documents.py:landmark_variants_from_clips);
+    the operator must recover both kinds via constellation-hash voting
+    with frame-accurate offsets. Input is the TEXTURED clips table
+    (time-varying spectra) — the standard `make_pcm` corpus is
+    near-stationary tone mixtures, the documented degenerate case for
+    constellation hashing. Rows-only (payload decode + STFT);
+    offset/recall/precision gates in tests/test_audiofp.py."""
     import ray.data
 
     from deduplidog_ray.pipelines.audiofp import landmark_dup_pairs
-    from deduplidog_ray.pipelines.audiotransform import Crop, Delay
     from deduplidog_ray.sources.from_documents import (
+        landmark_variants_from_clips,
         textured_clips_from_documents,
     )
-    from deduplidog_ray.stages.hashing import hash_strings_u64
 
-    clips_path = textured_clips_from_documents(sf_dir)
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
     ds = ray.data.read_parquet(
-        clips_path, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+        textured_clips_from_documents(sf_dir), columns=cols
     )
-
-    def _sampler(mod: int, rem: int):
-        def _s(t: pa.Table) -> pa.Table:
-            h = hash_strings_u64(t["clip_id"].to_pylist(), seed=0x1A4D)
-            return t.filter(pa.array(h % np.uint64(mod) == rem))
-        return _s
-
-    def _retag(suffix: str):
-        def _r(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.schema.get_field_index("clip_id"), "clip_id",
-                pc.binary_join_element_wise(t["clip_id"], suffix, ""),
-            ).select(["clip_id", "bytes", "sr_hz", "dur_ms", "codec"])
-        return _r
-
-    delayed = ds.map_batches(
-        _sampler(8, 0), batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
-        Delay, fn_constructor_kwargs={"delay_ms": 480},
-        batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
-        concurrency=(1, 8),
-    ).map_batches(_retag("_lmshift"), batch_format="pyarrow",
-                  zero_copy_batch=True)
-    cropped = ds.map_batches(
-        _sampler(16, 3), batch_format="pyarrow", zero_copy_batch=True
-    ).filter(lambda r: r["dur_ms"] >= 1400).map_batches(
-        Crop, fn_constructor_kwargs={"start_frac": 0.25, "dur_frac": 0.6},
-        batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
-        concurrency=(1, 8),
-    ).map_batches(_retag("_lmcut"), batch_format="pyarrow",
-                  zero_copy_batch=True)
-    return landmark_dup_pairs(ds.union(delayed).union(cropped))
+    variants = ray.data.read_parquet(
+        landmark_variants_from_clips(sf_dir), columns=cols
+    )
+    return landmark_dup_pairs(ds.union(variants))
 
 
 def q_clips_audio_stats(sf_dir: str):

@@ -281,6 +281,8 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "triangle_clicks",
         "co_clicks",
         "peak_concurrency",
+        "cohort_retention",
+        "users_timeline",
     ]:
         if only and name not in only:
             continue

@@ -47,7 +47,11 @@ from deduplidog_ray.audio.codecs import CodecError, decode
 from deduplidog_ray.pipelines.audiotransform import fft_resample
 
 #: verify work unit: pairs per remote task
-_PAIR_CHUNK = 256
+_PAIR_CHUNK = 512
+
+#: per-task cap on cached forward FFTs (each ~nfft/2 complex128; 256
+#: entries at nfft=32768 is ~67 MB — bounded regardless of chunk shape)
+_FFT_CACHE_MAX = 256
 
 
 def _xcorr_peak(
@@ -84,6 +88,22 @@ def _verify_pairs(
     out = []
     cache: dict[str, np.ndarray] = {}
     csq: dict[str, np.ndarray] = {}
+    ffts: dict[tuple[str, int], np.ndarray] = {}
+
+    def _rfft(cid: str, p: np.ndarray, nfft: int) -> np.ndarray:
+        """Forward FFT memoized per (clip, nfft): the pair list is sorted,
+        so one clip's pairs are adjacent and its transform is reused
+        across them instead of recomputed per pair (the FFTs are ~2/3 of
+        the xcorr cost). FIFO-bounded so a pathological chunk cannot
+        hold one transform per member."""
+        key = (cid, nfft)
+        r = ffts.get(key)
+        if r is None:
+            if len(ffts) >= _FFT_CACHE_MAX:
+                ffts.pop(next(iter(ffts)))
+            r = np.fft.rfft(p, nfft)
+            ffts[key] = r
+        return r
 
     def _prefix(cid: str, p: np.ndarray) -> np.ndarray:
         c = csq.get(cid)
@@ -130,7 +150,21 @@ def _verify_pairs(
             # 0.995 margin absorbs FFT/cumsum float rounding
             if e_l > 0.0 and ewin < (corr_threshold * 0.995) ** 2 * e_l:
                 continue
-        lag, corr = _xcorr_peak(xa, xb, max_lag)
+        # same math as _xcorr_peak, with the two forward FFTs memoized
+        # per clip (see _rfft); nfft covers n + max_lag for the same
+        # wraparound reason documented there
+        n = len(xa) + len(xb) - 1
+        nfft = 1 << int(np.ceil(np.log2(max(n + max_lag, 2))))
+        ca, cb = _prefix(a, xa), _prefix(b, xb)
+        denom = float(np.sqrt(ca[-1]) * np.sqrt(cb[-1]))
+        if denom == 0.0:
+            continue
+        r = np.fft.irfft(np.conj(_rfft(a, xa, nfft)) * _rfft(b, xb, nfft),
+                         nfft)
+        lags = np.arange(-max_lag, max_lag + 1)
+        vals = r[lags % nfft]
+        i = int(np.argmax(vals))
+        lag, corr = int(lags[i]), float(vals[i] / denom)
         if corr >= corr_threshold:
             out.append((a, b, int(round(1000 * lag / sr)), corr))
     return out

@@ -340,6 +340,30 @@ def _centroid_of_normalized(ds: ray.data.Dataset, vec_col: str) -> np.ndarray:
     return (sums / max(1, int(parts["n"].sum()))).astype(np.float32)
 
 
+def _blocked_gram(m: np.ndarray, nthreads: int = 8) -> np.ndarray:
+    """m @ m.T with row-block parallelism: Ray pins worker BLAS to one
+    thread (OMP_NUM_THREADS=1), so a single large matmul runs one-core
+    inside a task; np.dot releases the GIL, so a thread pool over row
+    blocks recovers the cores the task actually reserves."""
+    n = len(m)
+    if n < 4096 or nthreads <= 1:
+        return m @ m.T
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = np.empty((n, n), dtype=np.float32)
+    mt = m.T
+    step = -(-n // nthreads)
+    spans = [(i, min(n, i + step)) for i in range(0, n, step)]
+
+    def _mul(span):
+        s, e = span
+        np.dot(m[s:e], mt, out=out[s:e])
+
+    with ThreadPoolExecutor(nthreads) as ex:
+        list(ex.map(_mul, spans))
+    return out
+
+
 @ray.remote
 def _emb_neardup_small_task(
     refs: list,
@@ -399,7 +423,15 @@ def _emb_neardup_small_task(
         id_order = np.argsort(ids64, kind="stable")
         if not np.array_equal(id_order, np.arange(n)):
             ids64, m, key = ids64[id_order], m[id_order], key[id_order]
-        sims = m @ m.T                   # f32 — the only (n, n) temp
+        try:
+            granted = int(
+                ray.get_runtime_context().get_assigned_resources().get(
+                    "CPU", 1
+                )
+            )
+        except Exception:
+            granted = 1
+        sims = _blocked_gram(m, nthreads=max(1, granted))  # f32 gram
         # 1-ulp-slack f32 prefilter (superset of the exact-f64 survivors),
         # then the exact f64 compare on the survivors — identical pair set
         # to the old astype(f64)-whole-matrix compare at half the traffic
@@ -707,8 +739,11 @@ def embedding_near_dup_pairs(
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).to_arrow_refs()
+        # claim the cores the blocked gram will use, capped by the
+        # session so a 4-CPU test cluster can still schedule the task
+        task_cpus = max(1, min(8, int(ray.cluster_resources().get("CPU", 1)) - 1))
         out = ray.get(
-            _emb_neardup_small_task.remote(
+            _emb_neardup_small_task.options(num_cpus=task_cpus).remote(
                 refs, threshold, bands, bits_per_band, seed, id_col, vec_col,
                 center,
             )

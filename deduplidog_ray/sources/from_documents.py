@@ -218,3 +218,96 @@ def textured_clips_from_documents(sf_dir: str, force: bool = False) -> str:
         ).write_parquet(tmp)
 
     return _cached_parquet_dir("textured", sf_dir, _build, force)
+
+
+_CLIP_COLS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+
+
+def _retag_clip_ids(suffix: str):
+    import pyarrow.compute as pc
+
+    def _r(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("clip_id"), "clip_id",
+            pc.binary_join_element_wise(t["clip_id"], suffix, ""),
+        ).select(_CLIP_COLS)
+
+    return _r
+
+
+def _hash_sampler(mod: int, rem: int, seed: int):
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+
+    def _s(t: pa.Table) -> pa.Table:
+        h = hash_strings_u64(t["clip_id"].to_pylist(), seed=seed)
+        return t.filter(pa.array(h % np.uint64(mod) == rem))
+
+    return _s
+
+
+def shifted_variants_from_clips(sf_dir: str, force: bool = False) -> str:
+    """Planted SHIFTED copies for the alignment bench corpus, cached: a
+    deterministic 1-in-8 sample of the standard clips ships again with
+    240 ms of lead-in silence and a ``_shift`` id suffix. Cached as its
+    own parquet dir (fixture synthesis, like the base tables) so the
+    timed query is a pure read→union — the Delay actor pool is corpus
+    construction, not the operator under test."""
+    from deduplidog_ray.pipelines.audiotransform import Delay
+
+    base = clips_from_documents(sf_dir, force=force)
+
+    def _build(tmp: str) -> None:
+        ds = ray.data.read_parquet(base, columns=_CLIP_COLS)
+        ds.map_batches(
+            _hash_sampler(8, 0, 0x5F1F), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            Delay, fn_constructor_kwargs={"delay_ms": 240},
+            batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+            concurrency=(1, 16),
+        ).map_batches(
+            _retag_clip_ids("_shift"), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(tmp)
+
+    return _cached_parquet_dir("shiftvar", sf_dir, _build, force)
+
+
+def landmark_variants_from_clips(sf_dir: str, force: bool = False) -> str:
+    """Planted DELAYED + CROPPED copies of the textured clips for the
+    landmark-fingerprint bench corpus, cached: a 1-in-8 sample delayed
+    480 ms (``_lmshift``) plus a disjoint 1-in-16 sample cropped to its
+    25%..85% middle (``_lmcut``, clips >= 1400 ms only). Same fixture
+    rationale as `shifted_variants_from_clips`."""
+    from deduplidog_ray.pipelines.audiotransform import Crop, Delay
+
+    base = textured_clips_from_documents(sf_dir, force=force)
+
+    def _build(tmp: str) -> None:
+        ds = ray.data.read_parquet(base, columns=_CLIP_COLS)
+        delayed = ds.map_batches(
+            _hash_sampler(8, 0, 0x1A4D), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            Delay, fn_constructor_kwargs={"delay_ms": 480},
+            batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+            concurrency=(1, 16),
+        ).map_batches(
+            _retag_clip_ids("_lmshift"), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cropped = ds.map_batches(
+            _hash_sampler(16, 3, 0x1A4D), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).filter(lambda r: r["dur_ms"] >= 1400).map_batches(
+            Crop, fn_constructor_kwargs={"start_frac": 0.25,
+                                         "dur_frac": 0.6},
+            batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+            concurrency=(1, 16),
+        ).map_batches(
+            _retag_clip_ids("_lmcut"), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        delayed.union(cropped).write_parquet(tmp)
+
+    return _cached_parquet_dir("lmvar", sf_dir, _build, force)

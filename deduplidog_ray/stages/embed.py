@@ -239,12 +239,25 @@ def embed_clips(
     nfft: int = 256,
     n_bands: int = 32,
     out_col: str = "embedding",
-    concurrency=(1, 16),
-    batch_size: int = 128,
+    concurrency=None,
+    batch_size: int = 64,
     trim_threshold: float | None = None,
     trim_frame_ms: int = 20,
 ):
-    """clips → clips + spectral ``embedding`` column (actor pool)."""
+    """clips → clips + spectral ``embedding`` column (actor pool).
+
+    Default pool floor scales with the session: a (1, 16) autoscaling
+    pool ramps one actor at a time, which dominates wall time on stages
+    this short (measured 4.9-6.1 s vs 2.3-2.4 s with a pre-sized pool
+    at 7.3k clips / 32 CPUs) — so the min is half the CPUs, capped at
+    16, and small test sessions still fit."""
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if (
+            ray.is_initialized()
+        ) else 8
+        concurrency = (max(1, min(16, cpus // 2)), 16)
     return ds.map_batches(
         AudioEmbedder,
         fn_constructor_kwargs=dict(
