@@ -923,6 +923,18 @@ def q_text_jaccard_dup(sf_dir: str):
     return text_ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_minhash_band_pairs(sf_dir: str):
+    """MinHash-LSH CANDIDATE generation, SQL-green end to end: shingle
+    md5 hashes, 16 modular permutations, 4x4 band keys, and the
+    band-share pair join are all reproduced number-for-number by the
+    DuckDB oracle (md5_number_upper + HUGEINT modular arithmetic) —
+    the oracle-checkable slice of the engine's LSH family
+    (pipelines/textdedup.py:minhash_band_pairs)."""
+    from deduplidog_ray.pipelines.textdedup import minhash_band_pairs
+
+    return minhash_band_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_fuzzy_join(sf_dir: str):
     """Similarity join between two tables: corpus third (doc_id % 3 == 0)
     fuzzy-joined against the rest at exact token-shingle Jaccard ≥ 0.7.
@@ -2341,6 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
         "text_jaccard_dup": q_text_jaccard_dup,
+        "minhash_band_pairs": q_minhash_band_pairs,
         "fuzzy_join": q_fuzzy_join,
         "decontaminate": q_decontaminate,
         "sample_hash": q_sample_hash,
@@ -2420,6 +2433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from deduplidog_ray.pipelines.textdedup import minhash_band_pairs_sql
+
     return {
         "exact_dedup": """
             SELECT doc_id, text, lang, source, n_chars
@@ -2838,6 +2853,9 @@ def oracle_sql() -> dict[str, str]:
         # docs under k tokens contribute their whole token sequence as one
         # shingle). jaccard = |A∩B|/|A∪B| is an exact int/int division —
         # bit-identical doubles in both engines.
+        # minhash_band_pairs: built by the SAME helper that hands the
+        # pipeline its permutation constants, so they cannot drift
+        "minhash_band_pairs": minhash_band_pairs_sql(),
         "text_jaccard_dup": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -283,6 +283,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "peak_concurrency",
         "cohort_retention",
         "users_timeline",
+        "minhash_band_pairs",
     ]:
         if only and name not in only:
             continue

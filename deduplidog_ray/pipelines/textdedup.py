@@ -475,3 +475,226 @@ def text_near_dedup(
     return pd.DataFrame(
         {"doc_id": [int(k) for k in ks], "cluster_id": [int(comp[k]) for k in ks]}
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-reproducible MinHash-LSH candidates (the oracle-checkable LSH slice)
+# ---------------------------------------------------------------------------
+
+def minhash_md5_params(
+    num_perm: int = 16, seed: int = 0x51A7
+) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) multipliers for the SQL-reproducible md5 MinHash family.
+
+    Constraints that make DuckDB HUGEINT arithmetic exact: ``a`` odd and
+    < 2^63, shingle hash x < 2^60 (md5 upper word >> 4), so
+    a*x + b < 2^124 fits a signed 128-bit intermediate, and
+    ``% 2^64`` equals numpy uint64 wraparound bit for bit."""
+    rng = np.random.default_rng(seed)
+    a = (
+        rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64)
+        << np.uint64(1)
+    ) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _md5_shingles(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Token k-gram md5 hashes per doc → (flat uint64 < 2^60, offsets).
+
+    Same tokenization/shingling as the engine's blake2b family
+    (whitespace tokens, k-grams, short docs emit one combined shingle)
+    but hashed with md5's upper word so DuckDB's ``md5_number_upper``
+    reproduces every value (tested byte order: digest[:8] little-endian).
+    """
+    import hashlib
+
+    flat: list[bytes] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    sep = "\x1e"
+    for i, t in enumerate(texts):
+        toks = t.split() if t else []
+        if len(toks) >= k:
+            flat.extend(
+                sep.join(toks[j:j + k]).encode()
+                for j in range(len(toks) - k + 1)
+            )
+        else:
+            flat.append(sep.join(toks).encode())
+        offsets[i + 1] = len(flat)
+    md5 = hashlib.md5
+    x = np.fromiter(
+        (int.from_bytes(md5(s).digest()[:8], "little") for s in flat),
+        dtype=np.uint64, count=len(flat),
+    )
+    return x >> np.uint64(4), offsets
+
+
+def minhash_band_pairs(
+    ds: ray.data.Dataset,
+    num_perm: int = 16,
+    lsh_rows: int = 4,
+    shingle_k: int = 3,
+    seed: int = 0x51A7,
+    partitions: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """LSH candidate-pair generation itself, SQL-green: (doc_a, doc_b)
+    pairs sharing at least one MinHash band key, with every number in
+    the chain — shingle hash, permutation, min, band key — reproducible
+    in ANSI-ish SQL (DuckDB md5_number_upper + HUGEINT modular
+    arithmetic). This turns the engine's rows-only LSH family
+    verifiable end to end at the candidate level: the companion oracle
+    computes identical band keys and joins on them.
+
+    Shape: signatures are embarrassingly parallel map_batches; the
+    exchange ships skinny (doc_id, band, bkey-string) rows; pairs form
+    per band-key group and dedup in a second hash-partitioned exchange
+    (the flagship's two-exchange shape, stages/candidates.py). Band
+    keys travel as the EXACT value string (not a 64-bit hash), so two
+    distinct keys can never merge — the repo's collision rule.
+    """
+    a_mul, b_add = minhash_md5_params(num_perm, seed)
+    bands = num_perm // lsh_rows
+    from deduplidog_ray.stages.hashing import hash_strings_u64, mix64
+
+    def _band_rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy()
+        n = len(texts)
+        x, off = _md5_shingles(texts, shingle_k)
+        starts = off[:-1]
+        sig = np.empty((n, num_perm), dtype=np.uint64)
+        y = np.empty(len(x), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                np.multiply(x, a_mul[p], out=y)
+                np.add(y, b_add[p], out=y)
+                sig[:, p] = np.minimum.reduceat(y, starts)
+        keys = []
+        out_ids = np.repeat(ids, bands)
+        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+        for i in range(n):
+            row = sig[i]
+            for bnd in range(bands):
+                keys.append(
+                    ",".join(
+                        str(int(v))
+                        for v in row[bnd * lsh_rows:(bnd + 1) * lsh_rows]
+                    )
+                )
+        kh = hash_strings_u64(keys, seed=0xB4D) + band_idx.astype(np.uint64)
+        part = (mix64(kh, seed=0x11) % np.uint64(partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(out_ids.astype(np.int64)),
+                "band": pa.array(band_idx),
+                "bkey": pa.array(keys, type=pa.string()),
+                "part": pa.array(part),
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        # group by the EXACT (band, key-string); emit a<b pairs
+        codes, _ = pd.factorize(
+            g["band"].astype(str) + "|" + g["bkey"], sort=False
+        )
+        ids = g["doc"].to_numpy()
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        seg = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        sizes = np.diff(np.r_[seg, len(codes)])
+        la, lb = [], []
+        for s, sz in zip(seg, sizes):
+            if sz < 2:
+                continue
+            mem = np.unique(ids[s:s + sz])
+            if len(mem) < 2:
+                continue
+            iu, ju = np.triu_indices(len(mem), k=1)
+            la.append(mem[iu])
+            lb.append(mem[ju])
+        if not la:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
+            )
+        aa = np.concatenate(la)
+        bb = np.concatenate(lb)
+        with np.errstate(over="ignore"):
+            ph = mix64(
+                aa.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + bb.astype(np.uint64),
+                seed=0xA7,
+            )
+        return pa.table(
+            {"doc_a": pa.array(aa), "doc_b": pa.array(bb),
+             "part": pa.array((ph % np.uint64(partitions)).astype(np.int64))}
+        )
+
+    def _dedup(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(["doc_a", "doc_b"])
+        return pa.table(
+            {"doc_a": pa.array(out["doc_a"].to_numpy()),
+             "doc_b": pa.array(out["doc_b"].to_numpy())}
+        )
+
+    rows = ds.map_batches(
+        _band_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = rows.groupby("part").map_groups(_pairs, batch_format="pandas")
+    return cand.groupby("part").map_groups(_dedup, batch_format="pandas")
+
+
+def minhash_band_pairs_sql(
+    num_perm: int = 16,
+    lsh_rows: int = 4,
+    shingle_k: int = 3,
+    seed: int = 0x51A7,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The DuckDB oracle for :func:`minhash_band_pairs` — built from the
+    SAME parameter arrays so the permutation constants cannot drift."""
+    a_mul, b_add = minhash_md5_params(num_perm, seed)
+    perm_rows = ", ".join(
+        f"({p}, {int(a_mul[p])}::HUGEINT, {int(b_add[p])}::HUGEINT)"
+        for p in range(num_perm)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT {id_col},
+                 list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                             x -> x <> '') AS ts
+          FROM {table}
+        ), sh AS (
+          SELECT {id_col}, unnest(
+            CASE WHEN len(ts) >= {shingle_k} THEN
+              list_transform(
+                generate_series(1, len(ts) - {shingle_k - 1}),
+                i -> array_to_string(
+                       list_slice(ts, i, i + {shingle_k - 1}), chr(30)))
+            ELSE [array_to_string(ts, chr(30))] END) AS shingle
+          FROM tok
+        ), xs AS (
+          SELECT {id_col},
+                 (md5_number_upper(shingle) >> 4)::HUGEINT AS x
+          FROM sh
+        ), perms(pi, a, b) AS (VALUES {perm_rows}),
+        mh AS (
+          SELECT {id_col}, pi,
+                 min(((a * x + b) % 18446744073709551616)::UBIGINT) AS mv
+          FROM xs, perms GROUP BY {id_col}, pi
+        ), bk AS (
+          SELECT {id_col}, pi // {lsh_rows} AS band,
+                 string_agg(mv::VARCHAR, ',' ORDER BY pi) AS bkey
+          FROM mh GROUP BY {id_col}, pi // {lsh_rows}
+        )
+        SELECT DISTINCT l.{id_col} AS doc_a, r.{id_col} AS doc_b
+        FROM bk l JOIN bk r ON l.band = r.band AND l.bkey = r.bkey
+                           AND l.{id_col} < r.{id_col}
+    """

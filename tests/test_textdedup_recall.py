@@ -301,3 +301,49 @@ def test_fuzzy_join_matches_bruteforce_with_overlapping_ids(ray_session):
         inter = len(np.intersect1d(lsets[i], rsets[j], assume_unique=True))
         union = len(lsets[i]) + len(rsets[j]) - inter
         assert abs(row["jaccard"] - inter / union) < 1e-12
+
+
+def test_minhash_md5_params_arithmetic_envelope():
+    """The SQL-parity contract: a odd and < 2^63, shingle hash < 2^60,
+    so DuckDB's signed-128-bit a*x+b never overflows and % 2^64 equals
+    numpy uint64 wraparound (see textdedup.minhash_md5_params)."""
+    import numpy as np
+
+    from deduplidog_ray.pipelines.textdedup import (
+        _md5_shingles,
+        minhash_md5_params,
+    )
+
+    a, b = minhash_md5_params()
+    assert (a % 2 == 1).all() and int(a.max()) < 1 << 63
+    assert int(b.max()) < 1 << 63
+    x, off = _md5_shingles(["one two three four", "tiny", ""], 3)
+    assert int(x.max()) < 1 << 60
+    assert off.tolist() == [0, 2, 3, 4]  # short docs emit one shingle
+    # hugeint-exact: a*x+b < 2^124 for every pair
+    prod = int(a.max()) * int(x.max()) + int(b.max())
+    assert prod < 1 << 127
+
+
+def test_minhash_band_pairs_planted_family(ray_session):
+    """A planted family of near-identical docs must surface as band-share
+    candidates; unrelated docs must not pair with them."""
+    import pandas as pd
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.textdedup import minhash_band_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [{"doc_id": i, "text": base + f" tail{i % 2}"} for i in range(6)]
+    rows += [
+        {"doc_id": 100 + i,
+         "text": f"completely different content number {i} " * 10}
+        for i in range(4)
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = minhash_band_pairs(ds).to_pandas()
+    fam = out[(out.doc_a < 100) & (out.doc_b < 100)]
+    cross = out[(out.doc_a < 100) != (out.doc_b < 100)]
+    assert len(fam) >= 6          # the family is densely connected
+    assert len(cross) == 0        # no family/unrelated candidate pairs
