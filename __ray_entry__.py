@@ -935,6 +935,17 @@ def q_minhash_band_pairs(sf_dir: str):
     return minhash_band_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dup pairs with the EXACT Hamming <= 3 predicate,
+    SQL-green: md5-vote signatures are recomputed bit for bit by the
+    DuckDB oracle; candidates come from pigeonhole-complete
+    combination-block keys so recall is 1.0 by construction
+    (pipelines/textdedup.py:simhash_dup_pairs)."""
+    from deduplidog_ray.pipelines.textdedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_fuzzy_join(sf_dir: str):
     """Similarity join between two tables: corpus third (doc_id % 3 == 0)
     fuzzy-joined against the rest at exact token-shingle Jaccard ≥ 0.7.
@@ -2354,6 +2365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_near_dup": q_text_near_dup,
         "text_jaccard_dup": q_text_jaccard_dup,
         "minhash_band_pairs": q_minhash_band_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "fuzzy_join": q_fuzzy_join,
         "decontaminate": q_decontaminate,
         "sample_hash": q_sample_hash,
@@ -2433,7 +2445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from deduplidog_ray.pipelines.textdedup import minhash_band_pairs_sql
+    from deduplidog_ray.pipelines.textdedup import (
+        minhash_band_pairs_sql,
+        simhash_dup_pairs_sql,
+    )
 
     return {
         "exact_dedup": """
@@ -2856,6 +2871,10 @@ def oracle_sql() -> dict[str, str]:
         # minhash_band_pairs: built by the SAME helper that hands the
         # pipeline its permutation constants, so they cannot drift
         "minhash_band_pairs": minhash_band_pairs_sql(),
+        # simhash_dup_pairs: identical md5-vote signatures, exhaustive
+        # oracle scan with exact bit_count (quadratic on the oracle side
+        # only — the pipeline's block keys are pigeonhole-complete)
+        "simhash_dup_pairs": simhash_dup_pairs_sql(),
         "text_jaccard_dup": r"""
             WITH tok AS (
               SELECT doc_id,

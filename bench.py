@@ -284,6 +284,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "cohort_retention",
         "users_timeline",
         "minhash_band_pairs",
+        "simhash_dup_pairs",
     ]:
         if only and name not in only:
             continue

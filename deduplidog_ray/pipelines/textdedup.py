@@ -698,3 +698,185 @@ def minhash_band_pairs_sql(
         FROM bk l JOIN bk r ON l.band = r.band AND l.bkey = r.bkey
                            AND l.{id_col} < r.{id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# SQL-reproducible SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _md5_simhash(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """(simhash uint64, has_tokens bool) per doc, every number
+    SQL-reproducible: token hash = md5 upper word (md5_number_upper),
+    bit b of the signature is 1 iff the tokens' (+1/-1) votes on bit b
+    sum strictly positive. Token multiplicity counts (each occurrence
+    votes) — the same convention the SQL GROUP BY reproduces."""
+    import hashlib
+
+    md5 = hashlib.md5
+    flat: list[bytes] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts):
+        if t:
+            flat.extend(s.encode() for s in t.split())
+        offsets[i + 1] = len(flat)
+    x = np.fromiter(
+        (int.from_bytes(md5(s).digest()[:8], "little") for s in flat),
+        dtype=np.uint64, count=len(flat),
+    )
+    n = len(texts)
+    starts = offsets[:-1]
+    counts = offsets[1:] - offsets[:-1]
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = counts > 0
+    if len(x):
+        # reduceat needs nonempty segments: compute over a compacted
+        # view of the docs that have tokens
+        cstart = offsets[:-1][nonempty]
+        votes = np.empty(len(x), dtype=np.int64)
+        for b in range(64):
+            np.subtract(
+                ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2,
+                1, out=votes,
+            )
+            s = np.add.reduceat(votes, cstart)
+            out[nonempty] |= (s > 0).astype(np.uint64) << np.uint64(b)
+    return out, nonempty
+
+
+def simhash_dup_pairs(
+    ds: ray.data.Dataset,
+    hamming_k: int = 3,
+    partitions: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs with an EXACT Hamming predicate, SQL-green:
+    (doc_a, doc_b, hamming) for every doc pair whose md5-vote SimHash
+    signatures differ in <= ``hamming_k`` of 64 bits. Candidates come
+    from the Manku combination-block keys (stages/signatures.py:
+    simhash_block_keys — pigeonhole-complete for Hamming <= k, so
+    candidate recall is 1.0 by construction, not probabilistic); the
+    exact popcount decides. The DuckDB oracle recomputes the identical
+    signatures and scans all pairs — same output, quadratic only on the
+    oracle side."""
+    from deduplidog_ray.stages.hashing import mix64
+    from deduplidog_ray.stages.signatures import simhash_block_keys
+
+    def _rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy()
+        sh, nonempty = _md5_simhash(texts)
+        ids, sh = ids[nonempty], sh[nonempty]
+        keys = simhash_block_keys(sh, hamming_k)
+        nk = keys.shape[1]
+        flat = keys.reshape(-1)
+        return pa.table(
+            {
+                "doc": pa.array(np.repeat(ids, nk).astype(np.int64)),
+                "sh": pa.array(np.repeat(sh, nk).view(np.int64)),
+                "key": pa.array(flat.view(np.int64)),
+                "part": pa.array(
+                    (flat % np.uint64(partitions)).astype(np.int64)
+                ),
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        key = g["key"].to_numpy()
+        ids = g["doc"].to_numpy()
+        sh = g["sh"].to_numpy().view(np.uint64)
+        order = np.lexsort((ids, key))
+        key, ids, sh = key[order], ids[order], sh[order]
+        seg = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        sizes = np.diff(np.r_[seg, len(key)])
+        la, lb, lh = [], [], []
+        for s, sz in zip(seg, sizes):
+            if sz < 2:
+                continue
+            mem_ids = ids[s:s + sz]
+            mem_sh = sh[s:s + sz]
+            iu, ju = np.triu_indices(sz, k=1)
+            x = mem_sh[iu] ^ mem_sh[ju]
+            ham = _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+            ok = (ham <= hamming_k) & (mem_ids[iu] != mem_ids[ju])
+            if not ok.any():
+                continue
+            a, b = mem_ids[iu][ok], mem_ids[ju][ok]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            la.append(a2)
+            lb.append(b2)
+            lh.append(ham[ok].astype(np.int64))
+        if not la:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
+            )
+        aa, bb, hh = map(np.concatenate, (la, lb, lh))
+        with np.errstate(over="ignore"):
+            ph = mix64(
+                aa.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + bb.astype(np.uint64),
+                seed=0x5B,
+            )
+        return pa.table(
+            {"doc_a": pa.array(aa), "doc_b": pa.array(bb),
+             "hamming": pa.array(hh),
+             "part": pa.array((ph % np.uint64(partitions)).astype(np.int64))}
+        )
+
+    def _dedup(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(["doc_a", "doc_b"])
+        return pa.table(
+            {"doc_a": pa.array(out["doc_a"].to_numpy()),
+             "doc_b": pa.array(out["doc_b"].to_numpy()),
+             "hamming": pa.array(out["hamming"].to_numpy())}
+        )
+
+    rows = ds.map_batches(
+        _rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = rows.groupby("part").map_groups(_pairs, batch_format="pandas")
+    return cand.groupby("part").map_groups(_dedup, batch_format="pandas")
+
+
+def simhash_dup_pairs_sql(
+    hamming_k: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`simhash_dup_pairs`: identical signatures
+    (md5 upper word per token occurrence, strict-majority bit votes),
+    exhaustive pair scan with exact bit_count."""
+    return f"""
+        WITH tok AS (
+          SELECT {id_col}, unnest(
+            list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                        x -> x <> '')) AS tk
+          FROM {table}
+        ), xh AS (
+          SELECT {id_col}, md5_number_upper(tk) AS x FROM tok
+        ), bits AS (
+          SELECT {id_col}, bb.b AS b,
+                 sum(CASE WHEN (x >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM xh, (SELECT unnest(range(0, 64)) AS b) bb
+          GROUP BY {id_col}, bb.b
+        ), sh AS (
+          SELECT {id_col},
+                 sum(CASE WHEN s > 0 THEN 1::UBIGINT << b
+                          ELSE 0::UBIGINT END)::UBIGINT AS h
+          FROM bits GROUP BY {id_col}
+        )
+        SELECT l.{id_col} AS doc_a, r.{id_col} AS doc_b,
+               CAST(bit_count(xor(l.h, r.h)) AS BIGINT) AS hamming
+        FROM sh l JOIN sh r ON l.{id_col} < r.{id_col}
+        WHERE bit_count(xor(l.h, r.h)) <= {hamming_k}
+    """

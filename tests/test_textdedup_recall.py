@@ -347,3 +347,45 @@ def test_minhash_band_pairs_planted_family(ray_session):
     cross = out[(out.doc_a < 100) != (out.doc_b < 100)]
     assert len(fam) >= 6          # the family is densely connected
     assert len(cross) == 0        # no family/unrelated candidate pairs
+
+
+def test_simhash_dup_pairs_planted(ray_session):
+    """Near-identical docs land within Hamming 3; the exact popcount
+    predicate and the a<b orientation are asserted on a planted set."""
+    import pandas as pd
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.textdedup import (
+        _md5_simhash,
+        simhash_dup_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            * 8)
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                  # exact duplicate
+        {"doc_id": 3, "text": "totally unrelated words " * 20},
+        {"doc_id": 4, "text": ""},                    # empty: excluded
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = simhash_dup_pairs(ds).to_pandas()
+    sh, nonempty = _md5_simhash([r["text"] for r in rows])
+    assert not nonempty[3]
+    # ground truth from the signature kernel itself: the operator must
+    # emit exactly the Hamming <= 3 pairs among non-empty docs
+    expect = set()
+    live = [i for i in range(4) if nonempty[i]]
+    for ii, i in enumerate(live):
+        for j in live[ii + 1:]:
+            if bin(int(sh[i] ^ sh[j])).count("1") <= 3:
+                expect.add((i + 1, j + 1))
+    got = {(r.doc_a, r.doc_b) for r in out.itertuples()}
+    assert got == expect
+    assert (1, 2) in got  # identical text => identical signature
+    assert all(a < b for a, b in got)
+    x = int(sh[0] ^ sh[1])
+    assert out.set_index(["doc_a", "doc_b"]).loc[(1, 2), "hamming"] == bin(
+        x
+    ).count("1")
