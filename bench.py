@@ -285,6 +285,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "users_timeline",
         "minhash_band_pairs",
         "simhash_dup_pairs",
+        "minhash_clusters",
     ]:
         if only and name not in only:
             continue
