@@ -964,6 +964,39 @@ def q_minhash_clusters(sf_dir: str):
     )
 
 
+def q_url_domain_stats(sf_dir: str):
+    """Web-corpus URL hygiene, SQL-green: a deterministic URL column is
+    synthesized from doc_id (mixed case, default/non-default ports,
+    www. prefixes, query strings, fragments), canonicalized on Arrow's
+    RE2 kernels (pipelines/urlops.py), and aggregated per registrable
+    domain with exact DISTINCT canonical-URL counts. The oracle
+    recomputes the same synthesis and the same canonicalization in SQL
+    (regexp_replace/extract — the same RE2 automata)."""
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.urlops import domain_stats
+
+    def _synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        urls = []
+        for d in ids:
+            d = int(d)
+            scheme = "HTTP" if d % 4 == 0 else "HTTPS"
+            www = "WWW." if d % 3 == 0 else ""
+            host = f"Site{d % 3}.Example{d % 5}.COM"
+            port = ":443" if d % 7 == 0 else (":8080" if d % 7 == 1 else "")
+            path = f"/P/{d % 10}"
+            q = f"?Q={d % 13}" if d % 2 == 0 else ""
+            frag = "#Top" if d % 5 == 0 else ""
+            urls.append(f"{scheme}://{www}{host}{port}{path}{q}{frag}")
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _synth, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return domain_stats(ds)
+
+
 def q_fuzzy_join(sf_dir: str):
     """Similarity join between two tables: corpus third (doc_id % 3 == 0)
     fuzzy-joined against the rest at exact token-shingle Jaccard ≥ 0.7.
@@ -2385,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_band_pairs": q_minhash_band_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "minhash_clusters": q_minhash_clusters,
+        "url_domain_stats": q_url_domain_stats,
         "fuzzy_join": q_fuzzy_join,
         "decontaminate": q_decontaminate,
         "sample_hash": q_sample_hash,
@@ -2894,6 +2928,61 @@ def oracle_sql() -> dict[str, str]:
         # oracle scan with exact bit_count (quadratic on the oracle side
         # only — the pipeline's block keys are pigeonhole-complete)
         "simhash_dup_pairs": simhash_dup_pairs_sql(),
+        # url_domain_stats: identical synthesis + canonicalization rules
+        # (lower, strip query/fragment, default-port strip per scheme,
+        # one www. label, empty path -> '/', registrable domain = last
+        # two labels); RE2 on both engines
+        "url_domain_stats": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 4 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
+                || '://'
+                || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                || 'Site' || (doc_id % 3) || '.Example' || (doc_id % 5)
+                || '.COM'
+                || (CASE WHEN doc_id % 7 = 0 THEN ':443'
+                         WHEN doc_id % 7 = 1 THEN ':8080' ELSE '' END)
+                || '/P/' || (doc_id % 10)
+                || (CASE WHEN doc_id % 2 = 0
+                         THEN '?Q=' || (doc_id % 13) ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN '#Top' ELSE '' END)
+                  AS url
+              FROM documents
+            ), base AS (
+              SELECT regexp_replace(lower(url), '[?#].*$', '') AS b
+              FROM urls
+            ), p AS (
+              SELECT
+                regexp_extract(b,
+                  '^(https?)://([^/:?#]+)(?::([0-9]+))?(/[^?#]*)?$', 1)
+                  AS scheme,
+                regexp_replace(
+                  regexp_extract(b,
+                    '^(https?)://([^/:?#]+)(?::([0-9]+))?(/[^?#]*)?$', 2),
+                  '^www\.', '') AS host,
+                regexp_extract(b,
+                  '^(https?)://([^/:?#]+)(?::([0-9]+))?(/[^?#]*)?$', 3)
+                  AS port,
+                regexp_extract(b,
+                  '^(https?)://([^/:?#]+)(?::([0-9]+))?(/[^?#]*)?$', 4)
+                  AS path
+              FROM base
+            ), canon AS (
+              SELECT
+                scheme || '://' || host
+                || (CASE WHEN port = '' THEN ''
+                         WHEN scheme = 'http' AND port = '80' THEN ''
+                         WHEN scheme = 'https' AND port = '443' THEN ''
+                         ELSE ':' || port END)
+                || (CASE WHEN path = '' THEN '/' ELSE path END)
+                  AS canon_url,
+                regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+              FROM p
+            )
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls
+            FROM canon GROUP BY domain
+        """,
         # minhash_clusters: recursive min-label closure over the SQL-exact
         # band-share pairs (same CTE shape as embedding_clusters)
         "minhash_clusters": f"""

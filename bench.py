@@ -286,6 +286,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "minhash_band_pairs",
         "simhash_dup_pairs",
         "minhash_clusters",
+        "url_domain_stats",
     ]:
         if only and name not in only:
             continue
