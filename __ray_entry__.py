@@ -997,6 +997,42 @@ def q_url_domain_stats(sf_dir: str):
     return domain_stats(ds)
 
 
+def q_unicode_dedup(sf_dir: str):
+    """Unicode-normalization dedup, SQL-green: every doc ships twice —
+    once with an NFC-composed suffix, once with the NFD-decomposed
+    bytes of the SAME glyphs — and exact dedup on the NFC-normalized
+    text (pipelines/textops.py:unicode_nfc_dedup) must collapse each
+    planted pair to its even-id survivor. DuckDB's nfc_normalize
+    implements the same UAX #15 composition."""
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.textops import unicode_nfc_dedup
+
+    sfx_nfc = " caf\u00e9 \u00c5"           # composed e-acute, A-ring
+    sfx_nfd = " cafe\u0301 A\u030a"         # combining acute / ring
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_ids, out_txt = [], []
+        for d, x in zip(ids, texts):
+            d = int(d)
+            x = x or ""
+            out_ids.append(2 * d)
+            out_txt.append(x + sfx_nfc)
+            out_ids.append(2 * d + 1)
+            out_txt.append(x + sfx_nfd)
+        return pa.table(
+            {"doc_id": pa.array(out_ids, type=pa.int64()),
+             "text": pa.array(out_txt, type=pa.string())}
+        )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return unicode_nfc_dedup(ds)
+
+
 def q_fuzzy_join(sf_dir: str):
     """Similarity join between two tables: corpus third (doc_id % 3 == 0)
     fuzzy-joined against the rest at exact token-shingle Jaccard ≥ 0.7.
@@ -2419,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "minhash_clusters": q_minhash_clusters,
         "url_domain_stats": q_url_domain_stats,
+        "unicode_dedup": q_unicode_dedup,
         "fuzzy_join": q_fuzzy_join,
         "decontaminate": q_decontaminate,
         "sample_hash": q_sample_hash,
@@ -2928,6 +2965,28 @@ def oracle_sql() -> dict[str, str]:
         # oracle scan with exact bit_count (quadratic on the oracle side
         # only — the pipeline's block keys are pigeonhole-complete)
         "simhash_dup_pairs": simhash_dup_pairs_sql(),
+        # unicode_dedup: same planted composed/decomposed suffixes (built
+        # from chr() codepoints so no literal can be re-encoded), dedup
+        # key = nfc_normalize(text) — UAX #15 composition in both engines
+        "unicode_dedup": r"""
+            WITH planted AS (
+              SELECT 2 * doc_id AS doc_id,
+                     coalesce(text, '') || ' caf' || chr(233) || ' '
+                       || chr(197) AS text
+              FROM documents
+              UNION ALL
+              SELECT 2 * doc_id + 1,
+                     coalesce(text, '') || ' cafe' || chr(769) || ' A'
+                       || chr(778)
+              FROM documents
+            )
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                     min(doc_id) OVER (PARTITION BY nfc_normalize(text))
+                       AS keeper
+              FROM planted
+            ) WHERE doc_id = keeper
+        """,
         # url_domain_stats: identical synthesis + canonicalization rules
         # (lower, strip query/fragment, default-port strip per scheme,
         # one www. label, empty path -> '/', registrable domain = last

@@ -287,6 +287,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "simhash_dup_pairs",
         "minhash_clusters",
         "url_domain_stats",
+        "unicode_dedup",
     ]:
         if only and name not in only:
             continue

@@ -409,3 +409,40 @@ def search_bm25_topk(
                             zero_copy_batch=True)
     return global_top_n(scored, by="score", n=k, ascending=False,
                         tie_col=id_col)
+
+
+def unicode_nfc_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exact dedup on the NFC-NORMALIZED text: visually-identical docs
+    whose bytes differ only by Unicode composition (decomposed accents,
+    compatibility forms' canonical subset) collapse to one survivor
+    (min id). Returns (id, text) of survivors with the ORIGINAL text —
+    normalization picks the group key, it does not rewrite the corpus.
+
+    Normalization parity with SQL: Python ``unicodedata.normalize('NFC')``
+    and DuckDB ``nfc_normalize`` both implement UAX #15 canonical
+    composition (verified on decomposed e+accent and A+ring). Case is
+    deliberately NOT folded — lower() edge cases (dotted I, final sigma)
+    differ across engines.
+    """
+    import unicodedata
+
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.exact import dedupe_exact
+
+    def _norm(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        nfc = [
+            None if v is None else unicodedata.normalize("NFC", v)
+            for v in texts
+        ]
+        return t.append_column("_nfc", pa.array(nfc, type=pa.string()))
+
+    normed = ds.map_batches(_norm, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = dedupe_exact(normed, key_cols=["_nfc"], id_col=id_col)
+    return out.drop_columns(["_nfc"])
