@@ -948,20 +948,32 @@ def q_simhash_dup_pairs(sf_dir: str):
 
 def q_minhash_clusters(sf_dir: str):
     """MinHash CLUSTER assignments, SQL-green end to end: the SQL-exact
-    band-share pairs (q_minhash_band_pairs) closed into connected
-    components by the DISTRIBUTED large-star/small-star rounds
-    (pipelines/components.py), against a recursive-CTE min-label oracle
-    over the identical pair SQL — the oracle-checked MinHash clustering
-    the r2 verdict asked for."""
-    from deduplidog_ray.pipelines.components import connected_components
+    band-share pairs (q_minhash_band_pairs) closed into min-label
+    components over the pairs-bounded stream (driver DSU — the same
+    closure choice as embedding_clusters; embedding_clusters_dist is
+    the distributed large-star/small-star proof for pair streams beyond
+    one process), against a recursive-CTE min-label oracle over the
+    identical pair SQL — the oracle-checked MinHash clustering the r2
+    verdict asked for."""
+    import numpy as np
+    import pandas as pd
+
     from deduplidog_ray.pipelines.textdedup import minhash_band_pairs
+    from deduplidog_ray.pipelines.tiered import min_label_components
 
     pairs = minhash_band_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
-    comp = connected_components(pairs, a_col="doc_a", b_col="doc_b")
-    return comp.map_batches(
-        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
-        batch_format="pyarrow", zero_copy_batch=True,
+    a_parts, b_parts = [], []
+    for b in pairs.iter_batches(batch_size=1 << 16,
+                                batch_format="pyarrow"):
+        a_parts.append(b["doc_a"].to_numpy())
+        b_parts.append(b["doc_b"].to_numpy())
+    if not a_parts:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    ids, root = min_label_components(
+        np.concatenate(a_parts), np.concatenate(b_parts)
     )
+    return pd.DataFrame({"doc_id": ids, "cluster_id": root})
 
 
 def q_url_domain_stats(sf_dir: str):

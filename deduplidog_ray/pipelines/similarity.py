@@ -848,12 +848,26 @@ def audio_embedding_near_dup(
     vectors are a correlated positive-orthant cloud (the r2 geometry
     lesson, similarity.py:embedding_near_dup_pairs).
     """
-    import pyarrow.compute as pc
-
     from deduplidog_ray.stages.embed import embed_clips
-    from deduplidog_ray.stages.hashing import hash_strings_u64
 
     emb = embed_clips(clips, **embed_kwargs)
+    return embedded_near_dup(emb, threshold=threshold, id_col=id_col)
+
+
+def embedded_near_dup(
+    emb: ray.data.Dataset,
+    threshold: float = 0.99,
+    id_col: str = "clip_id",
+) -> pd.DataFrame:
+    """The post-embed half of :func:`audio_embedding_near_dup`: takes a
+    dataset that ALREADY carries ``embedding`` + ``embed_error`` columns
+    (from embed_clips, or fused into a decode pass — tiered.py) and runs
+    the banded-LSH cosine near-dup + string-id resolution. Split out so
+    a pipeline that already paid a decode can reuse its vectors instead
+    of decoding again."""
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.stages.hashing import hash_strings_u64
 
     def _vec_rows(t: pa.Table) -> pa.Table:
         ok = pc.is_null(t["embed_error"])

@@ -287,19 +287,28 @@ def tiered_clips_dedup(
     ≙ the reference's per-pair escalation checksum → perceptual hash
     (deduplidog/deduplidog.py:707-767) lifted to whole-corpus tiers.
     """
-    from deduplidog_ray.pipelines.similarity import audio_embedding_near_dup
+    from deduplidog_ray.pipelines.similarity import embedded_near_dup
     from deduplidog_ray.stages.decode import DecodeFingerprint
 
+    # pool floor scales with the session: a (1, N) pool ramps one actor
+    # at a time, which dominates a stage this short (same measurement as
+    # stages/embed.py:embed_clips). with_embedding=True fuses the
+    # perceptual tier's spectral vectors into the SAME decode pass —
+    # one decode serves all three tiers (the old shape re-decoded the
+    # survivors for tier 3: measured 14.8 s → the fused pass removes the
+    # whole second decode at sf0.1/32cpu)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     sig = clips.map_batches(
         DecodeFingerprint,
-        concurrency=(1, 8),
+        fn_constructor_kwargs={"with_embedding": True},
+        concurrency=(max(1, min(16, cpus // 2)), 16),
         batch_size=64,
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).select_columns(
         [id_col, "content_hash", "n_bytes", "pcm_hash", "n_frames",
-         "dur_ms_actual", "decode_error"]
-    ).materialize()            # tiny (7 cols), consumed by two tiers
+         "dur_ms_actual", "decode_error", "embedding", "embed_error"]
+    ).materialize()   # skinny (hashes + a 64-f32 vector), 3 tiers read it
 
     # ---- tier 1: identical encoded bytes ----
     # payload-less rows (null/empty bytes → n_bytes == 0) never merge:
@@ -336,12 +345,17 @@ def tiered_clips_dedup(
     )
 
     # ---- tier 3: perceptual (spectral embedding cosine) ----
+    # vectors come from the fused decode pass — survivors are a
+    # streaming filter over the materialized sig table, no re-decode
     removed_so_far = np.concatenate(
         [t1[id_col].to_numpy(), t2[id_col].to_numpy()]
     )
-    surv_clips = _drop_ids(clips, removed_so_far, id_col)
-    pairs = audio_embedding_near_dup(
-        surv_clips, threshold=embed_threshold, id_col=id_col
+    surv_emb = _drop_ids(
+        sig.select_columns([id_col, "embedding", "embed_error"]),
+        removed_so_far, id_col,
+    )
+    pairs = embedded_near_dup(
+        surv_emb, threshold=embed_threshold, id_col=id_col
     )
     if len(pairs):
         ids, root = min_label_components(

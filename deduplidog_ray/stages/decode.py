@@ -66,8 +66,20 @@ class DecodeFingerprint:
     loaded here; in this container only the numpy codecs exist.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, with_embedding: bool = False,
+                 canonical_sr: int = 8000) -> None:
         self.codec_class = CODEC_CLASS
+        # fused spectral embedding: a pipeline that needs BOTH the
+        # exact-tier hashes and perceptual vectors (pipelines/tiered.py)
+        # pays ONE decode instead of two — the embedder's feature math
+        # runs on the chunk's already-decoded PCM (same numbers as
+        # stages/embed.py:AudioEmbedder at identical params, asserted by
+        # tests/test_tiered_clips.py parity with the unfused path)
+        self.embedder = None
+        if with_embedding:
+            from deduplidog_ray.stages.embed import AudioEmbedder
+
+            self.embedder = AudioEmbedder(canonical_sr=canonical_sr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         byts = batch["bytes"]
@@ -81,6 +93,7 @@ class DecodeFingerprint:
         n_frames = np.zeros(n, dtype=np.int32)
         fps: list[bytes | None] = [None] * n
         errors: list[str | None] = [None] * n
+        emb: np.ndarray | None = None
 
         buf_view = byts.combine_chunks() if isinstance(byts, pa.ChunkedArray) else byts
         bufs = _buffer_views(buf_view)       # zero-copy views into Arrow data
@@ -118,6 +131,20 @@ class DecodeFingerprint:
                 for j, i in enumerate(pcm_rows):
                     fps[i] = chunk_fps[j]
                     n_frames[i] = chunk_nf[j]
+                if self.embedder is not None:
+                    from deduplidog_ray.pipelines.audiotransform import (
+                        fft_resample,
+                    )
+
+                    if emb is None:
+                        emb = np.zeros((n, self.embedder.dim),
+                                       dtype=np.float64)
+                    for j, i in enumerate(pcm_rows):
+                        x = fft_resample(
+                            np.asarray(pcms[j], np.float64),
+                            pcm_srs[j], self.embedder.sr,
+                        )
+                        emb[i] = self.embedder._embed_pcm(x)
             del pcms  # decoded PCM never outlives the chunk
 
         content_hash = hash_binary_u64(bufs)
@@ -154,4 +181,18 @@ class DecodeFingerprint:
             if name in out.column_names:
                 out = out.drop_columns([name])
             out = out.append_column(name, arr)
+        if self.embedder is not None:
+            if emb is None:
+                emb = np.zeros((n, self.embedder.dim), dtype=np.float64)
+            vec = pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1).astype(np.float32)),
+                self.embedder.dim,
+            ).cast(pa.list_(pa.float32()))
+            for name, arr in [
+                ("embedding", vec),
+                ("embed_error", pa.array(errors, type=pa.string())),
+            ]:
+                if name in out.column_names:
+                    out = out.drop_columns([name])
+                out = out.append_column(name, arr)
         return out

@@ -163,3 +163,33 @@ def test_same_samples_different_rate_not_merged(removed):
         removed.loc["c03_fast", "tier"] != TIER_EXACT_PCM
     )
     assert "c03" not in removed.index
+
+
+def test_fused_embedding_matches_unfused(ray_session):
+    """The decode-fused embedding (DecodeFingerprint(with_embedding=True))
+    must equal stages/embed.py's AudioEmbedder output bit for bit at the
+    same params — tier 3 of the cascade depends on this parity."""
+    import pandas as pd
+
+    from deduplidog_ray.stages.decode import DecodeFingerprint
+    from deduplidog_ray.stages.embed import embed_clips
+
+    rows = [
+        _row("a", encode(_sig(1), SR, "pcm_s16le"), 2000),
+        _row("b", encode(_sig(2), SR, "ulaw"), 2000, codec="ulaw"),
+        _row("p", b"\x00garbage", 100),      # poison: zero vector + err
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    fused = ds.map_batches(
+        DecodeFingerprint, fn_constructor_kwargs={"with_embedding": True},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=1,
+    ).to_pandas().set_index("clip_id")
+    unfused = embed_clips(
+        rd.from_pandas(pd.DataFrame(rows)), concurrency=1
+    ).to_pandas().set_index("clip_id")
+    for cid in ("a", "b", "p"):
+        fv = np.asarray(fused.loc[cid, "embedding"], dtype=np.float32)
+        uv = np.asarray(unfused.loc[cid, "embedding"], dtype=np.float32)
+        assert np.array_equal(fv, uv), cid
+    assert fused.loc["p", "embed_error"] is not None
+    assert np.all(np.asarray(fused.loc["p", "embedding"]) == 0.0)
