@@ -180,7 +180,7 @@ def _verify_chunk_blocks(
     members live in — ray.get maps them zero-copy from shared memory on
     a node (at most one transfer per node on a cluster), so payload
     bytes never route through the driver or a per-task pickled dict."""
-    tables = ray.get(list(refs))
+    tables = [t for t in ray.get(list(refs)) if len(t)]
     members = {cid for p in pairs for cid in p}
     store: dict = {}
     for t in tables:
@@ -246,7 +246,10 @@ def shifted_dup_pairs(
 
     @ray.remote
     def _block_ids(t: pa.Table) -> list:
-        return t[id_col].to_pylist()
+        # Ray Data may emit a zero-row bundle with an EMPTY schema for an
+        # empty upstream split (executor warns "different schema than the
+        # previous one"); guard by length before touching any column.
+        return t[id_col].to_pylist() if len(t) else []
 
     block_of: dict = {}
     for bi, ids in enumerate(ray.get([_block_ids.remote(b) for b in blocks])):

@@ -132,3 +132,27 @@ def test_no_pairs_on_distinct_corpus(ray_session):
         embed_threshold=0.97, corr_threshold=0.8,
     )
     assert len(out) == 0
+
+
+def test_empty_schema_split_tolerated(ray_session, tmp_path):
+    # Regression: Ray Data can emit a zero-row RefBundle with an EMPTY
+    # schema for an empty upstream split (seen nondeterministically when
+    # a unioned parquet read splits into an empty block late in a long
+    # session); _block_ids must not KeyError on it. Force the condition
+    # deterministically with a zero-row parquet side in the union.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _sig(900)
+    rows = [_row("orig", base),
+            _row("delay", np.r_[np.zeros(SR * 160 // 1000), base])]
+    full = pa.Table.from_pylist(rows)
+    pq.write_table(full, tmp_path / "clips.parquet")
+    pq.write_table(full.slice(0, 0), tmp_path / "empty.parquet")
+    ds = rd.read_parquet(str(tmp_path / "clips.parquet")).union(
+        rd.read_parquet(str(tmp_path / "empty.parquet"))
+    )
+    out = shifted_dup_pairs(ds, embed_threshold=0.97, corr_threshold=0.8,
+                            max_shift_ms=500)
+    assert list(zip(out["clip_a"], out["clip_b"])) == [("delay", "orig")]
+    assert abs(int(out["offset_ms"][0])) == 160
