@@ -923,6 +923,21 @@ def q_text_jaccard_dup(sf_dir: str):
     return text_ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_idf_cosine_dup(sf_dir: str):
+    """IDF-weighted shingle-set cosine near-dup pairs
+    (pipelines/sparsesim.py:idf_cosine_pairs) — the sparse TF-IDF-family
+    similarity: distinct word-3-gram shingles weighted by fixed-point
+    idf, stop-shingles (df > max_df) pruned, cosine over int64 weight
+    sums. All arithmetic is exact integers until one IEEE division, so
+    the DuckDB oracle is bit-exact including the cos column."""
+    from deduplidog_ray.pipelines.sparsesim import idf_cosine_pairs
+
+    return idf_cosine_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        threshold=0.5, max_df=200,
+    )
+
+
 def q_minhash_band_pairs(sf_dir: str):
     """MinHash-LSH CANDIDATE generation, SQL-green end to end: shingle
     md5 hashes, 16 modular permutations, 4x4 band keys, and the
@@ -2463,6 +2478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "text_near_dup": q_text_near_dup,
         "text_jaccard_dup": q_text_jaccard_dup,
+        "idf_cosine_dup": q_idf_cosine_dup,
         "minhash_band_pairs": q_minhash_band_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "minhash_clusters": q_minhash_clusters,
@@ -3092,6 +3108,50 @@ def oracle_sql() -> dict[str, str]:
             FROM sh x JOIN sh y ON x.doc_id < y.doc_id
             WHERE len(list_intersect(x.sg, y.sg))
                   >= 0.7 * len(list_distinct(list_concat(x.sg, y.sg)))
+        """,
+        # idf_cosine_dup: the engine's integer fixed-point idf weights,
+        # int64 weight sums and single final IEEE division are reproduced
+        # number-for-number — the cos column hashes bit-exact (sums are
+        # exact integers on both sides; ln/floor/sqrt/div are identical
+        # IEEE double ops over identical inputs)
+        "idf_cosine_dup": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '\w+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(ts) >= 3 THEN
+                  list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
+                WHEN len(ts) > 0 THEN [array_to_string(ts, chr(30))]
+                ELSE [] END) AS t
+              FROM tok
+            ), df AS (
+              SELECT t, count(*) AS df FROM sh GROUP BY t
+            ), n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), idf AS (
+              SELECT t, CAST(floor(ln(n.n / df) * 1000 + 0.5) AS BIGINT) AS w
+              FROM df, n WHERE df <= 200
+            ), post AS (
+              SELECT sh.doc_id, idf.t, idf.w FROM sh JOIN idf USING (t)
+            ), nrm AS (
+              SELECT doc_id, sum(w * w) AS n2 FROM post GROUP BY doc_id
+            ), dots AS (
+              SELECT x.doc_id AS da, y.doc_id AS db, sum(x.w * x.w) AS dot
+              FROM post x JOIN post y ON x.t = y.t AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+                     AS cos
+            FROM dots JOIN nrm a ON da = a.doc_id JOIN nrm b ON db = b.doc_id
+            WHERE CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+                  >= 0.5
         """,
         # clips_transform: the synthesizer's clip list + metadata are pure
         # integer arithmetic over documents (uid = doc_id at amplify=1;

@@ -288,6 +288,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "minhash_clusters",
         "url_domain_stats",
         "unicode_dedup",
+        "idf_cosine_dup",
     ]:
         if only and name not in only:
             continue
