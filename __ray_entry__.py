@@ -1783,6 +1783,39 @@ def q_embedding_near_dup(sf_dir: str):
     return out.select_columns(["a", "b"])
 
 
+def q_semantic_decontam(sf_dir: str):
+    """Semantic decontamination (decontam.py:semantic_decontaminate):
+    drop train embeddings (vec_id % 4 != 0) within cosine 0.35 of ANY
+    holdout embedding (vec_id % 4 == 0). Same banded-LSH + true-cosine
+    verify as the SQL-green embedding_near_dup (candidate recall 1.0
+    at this geometry), so the surviving-id set equals the oracle's
+    NOT EXISTS cross scan. Only ids are returned (cos values are
+    summation-order-specific)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.decontam import semantic_decontaminate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def _side(rem_zero: bool):
+        def _f(t):
+            import pyarrow as _pa
+
+            m = (t["vec_id"].to_numpy() % 4) == 0
+            return t.filter(_pa.array(m if rem_zero else ~m))
+        return _f
+
+    train = ds.map_batches(_side(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    holdout = ds.map_batches(_side(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = semantic_decontaminate(train, holdout, threshold=0.35)
+    return out.select_columns(["vec_id"])
+
+
 def q_embedding_clusters(sf_dir: str):
     """Connected components of the cosine>=0.35 graph: vec_id →
     cluster_id (= min member). Same verified pair stream as
@@ -2530,6 +2563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "videos_near_dup": q_videos_near_dup,
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_decontam": q_semantic_decontam,
         "embedding_clusters": q_embedding_clusters,
         "embedding_clusters_dist": q_embedding_clusters_dist,
         "tiered_dedup": q_tiered_dedup,
@@ -3740,6 +3774,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
+        """,
+        # semantic decontamination: surviving train ids = NOT EXISTS a
+        # holdout row within the cosine threshold (exhaustive cross scan)
+        "semantic_decontam": """
+            SELECT t.vec_id
+            FROM embeddings t
+            WHERE t.vec_id % 4 <> 0
+              AND NOT EXISTS (
+                SELECT 1 FROM embeddings h
+                WHERE h.vec_id % 4 = 0
+                  AND list_cosine_similarity(t.embedding, h.embedding)
+                      >= 0.35
+              )
         """,
         # connected components of the same pair graph: recursive min-label
         # propagation (walk carries every label that reaches a node; the

@@ -289,6 +289,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "url_domain_stats",
         "unicode_dedup",
         "idf_cosine_dup",
+        "semantic_decontam",
     ]:
         if only and name not in only:
             continue

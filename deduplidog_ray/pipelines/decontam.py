@@ -120,3 +120,72 @@ def decontaminate(
     return train_ds.map_batches(
         _score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def semantic_decontaminate(
+    train_ds: ray.data.Dataset,
+    holdout_ds: ray.data.Dataset,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 64,
+    bits_per_band: int = 4,
+) -> ray.data.Dataset:
+    """SEMANTIC decontamination: drop train rows whose embedding is
+    within cosine ``threshold`` of ANY holdout embedding — the
+    paraphrase-robust complement of the n-gram :func:`decontaminate`
+    (an eval answer reworded shares no 3-grams but still lands next to
+    its source in embedding space).
+
+    Built on the SQL-green banded-LSH cosine machinery
+    (`similarity.py:embedding_near_dup_pairs`, bands=64/r=4 — candidate
+    recall 1.0 measured at the default threshold geometry, true-cosine
+    verify decides): both sides union with the side encoded in the id's
+    LOW BIT (the fuzzy-join trick — ids may overlap between tables),
+    pairs with mixed side bits are contamination hits, and the train
+    side streams through one pairs-bounded ``pc.is_in`` anti-filter.
+    The holdout never needs to broadcast and neither side's vectors
+    concentrate anywhere.
+    """
+    import pyarrow.compute as pc
+
+    from deduplidog_ray.pipelines.similarity import embedding_near_dup_pairs
+
+    def _tag(side: int):
+        def _m(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy().astype(np.int64)
+            return pa.table({
+                id_col: pa.array((ids << 1) | side),
+                vec_col: t[vec_col],
+            })
+        return _m
+
+    union = train_ds.map_batches(
+        _tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(holdout_ds.map_batches(
+        _tag(1), batch_format="pyarrow", zero_copy_batch=True
+    ))
+    pairs = embedding_near_dup_pairs(
+        union, threshold=threshold, bands=bands,
+        bits_per_band=bits_per_band, id_col=id_col, vec_col=vec_col,
+        center=True,
+    )
+    hit_parts = []
+    for b in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        a = b["a"].to_numpy()
+        bb = b["b"].to_numpy()
+        cross = ((a ^ bb) & 1) == 1
+        tr = np.where((a[cross] & 1) == 0, a[cross], bb[cross]) >> 1
+        hit_parts.append(tr)
+    hits = pa.array(
+        np.unique(np.concatenate(hit_parts)) if hit_parts
+        else np.empty(0, np.int64)
+    )
+
+    def _anti(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t[id_col], value_set=hits))
+        return t.filter(keep)
+
+    return train_ds.map_batches(
+        _anti, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -70,3 +70,35 @@ def test_decontaminate_drop_mode_and_empty_holdout(ray_session):
     assert len(holdout_ngram_set(rd.from_arrow(_tbl({})))) == 0
     allkept = decontaminate(rd.from_arrow(_tbl(train)), rd.from_arrow(_tbl({})), mode="drop").to_pandas()
     assert sorted(allkept["doc_id"]) == [1, 2, 3]
+
+
+def test_semantic_decontaminate_overlapping_ids(ray_session):
+    """Cross-table cosine anti-join; ids may COLLIDE between train and
+    holdout (the low-bit side encoding must keep them apart)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.decontam import semantic_decontaminate
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # train: rows 0..3; holdout: one row NEAR train row 1 (same vector,
+    # tiny jitter) and one far row — and the holdout row REUSES id 0
+    jit = base[1] + 0.01 * rng.normal(size=16).astype(np.float32)
+    train = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(4, dtype=np.int64),
+        "embedding": [v.tolist() for v in base],
+    }))
+    holdout = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.array([0, 9], dtype=np.int64),
+        "embedding": [jit.tolist(), (-base[3]).tolist()],
+    }))
+    out = semantic_decontaminate(train, holdout, threshold=0.9)
+    survivors = sorted(out.to_pandas()["vec_id"])
+    # row 1 is contaminated (cos ~ 1 with the jittered holdout row);
+    # train row 0 must NOT be dropped just because a holdout row shares
+    # its id; -base[3] has cos -1 with row 3 (below threshold)
+    assert survivors == [0, 2, 3]
