@@ -1816,6 +1816,41 @@ def q_semantic_decontam(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_clips_dedup_savings(sf_dir: str):
+    """The dedup SAVINGS report over the clips table
+    (pipelines/exact.py:dedup_savings): per sample rate, clips dropped
+    and audio milliseconds saved by a keep-first exact dedup on the
+    container-invariant decoded-PCM hash. ≙ the reference's
+    size_affected summary counter as a keyed aggregate. SQL-green: the
+    synthesizer plants byte-exact twins at doc_id % 10 == 0 only, with
+    dur/sr pure integer functions of doc_id, so the oracle reconstructs
+    the report from the documents table."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.exact import dedup_savings
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+    from deduplidog_ray.stages.decode import DecodeFingerprint
+
+    ds = ray.data.read_parquet(
+        clips_from_documents(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"],
+    )
+    sigs = ds.map_batches(
+        DecodeFingerprint(), batch_format="pyarrow", batch_size=256,
+        zero_copy_batch=True,
+    ).select_columns(["clip_id", "pcm_hash", "sr_hz", "dur_ms"])
+    out = dedup_savings(
+        sigs, key_cols=["pcm_hash"], id_col="clip_id",
+        weight_col="dur_ms", group_col="sr_hz",
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["ms_saved" if c == "saved" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_embedding_clusters(sf_dir: str):
     """Connected components of the cosine>=0.35 graph: vec_id →
     cluster_id (= min member). Same verified pair stream as
@@ -2564,6 +2599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embed_near_dup": q_text_embed_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_decontam": q_semantic_decontam,
+        "clips_dedup_savings": q_clips_dedup_savings,
         "embedding_clusters": q_embedding_clusters,
         "embedding_clusters_dist": q_embedding_clusters_dist,
         "tiered_dedup": q_tiered_dedup,
@@ -3774,6 +3810,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
+        """,
+        # dedup savings report: exact-duplicate twins exist at
+        # doc_id % 10 == 0 only (byte-exact re-encode; the %10==1 u-law
+        # and %10==2 noised variants change the quantized PCM), canonical
+        # is the min clip_id ('_d' < '_o'), so the dropped member is the
+        # '_o' original with dur/sr from the synthesizer's integer
+        # formulas (amplify=1 ⇒ uid = doc_id)
+        "clips_dedup_savings": """
+            WITH d AS (
+              SELECT doc_id AS uid,
+                     600 + (doc_id * 37) % 1800 AS dur,
+                     [8000, 16000, 22050][(doc_id % 3) + 1] AS sr
+              FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT CAST(sr AS INTEGER) AS sr_hz,
+                   count(*) AS clips_dropped,
+                   CAST(sum(dur) AS BIGINT) AS ms_saved
+            FROM d GROUP BY sr
         """,
         # semantic decontamination: surviving train ids = NOT EXISTS a
         # holdout row within the cosine threshold (exhaustive cross scan)

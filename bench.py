@@ -290,6 +290,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "unicode_dedup",
         "idf_cosine_dup",
         "semantic_decontam",
+        "clips_dedup_savings",
     ]:
         if only and name not in only:
             continue

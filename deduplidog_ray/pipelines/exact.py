@@ -200,6 +200,70 @@ def dup_stats_by_group(
     return agg.map_batches(_final, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _savings_partition(
+    t: pa.Table, key_cols: list[str], id_col: str, weight_col: str,
+    group_col: str,
+) -> pa.Table:
+    """Per-partition partial: (group, rows dropped, weight saved) when
+    every duplicate key keeps only its min-``id_col`` member. True-key
+    grouping (not the 64-bit hash) — same collision rule as
+    ``_keep_first_partition``; keys are co-located by the hash
+    partitioner so partials are exact and additive."""
+    g = t.to_pandas()
+    keep = g.groupby(key_cols, sort=False, dropna=False)[id_col].transform(
+        "min"
+    )
+    dropped = g[g[id_col] != keep]
+    agg = dropped.groupby(group_col, sort=False, dropna=False).agg(
+        n=(id_col, "size"), w=(weight_col, "sum")
+    )
+    return pa.table(
+        {
+            group_col: pa.array(
+                agg.index.to_numpy(),
+                type=t.schema.field(group_col).type,
+                from_pandas=True,
+            ),
+            "clips_dropped": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+            "saved": pa.array(agg["w"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def dedup_savings(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    partitions: int = DEFAULT_PARTITIONS,
+) -> ray.data.Dataset:
+    """The dedup SAVINGS report: per ``group_col``, how many rows and how
+    much ``weight_col`` (bytes, milliseconds, tokens) a keep-first exact
+    dedup would remove. ≙ the reference's ``size_affected`` run counter
+    (deduplidog.py:243-251, :317-325 — "how much disk does this free?")
+    lifted to a keyed corpus aggregate.
+
+    Same two-exchange shape as :func:`dup_stats_by_group`: hash-partition
+    by KEY so keep-first decisions are exact in-partition, then one tiny
+    grouped sum over ≤ P × |groups| partials.
+    """
+    hashed = add_key_hash(ds, key_cols, partitions=partitions)
+    partials = hashed.groupby("_part").map_groups(
+        lambda t: _savings_partition(t, key_cols, id_col, weight_col,
+                                     group_col),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby(group_col).sum(["clips_dropped", "saved"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        ren = {"sum(clips_dropped)": "clips_dropped", "sum(saved)": "saved"}
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    return agg.map_batches(_final, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def cluster_size_histogram(
     ds: ray.data.Dataset,
     key_cols: list[str] | None = None,

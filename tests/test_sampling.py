@@ -310,3 +310,28 @@ def test_quantile_sketch_rank_error_bound(ray_session):
         # the tiny group is exact (fewer than k values → nothing thinned)
         sv = np.sort(vals[np.asarray(keys) == "small"])
         assert got.loc["small", "p50"] in sv
+
+
+def test_dedup_savings_report(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.exact import dedup_savings
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6, 7],
+        "key": ["a", "a", "a", "b", "b", "c", "d"],
+        "grp": ["x", "x", "y", "y", "y", "x", "y"],
+        "w": [10, 20, 30, 5, 7, 100, 1],
+    })
+    out = dedup_savings(
+        rd.from_pandas(df), key_cols=["key"], id_col="id",
+        weight_col="w", group_col="grp",
+    ).to_pandas().sort_values("grp").reset_index(drop=True)
+    # key a keeps id 1 -> drops id2 (x, 20) and id3 (y, 30);
+    # key b keeps id 4 -> drops id5 (y, 7); c and d are singletons
+    assert list(out["grp"]) == ["x", "y"]
+    assert list(out["clips_dropped"]) == [1, 2]
+    assert list(out["saved"]) == [20, 37]
