@@ -1655,6 +1655,59 @@ def q_clips_landmark_dups(sf_dir: str):
     return landmark_dup_pairs(ds.union(variants))
 
 
+def q_clips_snippet_search(sf_dir: str):
+    """Query-by-example audio retrieval
+    (pipelines/audiofp.py:snippet_search): a deterministic 1-in-64
+    sample of the textured clips ships as 30%..70% middle crops — each
+    query snippet must retrieve its source clip with the crop's start
+    offset. Rows-only (payload decode + STFT); frame-accurate
+    offset/recall gates in tests/test_snippet_search.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from deduplidog_ray.audio.codecs import decode, encode
+    from deduplidog_ray.pipelines.audiofp import snippet_search
+    from deduplidog_ray.sources.from_documents import (
+        textured_clips_from_documents,
+    )
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    corpus = ray.data.read_parquet(
+        textured_clips_from_documents(sf_dir), columns=cols
+    )
+
+    def _crops(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in cols}
+        for i in range(len(t)):
+            cid = t["clip_id"][i].as_py()
+            did = int(cid.split("_")[1])
+            if did % 64 != 7:
+                continue
+            sr = int(t["sr_hz"][i].as_py())
+            pcm, _ = decode(t["bytes"][i].as_py(), t["codec"][i].as_py())
+            s, e = int(0.3 * len(pcm)), int(0.7 * len(pcm))
+            crop = np.asarray(pcm[s:e], dtype=np.float32)
+            out["clip_id"].append(f"snip_{did:09d}")
+            out["bytes"].append(encode(crop, sr, "pcm_s16le"))
+            out["sr_hz"].append(sr)
+            out["dur_ms"].append(int(1000 * len(crop) / sr))
+            out["codec"].append("pcm_s16le")
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], type=pa.string()),
+            "bytes": pa.array(out["bytes"], type=pa.binary()),
+            "sr_hz": pa.array(out["sr_hz"], type=pa.int32()),
+            "dur_ms": pa.array(out["dur_ms"], type=pa.int32()),
+            "codec": pa.array(out["codec"], type=pa.string()),
+        })
+
+    queries = corpus.map_batches(
+        _crops, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return snippet_search(corpus, queries, top_k=3)
+
+
 def q_clips_audio_stats(sf_dir: str):
     """Per-clip audio stats (peak/clipping/silence/power) over the decoded
     int16 payload — rows-only (DuckDB cannot decode RIFF/µ-law); the exact
@@ -2589,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_segments": q_clips_segments,
         "clips_shifted_dups": q_clips_shifted_dups,
         "clips_landmark_dups": q_clips_landmark_dups,
+        "clips_snippet_search": q_clips_snippet_search,
         "clips_transform": q_clips_transform,
         "clips_embed_near_dup": q_clips_embed_near_dup,
         "source_distinct_hll": q_source_distinct_hll,

@@ -872,3 +872,109 @@ def landmark_dup_pairs(
     if confirmed.empty:
         return pd.DataFrame(columns=PAIR_COLUMNS)
     return confirmed.sort_values(["clip_a", "clip_b"]).reset_index(drop=True)
+
+
+#: query-side id prefix for snippet_search — \x1f cannot appear in the
+#: synthesizer/user clip-id conventions this repo uses (asserted below)
+_QUERY_PREFIX = "q\x1f"
+
+SEARCH_COLUMNS = ["query_id", "clip_id", "offset_ms", "votes", "rank"]
+
+
+def snippet_search(
+    corpus: ray.data.Dataset,
+    queries: ray.data.Dataset,
+    top_k: int = 3,
+    id_col: str = "clip_id",
+    min_votes: int = 12,
+    min_coverage: float = 0.02,
+    min_hash_coverage: float = 0.065,
+    **landmark_kwargs,
+) -> pd.DataFrame:
+    """Query-by-example audio retrieval: for each query clip (a snippet),
+    the corpus clips that CONTAIN it, with the snippet's start offset —
+    the serving-side twin of :func:`landmark_dup_pairs` (Shazam-style:
+    same constellation hashes, same offset-histogram voting; the "query"
+    is just a very short clip).
+
+    Returns (query_id, clip_id, offset_ms, votes, rank): ``offset_ms``
+    is where the snippet starts inside the corpus clip, ``rank`` orders
+    a query's matches by votes (1 = best), at most ``top_k`` per query.
+
+    Shape: queries union the corpus with a side-prefixed id and ride the
+    SAME bounded hash-bucket exchange; cross-side pairs are kept. The
+    corpus side still pairs against itself inside buckets (bounded by
+    ``bucket_cap`` — identical cost to the dedup op); a dedicated
+    serving index would hash the corpus ONCE and probe query hashes
+    against stored buckets without corpus-corpus pairing — that is an
+    index-build + lookup split of this same exchange, not a different
+    algorithm.
+
+    Fuzzy-coverage gates are applied to the QUERY side: a 2-second
+    snippet can never cover 6.5% of an hour-long clip's hashes, so the
+    corpus-side hash_coverage gate of the dedup op would reject every
+    hit; min_coverage/min_hash_coverage here bound the matched fraction
+    of the SNIPPET's landmarks instead.
+    """
+    import pyarrow.compute as pc
+
+    def _tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        assert not any(_QUERY_PREFIX in (s or "") for s in ids), \
+            "corpus/query clip ids must not contain the q\\x1f prefix"
+        tagged = pa.array([_QUERY_PREFIX + (s or "") for s in ids],
+                          type=pa.string())
+        return t.set_column(
+            t.column_names.index(id_col), id_col, tagged
+        )
+
+    # both sides go through an Arrow map: a union of raw pandas-backed
+    # blocks with Arrow-mapped ones trips Ray's block-type assertion
+    # inside downstream map workers
+    union = corpus.map_batches(
+        lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        queries.map_batches(_tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    )
+    # votes/coverage gates: coverage_a/b are per-side matched fractions;
+    # keep the pair when the QUERY side clears them (checked below), so
+    # hand the kernel the loosest corpus-side gates it accepts
+    pairs = landmark_dup_pairs(
+        union, min_votes=min_votes, min_coverage=0.0,
+        min_hash_coverage=0.0, id_col=id_col, **landmark_kwargs,
+    )
+    if pairs.empty:
+        return pd.DataFrame(columns=SEARCH_COLUMNS)
+    a_is_q = pairs["clip_a"].str.startswith(_QUERY_PREFIX)
+    b_is_q = pairs["clip_b"].str.startswith(_QUERY_PREFIX)
+    cross = a_is_q ^ b_is_q
+    p = pairs[cross]
+    if p.empty:
+        return pd.DataFrame(columns=SEARCH_COLUMNS)
+    aq = a_is_q[cross].to_numpy()
+    qid = np.where(aq, p["clip_a"], p["clip_b"])
+    cid = np.where(aq, p["clip_b"], p["clip_a"])
+    # offset_ms = how much later the content plays in clip_b than in
+    # clip_a; the snippet starts at 0 in the query, so its start in the
+    # corpus clip is +offset when the query is side a, -offset otherwise
+    off = np.where(aq, p["offset_ms"], -p["offset_ms"]).astype(np.int64)
+    qcov = np.where(aq, p["coverage_a"], p["coverage_b"]).astype(np.float64)
+    qhash = np.where(
+        aq, p["hash_coverage"], p["hash_coverage"]
+    ).astype(np.float64)
+    out = pd.DataFrame({
+        "query_id": [s[len(_QUERY_PREFIX):] for s in qid],
+        "clip_id": cid,
+        "offset_ms": off,
+        "votes": p["votes"].to_numpy(),
+        "qcov": qcov, "qhash": qhash,
+    })
+    out = out[(out["qcov"] >= min_coverage) | (out["qhash"] >= min_hash_coverage)]
+    out = out.sort_values(
+        ["query_id", "votes", "clip_id"],
+        ascending=[True, False, True],
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[out["rank"] <= top_k]
+    return out[SEARCH_COLUMNS].reset_index(drop=True)
