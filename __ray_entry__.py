@@ -938,6 +938,18 @@ def q_idf_cosine_dup(sf_dir: str):
     )
 
 
+def q_source_keywords(sf_dir: str):
+    """Per-source distinguishing key-shingles by c-TF-IDF
+    (pipelines/sparsesim.py:source_keywords): integer fixed-point
+    source-idf × per-source doc counts, ties broken by shingle string —
+    bit-reproducible by a SQL QUALIFY row_number oracle."""
+    from deduplidog_ray.pipelines.sparsesim import source_keywords
+
+    return source_keywords(
+        _docs(sf_dir, columns=["doc_id", "source", "text"]), top_k=3
+    )
+
+
 def q_minhash_band_pairs(sf_dir: str):
     """MinHash-LSH CANDIDATE generation, SQL-green end to end: shingle
     md5 hashes, 16 modular permutations, 4x4 band keys, and the
@@ -2600,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_near_dup": q_text_near_dup,
         "text_jaccard_dup": q_text_jaccard_dup,
         "idf_cosine_dup": q_idf_cosine_dup,
+        "source_keywords": q_source_keywords,
         "minhash_band_pairs": q_minhash_band_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "minhash_clusters": q_minhash_clusters,
@@ -3276,6 +3289,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(dot AS DOUBLE)
                     / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
                   >= 0.5
+        """,
+        # source_keywords: integer c-TF-IDF scores (doc counts x fixed-
+        # point source-idf) with a deterministic (score DESC, shingle)
+        # tie-break — rank and score hash bit-exact
+        "source_keywords": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_extract_all(lower(text), '\w+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, source, unnest(CASE WHEN len(ts) >= 3 THEN
+                  list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
+                WHEN len(ts) > 0 THEN [array_to_string(ts, chr(30))]
+                ELSE [] END) AS t
+              FROM tok
+            ), s AS (
+              SELECT CAST(count(DISTINCT source) AS DOUBLE) AS s
+              FROM documents
+            ), dfs AS (
+              SELECT t, count(DISTINCT source) AS ds FROM sh GROUP BY t
+            ), w AS (
+              SELECT t, CAST(floor(ln(s.s / ds) * 1000 + 0.5) AS BIGINT)
+                       AS w
+              FROM dfs, s
+            ), tf AS (
+              SELECT source, t, count(*) AS tf FROM sh GROUP BY 1, 2
+            )
+            SELECT tf.source, tf.t AS shingle,
+                   CAST(tf.tf * w.w AS BIGINT) AS score,
+                   CAST(row_number() OVER (
+                     PARTITION BY tf.source
+                     ORDER BY tf.tf * w.w DESC, tf.t ASC
+                   ) AS BIGINT) AS rank
+            FROM tf JOIN w USING (t)
+            QUALIFY rank <= 3
         """,
         # clips_transform: the synthesizer's clip list + metadata are pure
         # integer arithmetic over documents (uid = doc_id at amplify=1;

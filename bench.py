@@ -290,6 +290,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "url_domain_stats",
         "unicode_dedup",
         "idf_cosine_dup",
+        "source_keywords",
         "semantic_decontam",
         "clips_dedup_savings",
     ]:

@@ -260,3 +260,106 @@ def idf_cosine_pairs(
         "cos": cos[keep],
     })
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def source_keywords(
+    ds: ray.data.Dataset,
+    top_k: int = 3,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    partitions: int | None = None,
+) -> pd.DataFrame:
+    """Per-source distinguishing key-shingles by c-TF-IDF: score(s, t) =
+    tf(s, t) · w(t), with tf = number of docs in source s containing
+    shingle t (distinct-per-doc) and w(t) the fixed-point idf over
+    SOURCES, floor(ln(S / df_sources(t)) · 1000 + 0.5). Integer scores
+    ⇒ exact, order-free; ties break by shingle string — bit-reproducible
+    by a SQL QUALIFY oracle.
+
+    The corpus-QA question "what is each source's signature content?" —
+    the per-source counterpart of `textops.top_tokens` (raw heavy
+    hitters), weighted so cross-source boilerplate drops out.
+
+    Shape: ONE shingle-hash-partitioned exchange. A shingle lives wholly
+    in one partition, so per-partition per-source top-k partials are
+    globally correct candidates; the driver merges S × P × k tiny rows.
+    """
+    import ray
+
+    n_sources = ds.map_batches(
+        lambda t: pa.table({group_col: pc.unique(t[group_col])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()[group_col].nunique()
+    if partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if (
+            ray.is_initialized()
+        ) else 8
+        partitions = max(8, min(64, cpus))
+
+    def _postings(t: pa.Table) -> pa.Table:
+        # distinct (shingle, doc) postings + the doc's source
+        p = _shingle_postings(t, text_col, id_col, shingle_k)
+        src_of = dict(zip(t[id_col].to_pylist(), t[group_col].to_pylist()))
+        docs = p["doc"].to_pylist()
+        return p.append_column(
+            group_col,
+            pa.array([src_of[d] for d in docs], type=pa.string()),
+        )
+
+    def _part(t: pa.Table) -> pa.Table:
+        from deduplidog_ray.stages.hashing import hash_strings_u64
+
+        h = hash_strings_u64(t["token"].to_pylist(), seed=0x51A5)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(partitions)).astype(np.int64))
+        )
+
+    def _topk_partial(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({group_col: pd.Series(dtype=object),
+                                 "shingle": pd.Series(dtype=object),
+                                 "score": pd.Series(dtype=np.int64)})
+        # per-shingle source df (over ALL sources) and per (source,
+        # shingle) doc counts — the shingle is whole in this partition
+        dfs = g.groupby("token", sort=False)[group_col].nunique()
+        w = np.floor(
+            np.log(float(n_sources) / dfs.to_numpy(np.float64)) * 1000.0
+            + 0.5
+        ).astype(np.int64)
+        wmap = dict(zip(dfs.index, w))
+        tf = (
+            g.groupby([group_col, "token"], sort=False)
+            .size().reset_index(name="tf")
+        )
+        tf["score"] = tf["tf"].to_numpy(np.int64) * np.fromiter(
+            (wmap[t] for t in tf["token"]), dtype=np.int64, count=len(tf)
+        )
+        tf = tf.sort_values(
+            ["score", "token"], ascending=[False, True], kind="stable"
+        )
+        out = tf.groupby(group_col, sort=False).head(top_k)
+        return pd.DataFrame({
+            group_col: out[group_col].to_numpy(),
+            "shingle": out["token"].to_numpy(),
+            "score": out["score"].to_numpy(np.int64),
+        })
+
+    partials = ds.map_batches(
+        _postings, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("part").map_groups(_topk_partial, batch_format="pandas")
+
+    cand = partials.to_pandas()          # <= S x P x k rows
+    cand = cand.sort_values(
+        ["score", "shingle"], ascending=[False, True], kind="stable"
+    )
+    out = cand.groupby(group_col, sort=False).head(top_k)
+    out = out.rename(columns={group_col: group_col})
+    out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+    return (
+        out.sort_values([group_col, "rank"])
+        .reset_index(drop=True)[[group_col, "shingle", "score", "rank"]]
+    )
