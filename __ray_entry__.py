@@ -1667,6 +1667,39 @@ def q_clips_landmark_dups(sf_dir: str):
     return landmark_dup_pairs(ds.union(variants))
 
 
+def _snippet_crops(t):
+    """Deterministic query snippets for the retrieval queries: the
+    1-in-64 textured clips (doc_id % 64 == 7), cropped 30%..70%."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplidog_ray.audio.codecs import decode, encode
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    out = {k: [] for k in cols}
+    for i in range(len(t)):
+        cid = t["clip_id"][i].as_py()
+        did = int(cid.split("_")[1])
+        if did % 64 != 7:
+            continue
+        sr = int(t["sr_hz"][i].as_py())
+        pcm, _ = decode(t["bytes"][i].as_py(), t["codec"][i].as_py())
+        s, e = int(0.3 * len(pcm)), int(0.7 * len(pcm))
+        crop = np.asarray(pcm[s:e], dtype=np.float32)
+        out["clip_id"].append(f"snip_{did:09d}")
+        out["bytes"].append(encode(crop, sr, "pcm_s16le"))
+        out["sr_hz"].append(sr)
+        out["dur_ms"].append(int(1000 * len(crop) / sr))
+        out["codec"].append("pcm_s16le")
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"], type=pa.string()),
+        "bytes": pa.array(out["bytes"], type=pa.binary()),
+        "sr_hz": pa.array(out["sr_hz"], type=pa.int32()),
+        "dur_ms": pa.array(out["dur_ms"], type=pa.int32()),
+        "codec": pa.array(out["codec"], type=pa.string()),
+    })
+
+
 def q_clips_snippet_search(sf_dir: str):
     """Query-by-example audio retrieval
     (pipelines/audiofp.py:snippet_search): a deterministic 1-in-64
@@ -1674,12 +1707,8 @@ def q_clips_snippet_search(sf_dir: str):
     query snippet must retrieve its source clip with the crop's start
     offset. Rows-only (payload decode + STFT); frame-accurate
     offset/recall gates in tests/test_snippet_search.py."""
-    import numpy as np
-    import pyarrow as pa
-
     import ray.data
 
-    from deduplidog_ray.audio.codecs import decode, encode
     from deduplidog_ray.pipelines.audiofp import snippet_search
     from deduplidog_ray.sources.from_documents import (
         textured_clips_from_documents,
@@ -1689,35 +1718,44 @@ def q_clips_snippet_search(sf_dir: str):
     corpus = ray.data.read_parquet(
         textured_clips_from_documents(sf_dir), columns=cols
     )
-
-    def _crops(t: pa.Table) -> pa.Table:
-        out = {k: [] for k in cols}
-        for i in range(len(t)):
-            cid = t["clip_id"][i].as_py()
-            did = int(cid.split("_")[1])
-            if did % 64 != 7:
-                continue
-            sr = int(t["sr_hz"][i].as_py())
-            pcm, _ = decode(t["bytes"][i].as_py(), t["codec"][i].as_py())
-            s, e = int(0.3 * len(pcm)), int(0.7 * len(pcm))
-            crop = np.asarray(pcm[s:e], dtype=np.float32)
-            out["clip_id"].append(f"snip_{did:09d}")
-            out["bytes"].append(encode(crop, sr, "pcm_s16le"))
-            out["sr_hz"].append(sr)
-            out["dur_ms"].append(int(1000 * len(crop) / sr))
-            out["codec"].append("pcm_s16le")
-        return pa.table({
-            "clip_id": pa.array(out["clip_id"], type=pa.string()),
-            "bytes": pa.array(out["bytes"], type=pa.binary()),
-            "sr_hz": pa.array(out["sr_hz"], type=pa.int32()),
-            "dur_ms": pa.array(out["dur_ms"], type=pa.int32()),
-            "codec": pa.array(out["codec"], type=pa.string()),
-        })
-
     queries = corpus.map_batches(
-        _crops, batch_format="pyarrow", zero_copy_batch=True
+        _snippet_crops, batch_format="pyarrow", zero_copy_batch=True
     )
     return snippet_search(corpus, queries, top_k=3)
+
+
+def q_clips_index_search(sf_dir: str):
+    """Serving-shaped retrieval (pipelines/audioindex.py): the corpus
+    landmark index is built ONCE into a cached directory (the
+    index-build + lookup split of snippet_search — probes never re-hash
+    the corpus), then the same 1-in-64 crop queries probe it. Rows-only;
+    offset/agreement gates in tests/test_audioindex.py."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.audioindex import (
+        build_landmark_index,
+        search_landmark_index,
+    )
+    from deduplidog_ray.sources.from_documents import (
+        _cached_parquet_dir,
+        textured_clips_from_documents,
+    )
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    corpus_path = textured_clips_from_documents(sf_dir)
+
+    def _build(tmp: str) -> None:
+        build_landmark_index(
+            ray.data.read_parquet(corpus_path, columns=cols), tmp
+        )
+
+    idx = _cached_parquet_dir("lmindex-v1", sf_dir, _build, force=False)
+    queries = ray.data.read_parquet(
+        corpus_path, columns=cols
+    ).map_batches(
+        _snippet_crops, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return search_landmark_index(idx, queries, top_k=3)
 
 
 def q_clips_audio_stats(sf_dir: str):
@@ -2656,6 +2694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_shifted_dups": q_clips_shifted_dups,
         "clips_landmark_dups": q_clips_landmark_dups,
         "clips_snippet_search": q_clips_snippet_search,
+        "clips_index_search": q_clips_index_search,
         "clips_transform": q_clips_transform,
         "clips_embed_near_dup": q_clips_embed_near_dup,
         "source_distinct_hll": q_source_distinct_hll,

@@ -231,6 +231,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "clips_segments",
         "clips_shifted_dups",
         "clips_snippet_search",
+        "clips_index_search",
         "clips_transform",
         "clips_embed_near_dup",
         "knn_cosine",

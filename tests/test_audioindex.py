@@ -1,0 +1,85 @@
+"""Persistent landmark index: build once, probe many — planted crops
+retrieved at frame-accurate offsets, probe reuse without rebuild,
+agreement with the one-shot snippet_search."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from deduplidog_ray.audio.codecs import encode
+from deduplidog_ray.audio.synth import make_pcm_textured
+from deduplidog_ray.pipelines.audioindex import (
+    build_landmark_index,
+    search_landmark_index,
+)
+
+SR = 8000
+
+
+def _clip(cid: str, pcm: np.ndarray) -> dict:
+    return {
+        "clip_id": cid, "bytes": encode(pcm.astype(np.float32), SR,
+                                        "pcm_s16le"),
+        "sr_hz": SR, "dur_ms": int(1000 * len(pcm) / SR),
+        "codec": "pcm_s16le",
+    }
+
+
+def _mk_queries(corpus_pcm, crops):
+    qrows = []
+    for qid, (src, start_ms) in crops.items():
+        s = SR * start_ms // 1000
+        qrows.append(_clip(qid, corpus_pcm[src][s: s + SR * 9 // 10]))
+    qrows.append(_clip("q_none", make_pcm_textured(999, 900, SR)))
+    return rd.from_pandas(pd.DataFrame(qrows))
+
+
+def test_build_then_probe_twice(ray_session, tmp_path):
+    corpus_pcm = {f"c{i}": make_pcm_textured(200 + i, 2500, SR)
+                  for i in range(10)}
+    corpus = rd.from_pandas(pd.DataFrame(
+        [_clip(cid, p) for cid, p in corpus_pcm.items()]
+    ))
+    idx = build_landmark_index(corpus, str(tmp_path / "lmidx"),
+                               partitions=8)
+    assert os.path.exists(os.path.join(idx, "manifest.json"))
+    assert os.path.exists(os.path.join(idx, "ids.parquet"))
+
+    crops = {"q_a": ("c3", 700), "q_b": ("c7", 300)}
+    out = search_landmark_index(idx, _mk_queries(corpus_pcm, crops))
+    top = out[out["rank"] == 1].set_index("query_id")
+    for qid, (src, start_ms) in crops.items():
+        assert top.loc[qid, "clip_id"] == src
+        assert abs(int(top.loc[qid, "offset_ms"]) - start_ms) <= 32
+    assert "q_none" not in set(out["query_id"])
+
+    # second probe batch against the SAME index dir — no rebuild
+    crops2 = {"q_c": ("c0", 1200)}
+    out2 = search_landmark_index(idx, _mk_queries(corpus_pcm, crops2))
+    t2 = out2[out2["rank"] == 1].set_index("query_id")
+    assert t2.loc["q_c", "clip_id"] == "c0"
+    assert abs(int(t2.loc["q_c", "offset_ms"]) - 1200) <= 32
+
+
+def test_index_probe_agrees_with_one_shot_search(ray_session, tmp_path):
+    from deduplidog_ray.pipelines.audiofp import snippet_search
+
+    corpus_pcm = {f"c{i}": make_pcm_textured(300 + i, 2000, SR)
+                  for i in range(6)}
+    corpus = rd.from_pandas(pd.DataFrame(
+        [_clip(cid, p) for cid, p in corpus_pcm.items()]
+    ))
+    crops = {"q_a": ("c1", 500), "q_b": ("c4", 900)}
+    queries = _mk_queries(corpus_pcm, crops)
+    idx = build_landmark_index(corpus, str(tmp_path / "lmidx2"),
+                               partitions=8)
+    a = search_landmark_index(idx, queries)
+    b = snippet_search(corpus, queries)
+    am = a[a["rank"] == 1].set_index("query_id")
+    bm = b[b["rank"] == 1].set_index("query_id")
+    for qid in crops:
+        assert am.loc[qid, "clip_id"] == bm.loc[qid, "clip_id"]
+        assert int(am.loc[qid, "offset_ms"]) == int(bm.loc[qid, "offset_ms"])
