@@ -301,3 +301,128 @@ def search_landmark_index(
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     out = out[out["rank"] <= top_k]
     return out[out_cols].reset_index(drop=True)
+
+
+def extend_landmark_index(
+    index_dir: str,
+    new_clips: ray.data.Dataset,
+    id_col: str = "clip_id",
+) -> str:
+    """Incrementally ingest new clips into an EXISTING index — hash only
+    the increment, append its bucket rows as new parquet files inside
+    the existing ``part=`` directories (readers glob the directory, so
+    append = add files; no rewrite of prior data), and extend the id
+    map + meta. ≙ the incremental-corpus contract of
+    `pipelines/incremental.py` applied to the serving index: the corpus
+    already indexed is never re-read, never re-hashed, never shuffled.
+
+    New clip ids must be new: a cid64 already present in ids.parquet
+    with a DIFFERENT clip_id raises (collision), with the SAME clip_id
+    is skipped idempotently (re-ingest of the same shard is a no-op for
+    the id map; its landmark rows are deduplicated by skipping).
+    """
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    params = {k: man[k] for k in _PARAM_KEYS}
+    partitions = int(man["partitions"])
+
+    ids_path = os.path.join(index_dir, "ids.parquet")
+    known = pq.read_table(ids_path).to_pandas()
+    known_map = dict(zip(known["cid"], known["clip_id"]))
+
+    lm = new_clips.map_batches(
+        _LandmarkStage,
+        fn_constructor_kwargs=dict(**params, id_col=id_col, skinny=True),
+        concurrency=(1, 16),
+        batch_size=32,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        h = t["hash"].to_numpy()
+        part = np.where(
+            h < 0,
+            np.int64(partitions),
+            (h.view(np.uint64) % np.uint64(partitions)).astype(np.int64),
+        )
+        return t.append_column("part", pa.array(part))
+
+    import uuid
+
+    stage = os.path.join(index_dir, f"ingest-{uuid.uuid4().hex[:8]}")
+    lm.map_batches(
+        _part, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(stage, partition_cols=["part"])
+
+    # id map first: detect collisions / already-ingested ids BEFORE any
+    # bucket rows move
+    import shutil
+
+    id_dir = os.path.join(stage, f"part={partitions}")
+    id_files = glob.glob(os.path.join(id_dir, "*.parquet"))
+    new_ids = pa.concat_tables(
+        [pq.read_table(f, columns=["cid", "clip_id"]) for f in id_files]
+    ).to_pandas().drop_duplicates() if id_files else pd.DataFrame(
+        {"cid": pd.Series(dtype=np.int64),
+         "clip_id": pd.Series(dtype=object)}
+    )
+    dup_in_new = new_ids[new_ids["cid"].duplicated(keep=False)]
+    clash = [
+        (c, s) for c, s in zip(new_ids["cid"], new_ids["clip_id"])
+        if known_map.get(c, s) != s
+    ]
+    if len(dup_in_new) or clash:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(f"cid64 collision on ingest: {clash[:4]}")
+    skip_cids = {
+        int(c) for c in new_ids["cid"] if int(c) in known_map
+    }
+    fresh = new_ids[~new_ids["cid"].isin(skip_cids)]
+
+    # increment meta BEFORE moving (the staged files hold exactly the
+    # increment's rows — meta stays increment-bounded, never a re-read
+    # of the whole index), then move bucket files into place, filtering
+    # already-ingested clips
+    stage_parts = sorted(
+        d for d in glob.glob(os.path.join(stage, "part=*")) if d != id_dir
+    )
+    metas = ray.get([_meta_of_bucket.remote(d) for d in stage_parts])
+    for d in stage_parts:
+        dest = os.path.join(index_dir, "buckets", os.path.basename(d))
+        os.makedirs(dest, exist_ok=True)
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            t = pq.read_table(f, columns=["hash", "cid", "t", "clip_id"])
+            if skip_cids:
+                keep = ~np.isin(t["cid"].to_numpy(), list(skip_cids))
+                t = t.filter(pa.array(keep))
+            if len(t):
+                pq.write_table(
+                    t, os.path.join(dest, f"ingest-{os.path.basename(f)}")
+                )
+    shutil.rmtree(stage, ignore_errors=True)
+
+    if len(fresh):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.concat([known, fresh], ignore_index=True),
+                preserve_index=False,
+            ),
+            ids_path,
+        )
+        fresh_set = set(fresh["cid"].astype(np.int64))
+        mt = pa.concat_tables([t for t in metas if len(t)])
+        mdf = mt.to_pandas().groupby("cid", sort=True, as_index=False).sum()
+        mdf = mdf[mdf["cid"].isin(fresh_set)]
+        old = pq.read_table(
+            os.path.join(index_dir, "meta.parquet")
+        ).to_pandas()
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.concat([old[~old["cid"].isin(fresh_set)], mdf],
+                          ignore_index=True),
+                preserve_index=False,
+            ),
+            os.path.join(index_dir, "meta.parquet"),
+        )
+    return index_dir

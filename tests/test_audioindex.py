@@ -83,3 +83,67 @@ def test_index_probe_agrees_with_one_shot_search(ray_session, tmp_path):
     for qid in crops:
         assert am.loc[qid, "clip_id"] == bm.loc[qid, "clip_id"]
         assert int(am.loc[qid, "offset_ms"]) == int(bm.loc[qid, "offset_ms"])
+
+
+def test_incremental_ingest(ray_session, tmp_path):
+    from deduplidog_ray.pipelines.audioindex import extend_landmark_index
+
+    base_pcm = {f"c{i}": make_pcm_textured(400 + i, 2000, SR)
+                for i in range(5)}
+    new_pcm = {f"n{i}": make_pcm_textured(500 + i, 2000, SR)
+               for i in range(3)}
+    idx = build_landmark_index(
+        rd.from_pandas(pd.DataFrame(
+            [_clip(c, p) for c, p in base_pcm.items()]
+        )),
+        str(tmp_path / "lmidx3"), partitions=8,
+    )
+    extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
+        [_clip(c, p) for c, p in new_pcm.items()]
+    )))
+    # a crop of an INGESTED clip is now retrievable, base clips still are
+    crops = {"q_new": ("n1", 600), "q_old": ("c2", 400)}
+    allpcm = {**base_pcm, **new_pcm}
+    out = search_landmark_index(idx, _mk_queries(allpcm, crops))
+    top = out[out["rank"] == 1].set_index("query_id")
+    assert top.loc["q_new", "clip_id"] == "n1"
+    assert abs(int(top.loc["q_new", "offset_ms"]) - 600) <= 32
+    assert top.loc["q_old", "clip_id"] == "c2"
+
+    # re-ingesting the same shard is idempotent (no duplicate votes)
+    before = search_landmark_index(idx, _mk_queries(allpcm, crops))
+    extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
+        [_clip(c, p) for c, p in new_pcm.items()]
+    )))
+    after = search_landmark_index(idx, _mk_queries(allpcm, crops))
+    pd.testing.assert_frame_equal(before, after)
+
+    # a genuine cid64 collision — same 64-bit routing key already bound
+    # to a DIFFERENT clip_id in ids.parquet — must refuse the ingest
+    # (plant the colliding entry directly; same-clip_id re-ingest above
+    # is the idempotent path, not a collision)
+    import pytest as _pytest
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from deduplidog_ray.pipelines.audiofp import _CID_SEED
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+
+    victim_cid = int(
+        hash_strings_u64(np.array(["x0"]), seed=_CID_SEED)
+        .view(np.int64)[0]
+    )
+    ids_path = os.path.join(idx, "ids.parquet")
+    known = _pq.read_table(ids_path).to_pandas()
+    planted = pd.concat(
+        [known, pd.DataFrame({"cid": [victim_cid],
+                              "clip_id": ["not-x0"]})],
+        ignore_index=True,
+    )
+    _pq.write_table(
+        _pa.Table.from_pandas(planted, preserve_index=False), ids_path
+    )
+    with _pytest.raises(RuntimeError, match="collision"):
+        extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
+            [_clip("x0", make_pcm_textured(777, 1500, SR))]
+        )))
