@@ -1667,6 +1667,35 @@ def q_clips_landmark_dups(sf_dir: str):
     return landmark_dup_pairs(ds.union(variants))
 
 
+def q_clips_stretch_dups(sf_dir: str):
+    """Speed-change-robust audio dedup (pipelines/audiostretch.py):
+    disjoint 1-in-16 samples of the textured clips ship again at 0.95×
+    and 1.05× playback speed (cached fixture,
+    sources/from_documents.py:stretched_variants_from_clips); the
+    operator must recover each (original, stretched) pair AND the speed
+    factor from scale-invariant peak-triple hashes — the transformation
+    that defeats the landmark hash by design (asserted in
+    tests/test_audiostretch.py::test_landmark_blind_spot_is_covered).
+    Rows-only (payload decode + STFT); recall/precision/factor gates in
+    tests/test_audiostretch.py."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.audiostretch import stretch_dup_pairs
+    from deduplidog_ray.sources.from_documents import (
+        stretched_variants_from_clips,
+        textured_clips_from_documents,
+    )
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    ds = ray.data.read_parquet(
+        textured_clips_from_documents(sf_dir), columns=cols
+    )
+    variants = ray.data.read_parquet(
+        stretched_variants_from_clips(sf_dir), columns=cols
+    )
+    return stretch_dup_pairs(ds.union(variants))
+
+
 def _snippet_crops(t):
     """Deterministic query snippets for the retrieval queries: the
     1-in-64 textured clips (doc_id % 64 == 7), cropped 30%..70%."""
@@ -2693,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_segments": q_clips_segments,
         "clips_shifted_dups": q_clips_shifted_dups,
         "clips_landmark_dups": q_clips_landmark_dups,
+        "clips_stretch_dups": q_clips_stretch_dups,
         "clips_snippet_search": q_clips_snippet_search,
         "clips_index_search": q_clips_index_search,
         "clips_transform": q_clips_transform,

@@ -214,6 +214,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "tiered_dedup",
         "tiered_clips",
         "clips_landmark_dups",
+        "clips_stretch_dups",
         "incremental_exact",
         "dup_stats",
         "boilerplate_mask",

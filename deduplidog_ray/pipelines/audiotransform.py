@@ -179,6 +179,22 @@ class Crop(_Transform):
         return pcm[s:e], sr
 
 
+class Stretch(_Transform):
+    """Playback-speed change by ``rate``: band-limited resample to
+    ``rate``× the length, kept at the SAME nominal sample rate — so
+    duration scales by ``rate`` and every frequency by 1/``rate``
+    (vinyl/tape speed, 44.1k↔48k mislabels, podcast speed-ups). The
+    transformation `audiostretch.stretch_dup_pairs` must see through;
+    a LANDMARK hash (audiofp) breaks under it by design."""
+
+    def __init__(self, rate: float = 1.05) -> None:
+        super().__init__()
+        self.rate = float(rate)
+
+    def _apply(self, pcm: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        return fft_resample(pcm, sr, max(1, int(round(sr * self.rate)))), sr
+
+
 class TrimSilence(_Transform):
     """Drop leading/trailing frames whose RMS is below ``threshold``
     (frame = ``frame_ms`` of samples); interior silence is kept."""

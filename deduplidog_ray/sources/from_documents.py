@@ -311,3 +311,36 @@ def landmark_variants_from_clips(sf_dir: str, force: bool = False) -> str:
         delayed.union(cropped).write_parquet(tmp)
 
     return _cached_parquet_dir("lmvar", sf_dir, _build, force)
+
+
+def stretched_variants_from_clips(sf_dir: str, force: bool = False) -> str:
+    """Planted SPEED-CHANGED copies of the textured clips for the
+    stretch-fingerprint bench corpus, cached: a 1-in-16 sample ships
+    again at 0.95× speed (``_strdn``) and a disjoint 1-in-16 sample at
+    1.05× (``_strup``) — the resample-mislabel transformation
+    `audiostretch.stretch_dup_pairs` must see through. Same fixture
+    rationale as `shifted_variants_from_clips`."""
+    from deduplidog_ray.pipelines.audiotransform import Stretch
+
+    base = textured_clips_from_documents(sf_dir, force=force)
+
+    def _build(tmp: str) -> None:
+        ds = ray.data.read_parquet(base, columns=_CLIP_COLS)
+        arms = []
+        for rem, rate, tag in ((1, 0.95, "_strdn"), (5, 1.05, "_strup")):
+            arms.append(
+                ds.map_batches(
+                    _hash_sampler(16, rem, 0x57E7), batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).map_batches(
+                    Stretch, fn_constructor_kwargs={"rate": rate},
+                    batch_format="pyarrow", batch_size=64,
+                    zero_copy_batch=True, concurrency=(1, 16),
+                ).map_batches(
+                    _retag_clip_ids(tag), batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+        arms[0].union(arms[1]).write_parquet(tmp)
+
+    return _cached_parquet_dir("strvar", sf_dir, _build, force)

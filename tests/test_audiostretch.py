@@ -1,0 +1,125 @@
+"""Speed-change-robust duplicate detection: planted stretched copies
+(resample mislabels / playback-speed changes) recovered with the right
+factor; exact and shifted copies matched at stretch 1.0; distinct clips
+rejected; landmark hashing's blind spot demonstrably covered."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from deduplidog_ray.audio.codecs import encode
+from deduplidog_ray.audio.synth import make_pcm_textured
+from deduplidog_ray.pipelines.audiostretch import stretch_dup_pairs
+from deduplidog_ray.pipelines.audiotransform import fft_resample
+
+SR = 8000
+
+
+def _clip(cid: str, pcm: np.ndarray, codec: str = "pcm_s16le") -> dict:
+    pcm = np.clip(pcm, -1.0, 1.0).astype(np.float32)
+    return {
+        "clip_id": cid, "bytes": encode(pcm, SR, codec), "sr_hz": SR,
+        "dur_ms": int(1000 * len(pcm) / SR), "codec": codec,
+    }
+
+
+def _stretched(pcm: np.ndarray, rate: float) -> np.ndarray:
+    return fft_resample(
+        pcm.astype(np.float64), SR, int(round(SR * rate))
+    )
+
+
+@pytest.fixture(scope="module")
+def planted_result(ray_session):
+    base = {f"c{i}": make_pcm_textured(i, 1800 + 70 * i, SR)
+            for i in range(10)}
+    rows = [_clip(c, p) for c, p in base.items()]
+    # planted speed-changed copies (clip_id sorts AFTER its original)
+    plants = {
+        "c0_str095": ("c0", 0.95),
+        "c1_str105": ("c1", 1.05),
+        "c2_str112": ("c2", 1.12),
+        "c3_copy": ("c3", 1.0),
+    }
+    for cid, (src, r) in plants.items():
+        rows.append(_clip(cid, _stretched(base[src], r)))
+    out = stretch_dup_pairs(rd.from_pandas(pd.DataFrame(rows)))
+    return plants, out
+
+
+def test_planted_stretches_recovered(planted_result):
+    plants, out = planted_result
+    got = {(a, b) for a, b in zip(out["clip_a"], out["clip_b"])}
+    for cid, (src, _r) in plants.items():
+        assert (src, cid) in got, (cid, sorted(got))
+
+
+def test_stretch_factor_estimate(planted_result):
+    plants, out = planted_result
+    est = {(a, b): s for a, b, s in
+           zip(out["clip_a"], out["clip_b"], out["stretch"])}
+    for cid, (src, r) in plants.items():
+        got = est[(src, cid)]
+        # resolution is the vote bin width (3%) + ±1 jitter merge
+        assert abs(np.log(got / r)) <= 0.045, (cid, got, r)
+
+
+def test_no_false_pairs(planted_result):
+    plants, out = planted_result
+    expected = {(src, cid) for cid, (src, _r) in plants.items()}
+    got = {(a, b) for a, b in zip(out["clip_a"], out["clip_b"])}
+    assert got == expected, got ^ expected
+
+
+def test_ulaw_stretch_combo(ray_session):
+    """Speed change THROUGH a lossy µ-law re-encode: codec noise kills
+    ~80% of the quads (measured 131 → 17 clean-vs-ulaw matches on one
+    pair), so the distinct-hash coverage gate must come down to its
+    documented hard-case setting — recall under combined transforms is
+    a gate trade, not a default."""
+    base = {f"u{i}": make_pcm_textured(20 + i, 2000, SR) for i in range(6)}
+    rows = [_clip(c, p) for c, p in base.items()]
+    rows.append(_clip("u1_strulaw", _stretched(base["u1"], 1.05),
+                      codec="ulaw"))
+    out = stretch_dup_pairs(
+        rd.from_pandas(pd.DataFrame(rows)), min_hash_coverage=0.008
+    )
+    got = {(a, b) for a, b in zip(out["clip_a"], out["clip_b"])}
+    assert ("u1", "u1_strulaw") in got, got
+
+
+def test_excerpt_mode(ray_session):
+    """dur_tolerance=0 disables the full-clip duration gate: a DELAYED
+    + speed-changed copy (duration ratio ≠ speed factor) must still
+    confirm — every quad invariant is shift-invariant within a clip."""
+    base = {f"e{i}": make_pcm_textured(50 + i, 2000, SR) for i in range(6)}
+    rows = [_clip(c, p) for c, p in base.items()]
+    d = np.concatenate([np.zeros(SR // 2), _stretched(base["e1"], 1.05)])
+    rows.append(_clip("e1_strshift", d))
+    out = stretch_dup_pairs(
+        rd.from_pandas(pd.DataFrame(rows)), dur_tolerance=0.0
+    )
+    got = {(a, b) for a, b in zip(out["clip_a"], out["clip_b"])}
+    assert ("e1", "e1_strshift") in got, got
+    # and the default full-clip mode rejects it: 500 ms of lead-in on a
+    # 2.1 s clip breaks the duration/speed agreement by design
+    strict = stretch_dup_pairs(rd.from_pandas(pd.DataFrame(rows)))
+    got2 = {(a, b) for a, b in zip(strict["clip_a"], strict["clip_b"])}
+    assert ("e1", "e1_strshift") not in got2, got2
+
+
+def test_landmark_blind_spot_is_covered(ray_session):
+    """The motivating case: a ±5% speed change defeats the landmark
+    hash (absolute (f, Δf, Δt) packing) but not the scale-invariant
+    triples — both run on the SAME pair of clips."""
+    from deduplidog_ray.pipelines.audiofp import landmark_dup_pairs
+
+    pcm = make_pcm_textured(77, 2000, SR)
+    rows = [_clip("orig", pcm), _clip("orig_str", _stretched(pcm, 1.05))]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    lm = landmark_dup_pairs(ds, exchange="sort")
+    st = stretch_dup_pairs(ds)
+    assert len(lm) == 0          # landmark: blind under speed change
+    assert len(st) == 1 and st.loc[0, "clip_a"] == "orig"
