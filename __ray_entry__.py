@@ -2101,6 +2101,25 @@ def q_knn_cosine_ivf(sf_dir: str):
     return knn_cosine_ivf(ds, queries, k=10)
 
 
+def q_clips_speech_rate(sf_dir: str):
+    """Cross-axis consistency (pipelines/consistency.py): tokens/second
+    of each clip's transcript against its audio duration, flagged
+    against the per-sample-rate median — the no-decode mislabel
+    detector. SQL-green: the synthesizer's transcript/duration/sr
+    integer formulas are reproducible over the documents table, and the
+    median is the shared quantile_disc definition (stats.py)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.consistency import speech_rate_outliers
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    ds = ray.data.read_parquet(
+        clips_from_documents(sf_dir),
+        columns=["clip_id", "sr_hz", "dur_ms", "transcript"],
+    )
+    return speech_rate_outliers(ds)
+
+
 def q_clips_exact_clusters(sf_dir: str):
     """Driver-checkable oracle slice of the flagship (VERDICT r2 #6):
     the EXACT-duplicate axis. Clips decode task-fused with the read (no
@@ -2745,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": q_embedding_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "clips_exact_clusters": q_clips_exact_clusters,
+        "clips_speech_rate": q_clips_speech_rate,
         "clips_near_dedup": q_clips_near_dedup,
         "order_lines": q_order_lines,
         "top_orders_revenue": q_top_orders_revenue,
@@ -3968,6 +3988,50 @@ def oracle_sql() -> dict[str, str]:
         # original (clip_<id>_o) and nothing else byte-collides, so the
         # pcm-hash clusters the pipeline computes equal this projection;
         # cluster_id = min clip_id and '_d' < '_o' lexicographically
+        # cross-axis speech-rate check: clips reconstructed from the
+        # synthesizer's integer formulas (amplify=1 ⇒ uid = doc_id; _d
+        # twins at %10∈{0,1}, fuzzy twin at %10==2 keeps the token
+        # COUNT); n_tok = whitespace tokens of text capped at 48 (the
+        # transcript is their single-space join); median is
+        # quantile_disc (the engine's shared definition, stats.py)
+        "clips_speech_rate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     least(len(regexp_extract_all(coalesce(text, ''),
+                                                  '\\S+')), 48) AS n_tok,
+                     600 + (doc_id * 37) % 1800 AS dur,
+                     [8000, 16000, 22050][(doc_id % 3) + 1] AS sr,
+                     'clip_' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                         AS stem
+              FROM documents
+            ),
+            clips AS (
+              SELECT stem || '_o' AS clip_id, n_tok, dur, sr FROM toks
+              UNION ALL
+              SELECT stem || '_d', n_tok, dur, sr FROM toks
+              WHERE doc_id % 10 IN (0, 1)
+              UNION ALL
+              SELECT stem || '_d', n_tok, dur, sr FROM toks
+              WHERE doc_id % 10 = 2 AND n_tok > 8
+            ),
+            rated AS (
+              SELECT clip_id,
+                     CAST(sr AS INTEGER) AS sr_hz,
+                     CAST(n_tok AS BIGINT) AS n_tok,
+                     CAST(dur AS INTEGER) AS dur_ms,
+                     n_tok * 1000.0 / dur AS rate_tps
+              FROM clips
+            ),
+            med AS (
+              SELECT sr_hz, quantile_disc(rate_tps, 0.5) AS med_tps
+              FROM rated GROUP BY sr_hz
+            )
+            SELECT r.clip_id, r.sr_hz, r.n_tok, r.dur_ms, r.rate_tps,
+                   m.med_tps,
+                   (r.rate_tps > 2.0 * m.med_tps
+                    OR r.rate_tps < 0.5 * m.med_tps) AS is_outlier
+            FROM rated r JOIN med m USING (sr_hz)
+        """,
         "clips_exact_clusters": """
             WITH d AS (
               SELECT 'clip_' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS stem

@@ -244,6 +244,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "embedding_clusters_dist",
         "semantic_dedup",
         "clips_exact_clusters",
+        "clips_speech_rate",
         "dataset_split",
         "embedding_kmeans",
         "fuzzy_join",

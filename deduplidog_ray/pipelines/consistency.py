@@ -1,0 +1,89 @@
+"""Cross-axis consistency checks: does a clip's METADATA agree with its
+CONTENT axes? The speech-rate check flags clips whose transcript length
+is implausible for their audio duration (tokens/second far from the
+corpus norm for that sample rate) — the cheapest mislabel detector a
+speech corpus has, and it never decodes a byte.
+
+≙ the reference's cross-axis warnings: `_affect`'s DATE WARNING
+(deduplidog.py:554-559 — "the 'duplicate' is older than the 'original',
+axes disagree, flag it") and the frame-count probe (utils.py:96-102 —
+content-derived duration cross-checked against the pair predicate),
+re-expressed as a corpus-level operator: compare each row's rate to its
+GROUP's median instead of a pairwise partner.
+
+SCALE SHAPE: one streaming pass computes (n_tok, rate) per clip with
+Arrow C++ kernels (columns pruned at the read — transcript + duration
+only, never ``bytes``); per-sample-rate medians come from the
+hash-partitioned `stats.group_quantiles` exchange (|groups| = distinct
+sample rates, a handful); the medians broadcast back into a second
+streaming pass. Nothing concentrates beyond the |sr| median table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from deduplidog_ray.pipelines.stats import group_quantiles
+
+
+def _add_rate(t: pa.Table) -> pa.Table:
+    """n_tok (single-space-joined transcript ⇒ spaces + 1, 0 if empty)
+    and rate_tps = n_tok · 1000 / dur_ms, both pure Arrow kernels."""
+    tr = t["transcript"]
+    nsp = pc.count_substring(tr, " ")
+    nonempty = pc.cast(
+        pc.not_equal(pc.coalesce(pc.utf8_length(tr), 0), 0), pa.int64()
+    )
+    n_tok = pc.add(pc.cast(pc.coalesce(nsp, 0), pa.int64()), nonempty)
+    dur = t["dur_ms"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rate = n_tok.to_numpy(zero_copy_only=False) * 1000.0 / np.maximum(
+        dur, 1.0
+    )
+    t = t.append_column("n_tok", n_tok)
+    return t.append_column("rate_tps", pa.array(rate))
+
+
+def speech_rate_outliers(
+    clips: ray.data.Dataset,
+    lo: float = 0.5,
+    hi: float = 2.0,
+    partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per clip: token count, speech rate (tokens/s), the per-sample-rate
+    median rate, and an outlier flag (rate outside [lo·med, hi·med]).
+
+    Input needs only (clip_id, sr_hz, dur_ms, transcript) — prune the
+    read to these. Output columns: clip_id, sr_hz, n_tok, dur_ms,
+    rate_tps, med_tps, is_outlier.
+    """
+    rated = clips.map_batches(
+        _add_rate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    med = (
+        group_quantiles(
+            rated.select_columns(["sr_hz", "rate_tps"]),
+            "sr_hz", "rate_tps", qs=(0.5,), partitions=partitions,
+        )
+        .to_pandas()  # |distinct sample rates| rows — driver-safe
+    )
+    srs = np.sort(med["sr_hz"].to_numpy())
+    meds = med.set_index("sr_hz").loc[srs, "p50"].to_numpy()
+
+    def _flag(t: pa.Table) -> pa.Table:
+        sr = t["sr_hz"].to_numpy(zero_copy_only=False)
+        m = meds[np.searchsorted(srs, sr)]
+        rate = t["rate_tps"].to_numpy()
+        out = (rate > hi * m) | (rate < lo * m)
+        t = t.append_column("med_tps", pa.array(m))
+        return t.append_column("is_outlier", pa.array(out))
+
+    return rated.map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(
+        ["clip_id", "sr_hz", "n_tok", "dur_ms", "rate_tps", "med_tps",
+         "is_outlier"]
+    )
