@@ -2120,6 +2120,27 @@ def q_clips_speech_rate(sf_dir: str):
     return speech_rate_outliers(ds)
 
 
+def q_clips_transcript_conflicts(sf_dir: str):
+    """Same transcript, DIFFERENT decoded audio
+    (pipelines/consistency.py:transcript_conflicts) — the dual of
+    dedup: label-noise mining. SQL-green with a reconstructive oracle:
+    the synthesizer's transcript formulas rebuild every group in SQL,
+    and decoded-payload identity is derivable (distinct seeds ⇒
+    distinct PCM; the byte-exact twin shares PCM; the µ-law twin's
+    lossy decode differs — tests/test_codecs.py)."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.consistency import transcript_conflicts
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    ds = ray.data.read_parquet(
+        clips_from_documents(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "transcript"],
+    )
+    return transcript_conflicts(ds)
+
+
 def q_clips_exact_clusters(sf_dir: str):
     """Driver-checkable oracle slice of the flagship (VERDICT r2 #6):
     the EXACT-duplicate axis. Clips decode task-fused with the read (no
@@ -2765,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "clips_exact_clusters": q_clips_exact_clusters,
         "clips_speech_rate": q_clips_speech_rate,
+        "clips_transcript_conflicts": q_clips_transcript_conflicts,
         "clips_near_dedup": q_clips_near_dedup,
         "order_lines": q_order_lines,
         "top_orders_revenue": q_top_orders_revenue,
@@ -3988,6 +4010,53 @@ def oracle_sql() -> dict[str, str]:
         # original (clip_<id>_o) and nothing else byte-collides, so the
         # pcm-hash clusters the pipeline computes equal this projection;
         # cluster_id = min clip_id and '_d' < '_o' lexicographically
+        # same-transcript different-audio groups: transcripts rebuilt
+        # from the documents text (first 48 whitespace tokens, single-
+        # space joined; the %10==2 twin replaces the middle token);
+        # decoded-payload identity keys: distinct doc seeds ⇒ distinct
+        # PCM, the %10==0 twin is byte-exact (same PCM), the %10==1
+        # µ-law twin decodes differently (lossy)
+        "clips_transcript_conflicts": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_slice(regexp_extract_all(coalesce(text, ''),
+                                                   '\\S+'), 1, 48) AS l48,
+                     least(len(regexp_extract_all(coalesce(text, ''),
+                                                  '\\S+')), 48) AS n_tok,
+                     'clip_' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                         AS stem
+              FROM documents
+            ),
+            clips AS (
+              SELECT stem || '_o' AS clip_id,
+                     array_to_string(l48, ' ') AS transcript,
+                     CAST(doc_id AS VARCHAR) AS akey
+              FROM base
+              UNION ALL
+              SELECT stem || '_d', array_to_string(l48, ' '),
+                     CAST(doc_id AS VARCHAR)
+              FROM base WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT stem || '_d', array_to_string(l48, ' '),
+                     CAST(doc_id AS VARCHAR) || 'L'
+              FROM base WHERE doc_id % 10 = 1
+              UNION ALL
+              SELECT stem || '_d',
+                     array_to_string(
+                       list_concat(
+                         list_concat(list_slice(l48, 1, n_tok // 2),
+                                     ['variant']),
+                         list_slice(l48, n_tok // 2 + 2, n_tok)
+                       ), ' '),
+                     CAST(doc_id AS VARCHAR) || 'N'
+              FROM base WHERE doc_id % 10 = 2 AND n_tok > 8
+            )
+            SELECT min(clip_id) AS group_id,
+                   count(*) AS n_clips,
+                   count(DISTINCT akey) AS n_audio
+            FROM clips GROUP BY transcript
+            HAVING count(DISTINCT akey) > 1
+        """,
         # cross-axis speech-rate check: clips reconstructed from the
         # synthesizer's integer formulas (amplify=1 ⇒ uid = doc_id; _d
         # twins at %10∈{0,1}, fuzzy twin at %10==2 keeps the token

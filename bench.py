@@ -245,6 +245,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "semantic_dedup",
         "clips_exact_clusters",
         "clips_speech_rate",
+        "clips_transcript_conflicts",
         "dataset_split",
         "embedding_kmeans",
         "fuzzy_join",

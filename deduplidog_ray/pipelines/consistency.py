@@ -47,6 +47,70 @@ def _add_rate(t: pa.Table) -> pa.Table:
     return t.append_column("rate_tps", pa.array(rate))
 
 
+def transcript_conflicts(
+    clips: ray.data.Dataset,
+    id_col: str = "clip_id",
+    transcript_col: str = "transcript",
+    partitions: int = 32,
+) -> ray.data.Dataset:
+    """Groups of clips that share an IDENTICAL transcript but carry
+    DIFFERENT decoded audio — same text, different payload: lossy
+    re-encodes masquerading as originals, re-records, label noise.
+    The dual of dedup: dedup finds same-content-different-name, this
+    finds same-name-different-content (≙ the reference's SIZE WARNING,
+    deduplidog.py:536-538 — "the claimed duplicate's payload disagrees
+    with its match axes, warn").
+
+    One decode pass (container-invariant ``pcm_hash``), one exchange
+    keyed by the transcript hash; groups compare TRUE transcript
+    strings in-partition (the `pipelines/exact.py` 64-bit-collision
+    rule). Undecodable rows are excluded (their payload identity is
+    unknown, not conflicting). Output: (group_id = min clip id,
+    n_clips, n_audio) for groups with ≥ 2 distinct decoded payloads.
+    """
+    import pandas as pd
+
+    from deduplidog_ray.stages.decode import DecodeFingerprint
+    from deduplidog_ray.stages.hashing import hash_arrow_u64
+
+    sigs = clips.map_batches(
+        DecodeFingerprint,
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+        concurrency=(1, 16),
+    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        ok = pc.is_null(t["decode_error"])
+        t = t.filter(ok).select([id_col, transcript_col, "pcm_hash"])
+        h = hash_arrow_u64(t[transcript_col], seed=0x7C0F)
+        return t.append_column(
+            "_part",
+            pa.array((h % np.uint64(partitions)).astype(np.int64)),
+        )
+
+    def _groups(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(transcript_col, sort=False).agg(
+            group_id=(id_col, "min"),
+            n_clips=(id_col, "size"),
+            n_audio=("pcm_hash", "nunique"),
+        )
+        agg = agg[agg["n_audio"] > 1]
+        return agg.reset_index(drop=True)[
+            ["group_id", "n_clips", "n_audio"]
+        ]
+
+    return (
+        sigs.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            lambda g: _groups(g.drop(columns=["_part"])),
+            batch_format="pandas",
+        )
+    )
+
+
 def speech_rate_outliers(
     clips: ray.data.Dataset,
     lo: float = 0.5,

@@ -45,3 +45,37 @@ def test_empty_transcript(ray_session):
     assert out.loc["empty", "n_tok"] == 0
     assert out.loc["empty", "rate_tps"] == 0.0
     assert bool(out.loc["empty", "is_outlier"])
+
+
+def test_transcript_conflicts(ray_session):
+    """Same text + different decoded audio flagged; byte-exact twins and
+    unique transcripts not; undecodable rows excluded, not conflicting."""
+
+    from deduplidog_ray.audio.codecs import encode
+    from deduplidog_ray.audio.synth import make_pcm
+    from deduplidog_ray.pipelines.consistency import transcript_conflicts
+
+    def clip(cid, seed, text, codec="pcm_s16le", byts=None):
+        pcm = make_pcm(seed, 700, 8000)
+        return {
+            "clip_id": cid,
+            "bytes": byts if byts is not None else encode(pcm, 8000, codec),
+            "sr_hz": 8000, "dur_ms": 700, "codec": codec,
+            "transcript": text,
+        }
+
+    rows = [
+        clip("a1", 1, "same words here"),          # conflict group: three
+        clip("a2", 2, "same words here"),          # distinct payloads
+        clip("a3", 1, "same words here", codec="ulaw"),  # lossy re-encode
+        clip("b1", 5, "twin text"),                # byte-exact twin: NOT a
+        clip("b2", 5, "twin text"),                # conflict (same PCM)
+        clip("c1", 7, "unique text"),
+        clip("p1", 9, "same words here", byts=b"\x00garbage"),  # poison
+    ]
+    out = transcript_conflicts(
+        rd.from_pandas(pd.DataFrame(rows))
+    ).to_pandas().sort_values("group_id").reset_index(drop=True)
+    assert list(out["group_id"]) == ["a1"]
+    assert int(out.loc[0, "n_clips"]) == 3      # poison row excluded
+    assert int(out.loc[0, "n_audio"]) == 3
