@@ -162,7 +162,7 @@ def _quads(
 
 class _StretchHashStage:
     """Actor-pool batch fn: clips table → scale-invariant quad rows
-    (hash, clip_id, fa, dur, n_tr, n_hash); ``dur`` is the decoded
+    (hash, clip_id, fa, dur, n_hash); ``dur`` is the decoded
     length in work-rate samples, carried for the duration-consistency
     gate. Decode errors drop the row (quarantine is the flagship's
     job), mirroring `audiofp._LandmarkStage`."""
@@ -194,9 +194,7 @@ class _StretchHashStage:
         bufs = t["bytes"].to_pylist()
         codecs = t["codec"].to_pylist()
         srs = t["sr_hz"].to_pylist()
-        out_h, out_fa, out_id, out_dur, out_n, out_nh = (
-            [], [], [], [], [], []
-        )
+        out_h, out_fa, out_id, out_dur, out_nh = [], [], [], [], []
         for cid, buf, codec, sr in zip(ids, bufs, codecs, srs):
             try:
                 pcm, sr_dec = decode(buf, codec)
@@ -216,7 +214,6 @@ class _StretchHashStage:
             out_fa.append(fa)
             out_id.extend([cid] * len(h))
             out_dur.append(np.full(len(h), len(pcm), dtype=np.int64))
-            out_n.append(np.full(len(h), len(h), dtype=np.int64))
             out_nh.append(
                 np.full(len(h), len(np.unique(h)), dtype=np.int64)
             )
@@ -226,7 +223,6 @@ class _StretchHashStage:
                 "clip_id": pa.array([], type=pa.string()),
                 "fa": pa.array([], type=pa.int64()),
                 "dur": pa.array([], type=pa.int64()),
-                "n_tr": pa.array([], type=pa.int64()),
                 "n_hash": pa.array([], type=pa.int64()),
             })
         return pa.table({
@@ -234,16 +230,23 @@ class _StretchHashStage:
             "clip_id": pa.array(out_id, type=pa.string()),
             "fa": pa.array(np.concatenate(out_fa)),
             "dur": pa.array(np.concatenate(out_dur)),
-            "n_tr": pa.array(np.concatenate(out_n)),
             "n_hash": pa.array(np.concatenate(out_nh)),
         })
 
 
-def _stretch_bucket_pairs(g: pd.DataFrame, cap: int) -> pd.DataFrame:
+def _stretch_bucket_pairs(
+    g: pd.DataFrame, cap: int, rq_max: int
+) -> pd.DataFrame:
     """Exchange-1 partition kernel: same-hash quad rows → pair rows
     (a, b, rq, h, nh_a, nh_b) with a < b and rq = quantized log of the
     anchor-frequency ratio f_a/f_b (a true speed change concentrates a
-    pair's rq values in one bin; the bin center estimates the factor)."""
+    pair's rq values in one bin; the bin center estimates the factor).
+    Rows with |rq| > ``rq_max`` (an anchor-frequency ratio no in-range
+    speed factor can explain) are dropped HERE: coincidental same-key
+    pairs spread nearly uniformly over ±79 bins while true pairs live
+    within the ±max_stretch window, so this one mask removes ~85% of
+    the exchange-2 volume (measured 21M → 3M pair rows at sf0.1) and
+    cannot touch a reportable pair."""
     h = g["hash"].to_numpy()
     cid = g["clip_id"].to_numpy()
     fa = g["fa"].to_numpy()
@@ -277,6 +280,11 @@ def _stretch_bucket_pairs(g: pd.DataFrame, cap: int) -> pd.DataFrame:
     fi = np.where(swap, fa[j], fa[i]).astype(np.float64)
     fj = np.where(swap, fa[i], fa[j]).astype(np.float64)
     rq = np.rint(np.log(fi / fj) / _R_STEP).astype(np.int64)
+    keep = np.abs(rq) <= rq_max
+    i, j, aa, bb, rq = i[keep], j[keep], aa[keep], bb[keep], rq[keep]
+    swap = swap[keep]
+    if len(i) == 0:
+        return empty
     dua = np.where(swap, du[j], du[i])
     dub = np.where(swap, du[i], du[j])
     nha = np.where(swap, nh[j], nh[i])
@@ -368,6 +376,8 @@ def stretch_dup_pairs(
     ``stretch``× its duration; 1.0 = same speed — exact and shifted
     copies are matched too, since every invariant is also
     shift-invariant within a clip)."""
+    # +1: the vote's ±1-bin jitter merge may pull a boundary bin's mass
+    rq_max = int(np.ceil(np.log1p(max_stretch) / _R_STEP)) + 1
     tr = clips.map_batches(
         _StretchHashStage,
         fn_constructor_kwargs=dict(
@@ -391,7 +401,7 @@ def stretch_dup_pairs(
         .groupby("part")
         .map_groups(
             lambda g: _stretch_bucket_pairs(
-                g.drop(columns=["part"]), bucket_cap
+                g.drop(columns=["part"]), bucket_cap, rq_max
             ),
             batch_format="pandas",
         )
