@@ -221,6 +221,7 @@ def tiered_dedup(
 TIER_EXACT_BYTES = "exact_bytes"
 TIER_EXACT_PCM = "exact_pcm"
 TIER_PERCEPTUAL = "perceptual"
+TIER_STRETCH = "stretch"
 
 
 def _removed_by_key(
@@ -269,6 +270,8 @@ def tiered_clips_dedup(
     embed_threshold: float = 0.99,
     partitions: int = 32,
     id_col: str = "clip_id",
+    with_stretch: bool = False,
+    stretch_kwargs: dict | None = None,
 ) -> pd.DataFrame:
     """The tiered cascade over the AUDIO table — the graft's namesake on
     the payload axis: exact bytes → exact decoded PCM (container/codec-
@@ -286,6 +289,14 @@ def tiered_clips_dedup(
 
     ≙ the reference's per-pair escalation checksum → perceptual hash
     (deduplidog/deduplidog.py:707-767) lifted to whole-corpus tiers.
+
+    ``with_stretch=True`` appends a FOURTH tier over the tier-1..3
+    survivors: the time-scale-invariant quad fingerprint
+    (`audiostretch.stretch_dup_pairs`), catching speed-changed copies
+    whose spectral embedding falls below ``embed_threshold``. Off by
+    default: constellation hashing needs time-varying spectra, and the
+    standard synthetic corpus is near-stationary tones (its documented
+    degenerate case) — enable it on real or textured audio.
     """
     from deduplidog_ray.pipelines.similarity import embedded_near_dup
     from deduplidog_ray.stages.decode import DecodeFingerprint
@@ -367,14 +378,38 @@ def tiered_clips_dedup(
         t3 = pd.DataFrame({id_col: pd.Series(dtype=object),
                            "root": pd.Series(dtype=object)})
 
-    out = pd.concat(
-        [
-            t1.assign(tier=TIER_EXACT_BYTES),
-            t2.assign(tier=TIER_EXACT_PCM),
-            t3.assign(tier=TIER_PERCEPTUAL),
-        ],
-        ignore_index=True,
-    )[[id_col, "tier", "root"]]
+    tiers = [
+        t1.assign(tier=TIER_EXACT_BYTES),
+        t2.assign(tier=TIER_EXACT_PCM),
+        t3.assign(tier=TIER_PERCEPTUAL),
+    ]
+
+    # ---- tier 4 (opt-in): time-scale-invariant quad fingerprint ----
+    # needs STFT peaks, not the fused decode's hashes/embeddings, so it
+    # re-reads payloads — for the tier-1..3 SURVIVORS only (shrinking
+    # input, the cascade contract)
+    if with_stretch:
+        from deduplidog_ray.pipelines.audiostretch import stretch_dup_pairs
+
+        removed_all = np.concatenate([
+            t1[id_col].to_numpy(), t2[id_col].to_numpy(),
+            t3[id_col].to_numpy(),
+        ])
+        surv_clips = _drop_ids(clips, removed_all, id_col)
+        spairs = stretch_dup_pairs(
+            surv_clips, partitions=partitions, id_col=id_col,
+            **(stretch_kwargs or {}),
+        )
+        if len(spairs):
+            ids4, root4 = min_label_components(
+                spairs["clip_a"].to_numpy(), spairs["clip_b"].to_numpy()
+            )
+            loser4 = ids4 != root4
+            tiers.append(pd.DataFrame({
+                id_col: ids4[loser4], "root": root4[loser4],
+            }).assign(tier=TIER_STRETCH))
+
+    out = pd.concat(tiers, ignore_index=True)[[id_col, "tier", "root"]]
     # resolve chained roots: tier 1's group min can itself fall to a
     # later tier (its rewrap/re-encode had a smaller id), which would
     # leave removed rows pointing at a removed root. Every tier's root

@@ -193,3 +193,34 @@ def test_fused_embedding_matches_unfused(ray_session):
         assert np.array_equal(fv, uv), cid
     assert fused.loc["p", "embed_error"] is not None
     assert np.all(np.asarray(fused.loc["p", "embedding"]) == 0.0)
+
+
+def test_stretch_tier(ray_session):
+    """with_stretch=True appends the time-scale-invariant tier: a 1.05×
+    speed-changed copy (invisible to the byte/PCM/embedding tiers) is
+    removed and attributed to it; first-tier-wins still holds; without
+    the flag the stretched copy survives."""
+    from deduplidog_ray.pipelines.audiotransform import fft_resample
+    from deduplidog_ray.pipelines.tiered import TIER_STRETCH
+
+    pcms = {f"s{i:02d}": _sig(300 + i) for i in range(6)}
+    rows = [_row(cid, encode(p, SR, "pcm_s16le"), int(1000 * len(p) / SR))
+            for cid, p in pcms.items()]
+    rows.append(_row("s00_copy", encode(pcms["s00"], SR, "pcm_s16le"),
+                     2000))
+    st = fft_resample(pcms["s01"].astype(np.float64), SR,
+                      int(round(SR * 1.05)))
+    rows.append(_row("s01_str",
+                     encode(np.clip(st, -1, 1).astype(np.float32), SR,
+                            "pcm_s16le"),
+                     int(1000 * len(st) / SR)))
+    out = tiered_clips_dedup(
+        rd.from_items(rows), partitions=4, with_stretch=True
+    ).set_index("clip_id")
+    assert out.loc["s01_str", "tier"] == TIER_STRETCH
+    assert out.loc["s01_str", "root"] == "s01"
+    assert out.loc["s00_copy", "tier"] == TIER_EXACT_BYTES
+    assert set(out.index) == {"s01_str", "s00_copy"}
+
+    out2 = tiered_clips_dedup(rd.from_items(rows), partitions=4)
+    assert "s01_str" not in set(out2["clip_id"])
