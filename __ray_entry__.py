@@ -1557,6 +1557,23 @@ def q_seq_pack(sf_dir: str):
     return seq_pack(_docs(sf_dir, columns=["doc_id", "text", "source"]))
 
 
+def q_clips_pack(sf_dir: str):
+    """Audio training-example packing (pipelines/layout.py:clips_pack):
+    clips into ≤30 s bins, greedy in clip_id order per sample rate.
+    SQL-green: clips reconstructed from the documents formulas + the
+    seq_pack recursive-CTE greedy scan."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.layout import clips_pack
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    ds = ray.data.read_parquet(
+        clips_from_documents(sf_dir),
+        columns=["clip_id", "sr_hz", "dur_ms"],
+    )
+    return clips_pack(ds)
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch shuffle: global dense rank of the bijective
     Knuth key, computed bucket-partitioned (no full sort operator, no RNG
@@ -2756,6 +2773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "lm_score": q_lm_score,
         "seq_pack": q_seq_pack,
+        "clips_pack": q_clips_pack,
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
         "clips_audio_stats": q_clips_audio_stats,
@@ -3957,6 +3975,50 @@ def oracle_sql() -> dict[str, str]:
                 ON d.source = p.source AND d.rn = p.rn + 1
             )
             SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(bin_id AS BIGINT) AS bin_id
+            FROM pack
+        """,
+        # the seq_pack greedy recursion over clips rebuilt from the
+        # documents integer formulas (amplify=1 twins at %10∈{0,1} and
+        # the %10==2 fuzzy twin when the text has > 8 tokens)
+        "clips_pack": r"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     600 + (doc_id * 37) % 1800 AS dur,
+                     [8000, 16000, 22050][(doc_id % 3) + 1] AS sr,
+                     least(len(regexp_extract_all(coalesce(text, ''),
+                                                  '\S+')), 48) AS n_tok,
+                     'clip_' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                         AS stem
+              FROM documents
+            ),
+            clips AS (
+              SELECT stem || '_o' AS clip_id, sr, dur FROM base
+              UNION ALL
+              SELECT stem || '_d', sr, dur FROM base
+              WHERE doc_id % 10 IN (0, 1)
+                 OR (doc_id % 10 = 2 AND n_tok > 8)
+            ),
+            ordered AS (
+              SELECT clip_id, sr, dur,
+                     row_number() OVER (PARTITION BY sr ORDER BY clip_id)
+                         AS rn
+              FROM clips
+            ),
+            pack AS (
+              SELECT sr, clip_id, rn, dur, 0 AS bin_id, dur AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.sr, o.clip_id, o.rn, o.dur,
+                     CASE WHEN p.fill + o.dur <= 30000
+                          THEN p.bin_id ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + o.dur <= 30000
+                          THEN p.fill + o.dur ELSE o.dur END
+              FROM pack p JOIN ordered o
+                ON o.sr = p.sr AND o.rn = p.rn + 1
+            )
+            SELECT clip_id, CAST(sr AS INTEGER) AS sr_hz,
+                   CAST(dur AS INTEGER) AS dur_ms,
                    CAST(bin_id AS BIGINT) AS bin_id
             FROM pack
         """,

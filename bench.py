@@ -226,6 +226,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "doc_repetition",
         "lm_score",
         "seq_pack",
+        "clips_pack",
         "epoch_shuffle",
         "pii_scrub",
         "clips_audio_stats",

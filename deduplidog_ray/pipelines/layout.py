@@ -83,6 +83,36 @@ def _greedy_fill(n_tok: np.ndarray, cap: int) -> np.ndarray:
     return np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
 
 
+def clips_pack(
+    ds: ray.data.Dataset, cap_ms: int = 30_000
+) -> ray.data.Dataset:
+    """`seq_pack` on the AUDIO axis: pack clips into ``cap_ms``-duration
+    training bins (batched ASR/audio-LM examples waste no compute on
+    padding), greedy first-fit in ``clip_id`` order per SAMPLE RATE —
+    clips in one bin must share a rate to concatenate without resample.
+    Emits (clip_id, sr_hz, dur_ms, bin_id); bin ids are dense per rate
+    group. Same scan-unit-is-the-partition scale story as `seq_pack`
+    (|distinct rates| groups, each an O(#bins·log n) prefix-sum walk).
+    """
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("clip_id", kind="stable")
+        return pd.DataFrame(
+            {
+                "clip_id": g["clip_id"].to_numpy(),
+                "sr_hz": g["sr_hz"].to_numpy(),
+                "dur_ms": g["dur_ms"].to_numpy(),
+                "bin_id": _greedy_fill(
+                    g["dur_ms"].to_numpy().astype(np.int64), cap_ms
+                ),
+            }
+        )
+
+    return ds.groupby("sr_hz").map_groups(
+        _pack, batch_format="pandas", num_cpus=0.5
+    )
+
+
 def seq_pack(
     ds: ray.data.Dataset, cap: int = 512, num_partitions: int = 64
 ) -> ray.data.Dataset:

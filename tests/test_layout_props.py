@@ -201,3 +201,32 @@ def test_lm_score_bounds_and_layout_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_clips_pack_boundaries(ray_session):
+    """Cap boundary exactly honored; an oversized clip gets its own bin;
+    rate groups pack independently."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.layout import clips_pack
+
+    rows = [
+        ("a1", 8000, 10_000), ("a2", 8000, 20_000),   # 30 000 = cap: same
+        ("a3", 8000, 1),                              # next ms spills
+        ("a4", 8000, 99_000),                         # oversized: own bin
+        ("a5", 8000, 2_000),
+        ("b1", 16000, 29_999), ("b2", 16000, 1),      # other rate: fresh
+    ]
+    out = clips_pack(rd.from_pandas(pd.DataFrame(
+        rows, columns=["clip_id", "sr_hz", "dur_ms"]
+    ))).to_pandas().set_index("clip_id")
+    b = out["bin_id"]
+    assert b["a1"] == b["a2"] == 0
+    assert b["a3"] == 1
+    assert b["a4"] == 2          # > cap: a bin of its own
+    assert b["a5"] == 3          # the walk resumes after the jumbo
+    assert b["b1"] == b["b2"] == 0
+    # per-group duration never exceeds the cap except for jumbo singletons
+    g = out.groupby(["sr_hz", "bin_id"])["dur_ms"]
+    assert ((g.sum() <= 30_000) | (g.count() == 1)).all()
