@@ -1574,6 +1574,40 @@ def q_clips_pack(sf_dir: str):
     return clips_pack(ds)
 
 
+def q_clips_augment(sf_dir: str):
+    """ASR training augmentation (pipelines/audiotransform.py:
+    AugmentClips): each clip → original + 0.9×/1.1× speed perturbs +
+    one seeded-noise copy at 20 dB SNR, one decode per clip,
+    deterministic across layouts. Rows-only (payload synthesis; DuckDB
+    cannot decode RIFF); SNR/duration/layout gates in
+    tests/test_audiotransform.py. Result ships metadata, not payloads."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.audiotransform import augment_clips
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    ds = ray.data.read_parquet(
+        clips_from_documents(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"],
+    )
+
+    def _meta(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "aug": t["aug"],
+            "sr_hz": t["sr_hz"],
+            "dur_ms": t["dur_ms"],
+            "n_bytes": pc.binary_length(t["bytes"]),
+        })
+
+    return augment_clips(ds).map_batches(
+        _meta, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch shuffle: global dense rank of the bijective
     Knuth key, computed bucket-partitioned (no full sort operator, no RNG
@@ -2774,6 +2808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "seq_pack": q_seq_pack,
         "clips_pack": q_clips_pack,
+        "clips_augment": q_clips_augment,
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
         "clips_audio_stats": q_clips_audio_stats,

@@ -227,6 +227,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "lm_score",
         "seq_pack",
         "clips_pack",
+        "clips_augment",
         "epoch_shuffle",
         "pii_scrub",
         "clips_audio_stats",

@@ -435,3 +435,113 @@ def segment_clips(ds: ray.data.Dataset, threshold: float = 0.01,
         zero_copy_batch=True,
         concurrency=(1, concurrency),
     )
+
+
+class AugmentClips:
+    """Actor-pool batch fn: standard ASR training augmentation — each
+    clip emits its original plus rate-perturbed copies (``rates``; the
+    Kaldi 0.9/1.0/1.1 speed-perturb recipe) plus one additive-noise copy
+    at ``snr_db``. ONE decode serves every variant. Noise is seeded from
+    the 64-bit hash of (clip_id, variant tag): deterministic and
+    layout-invariant — reruns and repartitions produce bit-identical
+    augmented bytes, so the augmented corpus dedups/reproduces like any
+    other table. Undecodable rows pass through annotated (aug='orig',
+    transform_error set), never poisoning the batch.
+
+    ≙ the reference has no augmentation (a dedup tool); this is the
+    training-data-pipeline completion op the task sheet's multimodal
+    axis calls for, on the real (audio) modality.
+    """
+
+    def __init__(
+        self,
+        rates: tuple = (0.9, 1.1),
+        snr_db: float = 20.0,
+        id_col: str = "clip_id",
+    ) -> None:
+        self.rates = tuple(float(r) for r in rates)
+        self.snr_db = float(snr_db)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from deduplidog_ray.stages.hashing import hash_strings_u64
+
+        ids = batch[self.id_col].to_pylist()
+        byts = batch["bytes"]
+        buf = byts.combine_chunks() if isinstance(byts, pa.ChunkedArray) else byts
+        bufs = _buffer_views(buf)
+        codecs = batch["codec"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms",
+                               "codec", "aug", "transform_error")}
+
+        def emit(cid, b, sr, codec, aug, n_samples, err=None):
+            out["clip_id"].append(cid)
+            out["bytes"].append(b)
+            out["sr_hz"].append(int(sr))
+            out["dur_ms"].append(
+                int(round(1000 * n_samples / max(int(sr), 1)))
+            )
+            out["codec"].append(codec)
+            out["aug"].append(aug)
+            out["transform_error"].append(err)
+
+        for cid, v, codec, sr in zip(ids, bufs, codecs, srs):
+            sr = int(sr)
+            try:
+                if v is None or len(v) == 0:
+                    raise CodecError("empty bytes")
+                pcm, sr_dec = decode(v, codec)
+                sr = sr_dec or sr
+            except CodecError as e:
+                emit(cid, bytes(v) if v is not None else b"", sr, codec,
+                     "orig", 0, err=str(e))
+                continue
+            pcm = np.asarray(pcm, dtype=np.float64)
+            emit(cid, bytes(v), sr, codec, "orig", len(pcm))
+            for r in self.rates:
+                y = fft_resample(pcm, sr, max(1, int(round(sr * r))))
+                y = np.clip(y, -1.0, 1.0).astype(np.float32)
+                emit(f"{cid}#rate{r:g}", encode(y, sr, codec), sr, codec,
+                     f"rate{r:g}", len(y))
+            p_sig = float(np.mean(pcm * pcm))
+            if p_sig > 0:
+                seed = int(hash_strings_u64(
+                    np.array([f"{cid}#noise"]), seed=0xA06
+                )[0])
+                rng = np.random.default_rng(seed)
+                sigma = np.sqrt(p_sig / (10.0 ** (self.snr_db / 10.0)))
+                y = np.clip(pcm + rng.normal(0.0, sigma, len(pcm)),
+                            -1.0, 1.0).astype(np.float32)
+                emit(f"{cid}#noise", encode(y, sr, codec), sr, codec,
+                     f"noise{self.snr_db:g}db", len(y))
+
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], type=pa.string()),
+            "bytes": pa.array(out["bytes"], type=pa.binary()),
+            "sr_hz": pa.array(out["sr_hz"], type=pa.int32()),
+            "dur_ms": pa.array(out["dur_ms"], type=pa.int32()),
+            "codec": pa.array(out["codec"], type=pa.string()),
+            "aug": pa.array(out["aug"], type=pa.string()),
+            "transform_error": pa.array(out["transform_error"],
+                                        type=pa.string()),
+        })
+
+
+def augment_clips(
+    ds: ray.data.Dataset,
+    rates: tuple = (0.9, 1.1),
+    snr_db: float = 20.0,
+    id_col: str = "clip_id",
+) -> ray.data.Dataset:
+    """Streaming augmentation: clips table → (1 + len(rates) + 1)× rows
+    with an ``aug`` tag column; see :class:`AugmentClips`."""
+    return ds.map_batches(
+        AugmentClips,
+        fn_constructor_kwargs=dict(rates=rates, snr_db=snr_db,
+                                   id_col=id_col),
+        concurrency=(1, 16),
+        batch_size=32,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -166,3 +166,54 @@ def test_chain_equals_sequential_stages(ray_session):
         assert snr_db(np.asarray(b, np.float64), np.asarray(a, np.float64)) > gate
     assert (fused["sr_hz"] == seq["sr_hz"]).all()
     assert (fused["dur_ms"] == seq["dur_ms"]).all()
+
+
+def test_augment_clips(ray_session):
+    """Speed-perturb + seeded-noise augmentation: 4 rows per clip with
+    exact duration scaling, measured SNR at target, deterministic across
+    layouts, poison rows annotated not multiplied."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deduplidog_ray.audio.codecs import decode, encode
+    from deduplidog_ray.audio.synth import make_pcm_textured
+    from deduplidog_ray.pipelines.audiotransform import augment_clips
+
+    sr = 8000
+    pcms = {f"c{i}": make_pcm_textured(800 + i, 1500, sr) for i in range(4)}
+    rows = [{
+        "clip_id": c, "bytes": encode(p.astype(np.float32), sr, "pcm_s16le"),
+        "sr_hz": sr, "dur_ms": int(1000 * len(p) / sr), "codec": "pcm_s16le",
+    } for c, p in pcms.items()]
+    rows.append({"clip_id": "poison", "bytes": b"junk", "sr_hz": sr,
+                 "dur_ms": 0, "codec": "pcm_s16le"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = augment_clips(ds, rates=(0.9, 1.1), snr_db=20.0).to_pandas()
+
+    # 4 clips x (orig + 2 rates + noise) + 1 annotated poison row
+    assert len(out) == 4 * 4 + 1
+    byaug = out.groupby("aug").size().to_dict()
+    assert byaug == {"orig": 5, "rate0.9": 4, "rate1.1": 4,
+                     "noise20db": 4}
+    p = out[out["clip_id"] == "poison"].iloc[0]
+    assert p["transform_error"] is not None and p["aug"] == "orig"
+
+    idx = out.set_index("clip_id")
+    # duration scaling exact (1500 ms base)
+    assert idx.loc["c0#rate0.9", "dur_ms"] == 1350
+    assert idx.loc["c0#rate1.1", "dur_ms"] == 1650
+    # measured SNR within 1 dB of target
+    orig = pcms["c0"].astype(np.float64)
+    noisy, _ = decode(idx.loc["c0#noise", "bytes"], "pcm_s16le")
+    d = np.asarray(noisy, dtype=np.float64)[: len(orig)] - orig
+    snr = 10 * np.log10(np.mean(orig ** 2) / np.mean(d ** 2))
+    assert abs(snr - 20.0) < 1.0, snr
+
+    # layout invariance: bytes identical after repartition
+    out2 = augment_clips(ds.repartition(3), rates=(0.9, 1.1),
+                         snr_db=20.0).to_pandas()
+    a = out.sort_values("clip_id").reset_index(drop=True)
+    b = out2.sort_values("clip_id").reset_index(drop=True)
+    assert (a["clip_id"] == b["clip_id"]).all()
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
