@@ -1574,6 +1574,37 @@ def q_clips_pack(sf_dir: str):
     return clips_pack(ds)
 
 
+def q_clips_wds_roundtrip(sf_dir: str):
+    """WebDataset tar shard sink + source (sources/wds.py): the clips
+    table is written as deterministic tars, read BACK through the untar
+    source, and summarized per codec — the SQL oracle pins the counts
+    and durations the round trip must preserve, so tar corruption or a
+    dropped sample breaks the hash check. Shards are cached per sf
+    (the write's resume path reuses existing shards on reruns)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+    from deduplidog_ray.sources.wds import read_wds_shards, write_wds_shards
+
+    import ray.data
+
+    clips_path = clips_from_documents(sf_dir)
+    key = hashlib.blake2b(
+        os.path.abspath(sf_dir).encode(), digest_size=8
+    ).hexdigest()
+    out_dir = f"/tmp/deduplidog_ray_wds/{key}"
+    ds = ray.data.read_parquet(clips_path)
+    write_wds_shards(ds, out_dir, shards=16)
+    back = read_wds_shards(out_dir).to_pandas()
+    agg = back.groupby("codec", as_index=False).agg(
+        n_clips=("clip_id", "size"), ms_total=("dur_ms", "sum")
+    )
+    return agg.astype({"n_clips": "int64", "ms_total": "int64"})
+
+
 def q_clips_augment(sf_dir: str):
     """ASR training augmentation (pipelines/audiotransform.py:
     AugmentClips): each clip → original + 0.9×/1.1× speed perturbs +
@@ -2809,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": q_seq_pack,
         "clips_pack": q_clips_pack,
         "clips_augment": q_clips_augment,
+        "clips_wds_roundtrip": q_clips_wds_roundtrip,
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
         "clips_audio_stats": q_clips_audio_stats,
@@ -4012,6 +4044,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
                    CAST(bin_id AS BIGINT) AS bin_id
             FROM pack
+        """,
+        # per-codec counts/durations that must survive the tar shard
+        # round trip (write_wds_shards → read_wds_shards); clips
+        # reconstructed from the documents formulas — the %10==1 twin
+        # is the only ulaw row
+        "clips_wds_roundtrip": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     600 + (doc_id * 37) % 1800 AS dur,
+                     least(len(regexp_extract_all(coalesce(text, ''),
+                                                  '\S+')), 48) AS n_tok
+              FROM documents
+            ),
+            clips AS (
+              SELECT 'pcm_s16le' AS codec, dur FROM base
+              UNION ALL
+              SELECT 'pcm_s16le', dur FROM base WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT 'ulaw', dur FROM base WHERE doc_id % 10 = 1
+              UNION ALL
+              SELECT 'pcm_s16le', dur FROM base
+              WHERE doc_id % 10 = 2 AND n_tok > 8
+            )
+            SELECT codec, count(*) AS n_clips,
+                   CAST(sum(dur) AS BIGINT) AS ms_total
+            FROM clips GROUP BY codec
         """,
         # the seq_pack greedy recursion over clips rebuilt from the
         # documents integer formulas (amplify=1 twins at %10∈{0,1} and

@@ -228,6 +228,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "seq_pack",
         "clips_pack",
         "clips_augment",
+        "clips_wds_roundtrip",
         "epoch_shuffle",
         "pii_scrub",
         "clips_audio_stats",

@@ -1,0 +1,154 @@
+"""WebDataset-style tar shard I/O for the clips table.
+
+At 100 TB, multimodal training data ships as sharded tars (the
+WebDataset convention: one tar per shard, each sample a basename group
+of entries — ``<id>.wav`` payload + ``<id>.json`` metadata), because
+sequential tar reads are the only access pattern every storage tier
+loves. This module is the engine's shard sink/source:
+
+- :func:`write_wds_shards` — hash-partition clips by id into ``shards``
+  tars. Each shard's content is DETERMINISTIC: membership is the id
+  hash (layout-independent), entries are sorted by id, and tar metadata
+  (mtime/uid/gid/mode) is pinned — writing the same table twice yields
+  byte-identical shards, so shards dedup/checksum/resume like data.
+  A written shard is committed atomically (``.tmp`` + rename), and a
+  shard whose file already exists is SKIPPED — a killed job resumes by
+  rerunning the same write (the per-partition resume rule of
+  SURVEY §4).
+- :func:`read_wds_shards` — ``read_binary_files`` over the tars (one
+  block per shard, streaming) + a flat untar ``map_batches``; yields
+  the clips schema back. Round trip is exact (pytest byte-equality).
+
+≙ reference S1/S2 (folder scans) lifted to the shard convention a
+distributed loader actually consumes; the atomic-skip write ≙ the
+engine's checkpoint manifest semantics (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_EXT = {"pcm_s16le": "wav", "ulaw": "ulaw"}
+_META_COLS = ("sr_hz", "dur_ms", "codec", "transcript", "role")
+
+
+def _shard_name(part: int) -> str:
+    return f"shard-{part:06d}.tar"
+
+
+def write_wds_shards(
+    clips: ray.data.Dataset,
+    out_dir: str,
+    shards: int = 64,
+    id_col: str = "clip_id",
+) -> pd.DataFrame:
+    """Write ``clips`` as ``shards`` WebDataset tars under ``out_dir``;
+    returns the manifest (shard, n_clips, n_bytes), sorted. Existing
+    shard files are kept (resume semantics) — delete the directory for
+    a clean rewrite."""
+    from deduplidog_ray.stages.hashing import hash_arrow_u64
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        h = hash_arrow_u64(t[id_col], seed=0x3D5)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(shards)).astype(np.int64))
+        )
+
+    def _write(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part"].iloc[0])
+        path = os.path.join(out_dir, _shard_name(part))
+        g = g.sort_values(id_col, kind="stable")
+        if not os.path.exists(path):
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tar:
+                for _, row in g.iterrows():
+                    cid = row[id_col]
+                    payload = bytes(row["bytes"] or b"")
+                    meta = {
+                        k: (None if pd.isna(row[k]) else
+                            int(row[k]) if isinstance(row[k], (np.integer,))
+                            else row[k])
+                        for k in _META_COLS if k in g.columns
+                    }
+                    for name, data in (
+                        (f"{cid}.{_EXT.get(row.get('codec'), 'bin')}",
+                         payload),
+                        (f"{cid}.json",
+                         json.dumps(meta, sort_keys=True).encode()),
+                    ):
+                        ti = tarfile.TarInfo(name=name)
+                        ti.size = len(data)
+                        ti.mtime = 0          # pinned: deterministic bytes
+                        ti.uid = ti.gid = 0
+                        ti.mode = 0o644
+                        tar.addfile(ti, io.BytesIO(data))
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf.getvalue())
+            os.replace(tmp, path)     # atomic commit; rerun-safe
+        return pd.DataFrame({
+            "shard": [_shard_name(part)],
+            "n_clips": [len(g)],
+            "n_bytes": [os.path.getsize(path)],
+        })
+
+    manifest = (
+        clips.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(_write, batch_format="pandas")
+        .to_pandas()
+    )
+    return manifest.sort_values("shard").reset_index(drop=True)
+
+
+def read_wds_shards(in_dir: str) -> ray.data.Dataset:
+    """Read WebDataset tars written by :func:`write_wds_shards` back
+    into the clips schema. One input block per shard; untar streams."""
+
+    def _untar(t: pa.Table) -> pa.Table:
+        rows: dict[str, dict] = {}
+        for blob in t["bytes"].to_pylist():
+            with tarfile.open(fileobj=io.BytesIO(blob), mode="r") as tar:
+                for m in tar.getmembers():
+                    base, ext = os.path.splitext(m.name)
+                    data = tar.extractfile(m).read()
+                    r = rows.setdefault(base, {"clip_id": base})
+                    if ext == ".json":
+                        r.update(json.loads(data))
+                    else:
+                        r["bytes"] = data
+        out = sorted(rows.values(), key=lambda r: r["clip_id"])
+        return pa.table({
+            "clip_id": pa.array([r["clip_id"] for r in out],
+                                type=pa.string()),
+            "bytes": pa.array([r.get("bytes", b"") for r in out],
+                              type=pa.binary()),
+            "sr_hz": pa.array([r.get("sr_hz") for r in out],
+                              type=pa.int32()),
+            "dur_ms": pa.array([r.get("dur_ms") for r in out],
+                               type=pa.int32()),
+            "codec": pa.array([r.get("codec") for r in out],
+                              type=pa.string()),
+            "transcript": pa.array([r.get("transcript") for r in out],
+                                   type=pa.string()),
+            "role": pa.array([r.get("role") for r in out],
+                             type=pa.string()),
+        })
+
+    files = ray.data.read_binary_files(
+        in_dir, file_extensions=["tar"]
+    )
+    return files.map_batches(
+        _untar, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
+    )
