@@ -1605,6 +1605,47 @@ def q_clips_wds_roundtrip(sf_dir: str):
     return agg.astype({"n_clips": "int64", "ms_total": "int64"})
 
 
+def q_clips_validate(sf_dir: str):
+    """Data-contract validation (pipelines/validate.py): violation
+    counts per check. The synthetic corpus is clean, so the query
+    AUGMENTS it with deterministic planted violations first (the
+    pii_scrub augmentation trick): a duplicate id at doc_id%50==3, an
+    emptied payload at %50==7, a negative duration at %50==11, an
+    unknown sample rate at %50==13, a blanked transcript at %50==17 —
+    all on the '_o' row. The oracle counts the same plants from the
+    documents table, so a validator that over- or under-counts fails
+    the hash gate."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.validate import validate_clips
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    ds = ray.data.read_parquet(
+        clips_from_documents(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "transcript"],
+    )
+
+    def _plant(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        is_o = df["clip_id"].str.endswith("_o")
+        did = df["clip_id"].str.slice(5, 14).astype(np.int64)
+        m = did % 50
+        df.loc[is_o & (m == 7), "bytes"] = b""
+        df.loc[is_o & (m == 11), "dur_ms"] = -5
+        df.loc[is_o & (m == 13), "sr_hz"] = 44100
+        df.loc[is_o & (m == 17), "transcript"] = ""
+        dup = df[is_o & (m == 3)]
+        return pa.Table.from_pandas(
+            pd.concat([df, dup], ignore_index=True), preserve_index=False
+        )
+
+    return validate_clips(ds.map_batches(_plant, batch_format="pyarrow"))
+
+
 def q_clips_augment(sf_dir: str):
     """ASR training augmentation (pipelines/audiotransform.py:
     AugmentClips): each clip → original + 0.9×/1.1× speed perturbs +
@@ -2841,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_pack": q_clips_pack,
         "clips_augment": q_clips_augment,
         "clips_wds_roundtrip": q_clips_wds_roundtrip,
+        "clips_validate": q_clips_validate,
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
         "clips_audio_stats": q_clips_audio_stats,
@@ -4044,6 +4086,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
                    CAST(bin_id AS BIGINT) AS bin_id
             FROM pack
+        """,
+        # contract-validation counts: the clips relation rebuilt from
+        # the documents formulas WITH the query's planted violations
+        # (dup id %50==3, empty payload %50==7, negative dur %50==11,
+        # bad rate %50==13, blank transcript %50==17 — '_o' rows only),
+        # then the five checks as aggregates
+        "clips_validate": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     600 + (doc_id * 37) % 1800 AS dur,
+                     [8000, 16000, 22050][(doc_id % 3) + 1] AS sr,
+                     least(len(regexp_extract_all(coalesce(text, ''),
+                                                  '\S+')), 48) AS n_tok,
+                     'clip_' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                         AS stem
+              FROM documents
+            ),
+            rows0 AS (
+              SELECT stem || '_o' AS clip_id,
+                     CASE WHEN doc_id % 50 = 7 THEN 0 ELSE 1 END
+                         AS has_payload,
+                     CASE WHEN doc_id % 50 = 11 THEN -5 ELSE dur END
+                         AS dur_ms,
+                     CASE WHEN doc_id % 50 = 13 THEN 44100 ELSE sr END
+                         AS sr_hz,
+                     CASE WHEN doc_id % 50 = 17 THEN 0 ELSE n_tok END
+                         AS nt
+              FROM base
+              UNION ALL
+              SELECT stem || '_d', 1, dur, sr, n_tok FROM base
+              WHERE doc_id % 10 IN (0, 1)
+              UNION ALL
+              SELECT stem || '_d', 1, dur, sr, n_tok FROM base
+              WHERE doc_id % 10 = 2 AND n_tok > 8
+              UNION ALL
+              SELECT stem || '_o', 1, dur, sr, n_tok FROM base
+              WHERE doc_id % 50 = 3
+            )
+            SELECT * FROM (
+              SELECT 'duplicate_id' AS "check",
+                     CAST(count(*) AS BIGINT) AS n_violations
+              FROM (SELECT clip_id FROM rows0
+                    GROUP BY clip_id HAVING count(*) > 1)
+              UNION ALL
+              SELECT 'empty_payload', count(*) FROM rows0
+              WHERE has_payload = 0
+              UNION ALL
+              SELECT 'nonpositive_duration', count(*) FROM rows0
+              WHERE dur_ms <= 0
+              UNION ALL
+              SELECT 'unknown_sample_rate', count(*) FROM rows0
+              WHERE sr_hz NOT IN (8000, 16000, 22050)
+              UNION ALL
+              SELECT 'empty_transcript', count(*) FROM rows0
+              WHERE nt = 0
+            ) ORDER BY "check"
         """,
         # per-codec counts/durations that must survive the tar shard
         # round trip (write_wds_shards → read_wds_shards); clips

@@ -229,6 +229,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "clips_pack",
         "clips_augment",
         "clips_wds_roundtrip",
+        "clips_validate",
         "epoch_shuffle",
         "pii_scrub",
         "clips_audio_stats",
