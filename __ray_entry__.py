@@ -1628,20 +1628,32 @@ def q_clips_validate(sf_dir: str):
     )
 
     def _plant(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        import pyarrow.compute as pc
 
-        df = t.to_pandas()
-        is_o = df["clip_id"].str.endswith("_o")
-        did = df["clip_id"].str.slice(5, 14).astype(np.int64)
-        m = did % 50
-        df.loc[is_o & (m == 7), "bytes"] = b""
-        df.loc[is_o & (m == 11), "dur_ms"] = -5
-        df.loc[is_o & (m == 13), "sr_hz"] = 44100
-        df.loc[is_o & (m == 17), "transcript"] = ""
-        dup = df[is_o & (m == 3)]
-        return pa.Table.from_pandas(
-            pd.concat([df, dup], ignore_index=True), preserve_index=False
-        )
+        is_o = pc.ends_with(t["clip_id"], pattern="_o")
+        did = pc.cast(pc.utf8_slice_codeunits(t["clip_id"], 5, 14),
+                      pa.int64())
+        m = pc.cast(did, pa.int64()).to_numpy() % 50
+        is_o_np = is_o.to_numpy(zero_copy_only=False)
+
+        def plant(col, sel, val):
+            mask = pa.array(is_o_np & (m == sel))
+            return pc.if_else(mask, pa.scalar(val, type=col.type), col)
+
+        t = t.set_column(
+            t.schema.get_field_index("bytes"), "bytes",
+            plant(pc.cast(t["bytes"], pa.binary()), 7, b""))
+        t = t.set_column(
+            t.schema.get_field_index("dur_ms"), "dur_ms",
+            plant(t["dur_ms"], 11, -5))
+        t = t.set_column(
+            t.schema.get_field_index("sr_hz"), "sr_hz",
+            plant(t["sr_hz"], 13, 44100))
+        t = t.set_column(
+            t.schema.get_field_index("transcript"), "transcript",
+            plant(t["transcript"], 17, ""))
+        dup = t.filter(pa.array(is_o_np & (m == 3)))
+        return pa.concat_tables([t, dup]).combine_chunks()
 
     return validate_clips(ds.map_batches(_plant, batch_format="pyarrow"))
 
