@@ -1658,6 +1658,61 @@ def q_clips_validate(sf_dir: str):
     return validate_clips(ds.map_batches(_plant, batch_format="pyarrow"))
 
 
+def q_clips_corpus_prep(sf_dir: str):
+    """The chained-operator proof on the AUDIO axis (≙ corpus_prep for
+    documents): admission gate (decodable, positive duration, known
+    rate) → container-invariant exact dedup on decoded PCM identity
+    (keep-first) → ≤30 s duration packing per sample rate. SQL-green
+    end to end: the only exact-PCM collisions in the synth corpus are
+    the %10==0 byte twins (keep-first keeps '_d', the min id), and the
+    pack recursion is the clips_pack CTE over the survivors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from deduplidog_ray.pipelines.exact import dedupe_exact
+    from deduplidog_ray.pipelines.layout import clips_pack
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+    from deduplidog_ray.stages.decode import DecodeFingerprint
+
+    ds = ray.data.read_parquet(
+        clips_from_documents(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"],
+    )
+    sigs = ds.map_batches(
+        DecodeFingerprint,
+        batch_format="pyarrow",
+        batch_size=256,
+        zero_copy_batch=True,
+        concurrency=(1, 16),
+    )
+
+    def _gate(t: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(
+            pc.is_null(t["decode_error"]),
+            pc.and_kleene(
+                pc.greater(t["dur_ms"], 0),
+                pc.is_in(t["sr_hz"], value_set=pa.array(
+                    [8000, 16000, 22050], type=pa.int32())),
+            ),
+        )
+        return t.filter(pc.fill_null(ok, False)).select(
+            ["clip_id", "sr_hz", "dur_ms", "pcm_hash", "n_frames",
+             "dur_ms_actual"]
+        )
+
+    survivors = dedupe_exact(
+        sigs.map_batches(_gate, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["pcm_hash", "n_frames", "dur_ms_actual"],
+        "clip_id",
+    )
+    return clips_pack(survivors.select_columns(
+        ["clip_id", "sr_hz", "dur_ms"]
+    ))
+
+
 def q_clips_augment(sf_dir: str):
     """ASR training augmentation (pipelines/audiotransform.py:
     AugmentClips): each clip → original + 0.9×/1.1× speed perturbs +
@@ -2895,6 +2950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_augment": q_clips_augment,
         "clips_wds_roundtrip": q_clips_wds_roundtrip,
         "clips_validate": q_clips_validate,
+        "clips_corpus_prep": q_clips_corpus_prep,
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
         "clips_audio_stats": q_clips_audio_stats,
@@ -4096,6 +4152,52 @@ def oracle_sql() -> dict[str, str]:
                 ON d.source = p.source AND d.rn = p.rn + 1
             )
             SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(bin_id AS BIGINT) AS bin_id
+            FROM pack
+        """,
+        # audio corpus-prep composition: survivors = every clip except
+        # the %10==0 '_o' byte twin (keep-first on decoded-PCM identity
+        # keeps '_d', the min id; nothing else PCM-collides), then the
+        # clips_pack greedy recursion over the survivors
+        "clips_corpus_prep": r"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     600 + (doc_id * 37) % 1800 AS dur,
+                     [8000, 16000, 22050][(doc_id % 3) + 1] AS sr,
+                     least(len(regexp_extract_all(coalesce(text, ''),
+                                                  '\S+')), 48) AS n_tok,
+                     'clip_' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                         AS stem
+              FROM documents
+            ),
+            survivors AS (
+              SELECT stem || '_o' AS clip_id, sr, dur FROM base
+              WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT stem || '_d', sr, dur FROM base
+              WHERE doc_id % 10 IN (0, 1)
+                 OR (doc_id % 10 = 2 AND n_tok > 8)
+            ),
+            ordered AS (
+              SELECT clip_id, sr, dur,
+                     row_number() OVER (PARTITION BY sr ORDER BY clip_id)
+                         AS rn
+              FROM survivors
+            ),
+            pack AS (
+              SELECT sr, clip_id, rn, dur, 0 AS bin_id, dur AS fill
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.sr, o.clip_id, o.rn, o.dur,
+                     CASE WHEN p.fill + o.dur <= 30000
+                          THEN p.bin_id ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + o.dur <= 30000
+                          THEN p.fill + o.dur ELSE o.dur END
+              FROM pack p JOIN ordered o
+                ON o.sr = p.sr AND o.rn = p.rn + 1
+            )
+            SELECT clip_id, CAST(sr AS INTEGER) AS sr_hz,
+                   CAST(dur AS INTEGER) AS dur_ms,
                    CAST(bin_id AS BIGINT) AS bin_id
             FROM pack
         """,

@@ -230,6 +230,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "clips_augment",
         "clips_wds_roundtrip",
         "clips_validate",
+        "clips_corpus_prep",
         "epoch_shuffle",
         "pii_scrub",
         "clips_audio_stats",
