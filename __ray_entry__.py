@@ -1977,6 +1977,48 @@ def q_clips_index_search(sf_dir: str):
     return search_landmark_index(idx, queries, top_k=3)
 
 
+def q_clips_stretch_search(sf_dir: str):
+    """Speed-robust serving retrieval (pipelines/audiostretch.py): the
+    corpus quad index is built ONCE into a cached directory, then the
+    1-in-64 crop queries — additionally played at 1.05× speed — probe
+    it, finding the source clip despite BOTH the excerpt and the speed
+    change (the case that defeats the landmark index; the shortest
+    crops may miss — a 40% crop of a sub-second clip carries too few
+    quads). Rows-only; controlled rank/factor gates in
+    tests/test_audiostretch.py."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.audiostretch import (
+        build_stretch_index,
+        search_stretch_index,
+    )
+    from deduplidog_ray.pipelines.audiotransform import Stretch
+    from deduplidog_ray.sources.from_documents import (
+        _cached_parquet_dir,
+        textured_clips_from_documents,
+    )
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    corpus_path = textured_clips_from_documents(sf_dir)
+
+    def _build(tmp: str) -> None:
+        build_stretch_index(
+            ray.data.read_parquet(corpus_path, columns=cols), tmp
+        )
+
+    idx = _cached_parquet_dir("stridx-v1", sf_dir, _build, force=False)
+    queries = ray.data.read_parquet(
+        corpus_path, columns=cols
+    ).map_batches(
+        _snippet_crops, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        Stretch, fn_constructor_kwargs={"rate": 1.05},
+        batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return search_stretch_index(idx, queries, top_k=3)
+
+
 def q_clips_audio_stats(sf_dir: str):
     """Per-clip audio stats (peak/clipping/silence/power) over the decoded
     int16 payload — rows-only (DuckDB cannot decode RIFF/µ-law); the exact
@@ -2958,6 +3000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_shifted_dups": q_clips_shifted_dups,
         "clips_landmark_dups": q_clips_landmark_dups,
         "clips_stretch_dups": q_clips_stretch_dups,
+        "clips_stretch_search": q_clips_stretch_search,
         "clips_snippet_search": q_clips_snippet_search,
         "clips_index_search": q_clips_index_search,
         "clips_transform": q_clips_transform,

@@ -215,6 +215,7 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "tiered_clips",
         "clips_landmark_dups",
         "clips_stretch_dups",
+        "clips_stretch_search",
         "incremental_exact",
         "dup_stats",
         "boilerplate_mask",

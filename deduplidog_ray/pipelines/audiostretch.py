@@ -434,3 +434,224 @@ def stretch_dup_pairs(
     if confirmed.empty:
         return pd.DataFrame(columns=STRETCH_PAIR_COLUMNS)
     return confirmed.sort_values(["clip_a", "clip_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Persistent stretch-quad index: build once, probe with speed-changed
+# snippets — the `audioindex` build/probe split applied to the scale-
+# invariant fingerprint (a query excerpt at ±12% playback speed still
+# finds its source clip). Layout mirrors audioindex: hive buckets by
+# hash % P + manifest + per-clip meta; probes touch only the partitions
+# their query hashes land in.
+
+_STRETCH_MANIFEST = "manifest.json"
+_STRETCH_PARAMS = (
+    "work_sr", "n_fft", "hop", "peaks_per_frame", "fanout", "min_dt",
+    "zone_dt", "f_min",
+)
+
+STRETCH_SEARCH_COLUMNS = [
+    "query_id", "clip_id", "stretch", "votes", "rank",
+]
+
+
+def build_stretch_index(
+    corpus: ray.data.Dataset,
+    index_dir: str,
+    work_sr: int = 8000,
+    n_fft: int = 512,
+    hop: int = 128,
+    peaks_per_frame: int = 3,
+    fanout: int = 6,
+    min_dt: int = 6,
+    zone_dt: int = 48,
+    f_min: int = 24,
+    partitions: int = 32,
+    id_col: str = "clip_id",
+) -> str:
+    """Hash the corpus once into a probe-ready quad index; returns
+    ``index_dir``. Probes MUST hash queries with the manifest params."""
+    import json
+    import os
+
+    params = dict(
+        work_sr=work_sr, n_fft=n_fft, hop=hop,
+        peaks_per_frame=peaks_per_frame, fanout=fanout, min_dt=min_dt,
+        zone_dt=zone_dt, f_min=f_min,
+    )
+    rows = corpus.map_batches(
+        _StretchHashStage,
+        fn_constructor_kwargs=dict(**params, id_col=id_col),
+        concurrency=(1, 16),
+        batch_size=32,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        part = (t["hash"].to_numpy().view(np.uint64)
+                % np.uint64(partitions)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    os.makedirs(index_dir, exist_ok=True)
+    rows.map_batches(
+        _part, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["hash", "clip_id", "fa", "n_hash", "part"]).write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["part"]
+    )
+
+    # per-clip meta (n_hash is a per-clip constant column): one distinct
+    # pass, |clips|-bounded
+    def _meta(t: pa.Table) -> pa.Table:
+        return t.select(["clip_id", "n_hash"]).group_by(
+            ["clip_id", "n_hash"]
+        ).aggregate([])
+
+    import pyarrow.parquet as pq
+
+    meta = (
+        rows.map_batches(_meta, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .drop_duplicates("clip_id")
+        .sort_values("clip_id")
+    )
+    pq.write_table(
+        pa.Table.from_pandas(meta, preserve_index=False),
+        os.path.join(index_dir, "meta.parquet"),
+    )
+    with open(os.path.join(index_dir, _STRETCH_MANIFEST), "w") as f:
+        json.dump({**params, "partitions": partitions}, f)
+    return index_dir
+
+
+@ray.remote
+def _probe_stretch_bucket(
+    d: str, qh: np.ndarray, qfa: np.ndarray, qi: np.ndarray, index_cap: int
+) -> tuple:
+    """Match one query sub-batch against one bucket partition: returns
+    (query row idx, corpus clip id, rq, hash) cross rows; per-hash
+    segments larger than ``index_cap`` are stop hashes."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(d, "*.parquet"))
+    e = np.empty(0, np.int64)
+    if not files:
+        return e, e, e, e
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=["hash", "clip_id", "fa"])
+         for f in files]
+    )
+    h = t["hash"].to_numpy()
+    cid = np.asarray(t["clip_id"].to_pylist(), dtype=object)
+    fa = t["fa"].to_numpy()
+    order = np.argsort(h, kind="stable")
+    h, cid, fa = h[order], cid[order], fa[order]
+    starts = np.nonzero(np.r_[True, h[1:] != h[:-1]])[0]
+    sizes = np.diff(np.r_[starts, len(h)])
+    seg_h = h[starts]
+    pos = np.searchsorted(seg_h, qh)
+    ok = pos < len(seg_h)
+    ok[ok] &= seg_h[pos[ok]] == qh[ok]
+    s = pos[ok]
+    keep = sizes[s] <= index_cap
+    s = s[keep]
+    q_keep = np.nonzero(ok)[0][keep]
+    m = sizes[s]
+    if not len(s) or m.sum() == 0:
+        return e, e, e, e
+    total = int(m.sum())
+    base = np.repeat(starts[s], m)
+    excl = np.repeat(np.cumsum(m) - m, m)
+    idx = base + (np.arange(total) - excl)
+    q_rep = np.repeat(q_keep, m)
+    rq = np.rint(
+        np.log(fa[idx].astype(np.float64)
+               / np.maximum(qfa[q_rep], 1).astype(np.float64)) / _R_STEP
+    ).astype(np.int64)
+    return qi[q_rep], cid[idx], rq, h[idx]
+
+
+def search_stretch_index(
+    index_dir: str,
+    queries: ray.data.Dataset,
+    top_k: int = 3,
+    min_votes: int = 10,
+    min_hash_coverage: float = 0.01,
+    max_stretch: float = 0.25,
+    index_cap: int = 64,
+    id_col: str = "clip_id",
+) -> pd.DataFrame:
+    """Probe the index with (possibly speed-changed, possibly excerpt)
+    query snippets: per query the matching corpus clips and the
+    estimated speed factor of the corpus clip relative to the query —
+    (query_id, clip_id, stretch, votes, rank). Coverage gates apply to
+    the QUERY side (the snippet is the short side)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, _STRETCH_MANIFEST)) as f:
+        man = json.load(f)
+    params = {k: man[k] for k in _STRETCH_PARAMS}
+    partitions = int(man["partitions"])
+
+    q = queries.map_batches(
+        _StretchHashStage,
+        fn_constructor_kwargs=dict(**params, id_col=id_col),
+        concurrency=(1, 8),
+        batch_size=32,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    if not len(q):
+        return pd.DataFrame(columns=STRETCH_SEARCH_COLUMNS)
+    qids, qcodes = np.unique(q["clip_id"].to_numpy(), return_inverse=True)
+    qh = q["hash"].to_numpy()
+    qfa = q["fa"].to_numpy()
+    qmeta = (
+        q.drop_duplicates("clip_id").set_index("clip_id")["n_hash"]
+        .reindex(qids).to_numpy()
+    )
+
+    part = (qh.view(np.uint64) % np.uint64(partitions)).astype(np.int64)
+    futs = []
+    for p in np.unique(part):
+        sel = part == p
+        futs.append(_probe_stretch_bucket.remote(
+            os.path.join(index_dir, "buckets", f"part={p}"),
+            qh[sel], qfa[sel], qcodes[sel].astype(np.int64), index_cap,
+        ))
+    outs = ray.get(futs)
+    qi = np.concatenate([o[0] for o in outs])
+    if not len(qi):
+        return pd.DataFrame(columns=STRETCH_SEARCH_COLUMNS)
+    cid = np.concatenate([o[1] for o in outs])
+    rq = np.concatenate([o[2] for o in outs])
+    hh = np.concatenate([o[3] for o in outs])
+
+    ucid, ccodes = np.unique(cid, return_inverse=True)
+    order, first_idx, win_rq, win_votes, hmatch, _amb = _vote_core(
+        qi, ccodes.astype(np.int64), rq, hh
+    )
+    sel = order[first_idx]
+    r_qi, r_cc = qi[sel], ccodes[sel]
+    qhcov = hmatch / np.maximum(qmeta[r_qi], 1)
+    ok = (
+        (win_votes >= min_votes)
+        & (qhcov >= min_hash_coverage)
+        & (np.abs(win_rq) * _R_STEP <= np.log1p(max_stretch) + _R_STEP / 2)
+    )
+    out = pd.DataFrame({
+        "query_id": qids[r_qi[ok]],
+        "clip_id": ucid[r_cc[ok]],
+        "stretch": np.round(np.exp(win_rq[ok] * _R_STEP), 4),
+        "votes": win_votes[ok].astype(np.int64),
+    })
+    out = out.sort_values(
+        ["query_id", "votes", "clip_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    out = out[out["rank"] <= top_k]
+    return out[STRETCH_SEARCH_COLUMNS].reset_index(drop=True)

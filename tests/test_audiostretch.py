@@ -123,3 +123,39 @@ def test_landmark_blind_spot_is_covered(ray_session):
     st = stretch_dup_pairs(ds)
     assert len(lm) == 0          # landmark: blind under speed change
     assert len(st) == 1 and st.loc[0, "clip_a"] == "orig"
+
+
+def test_stretch_index_probe(ray_session, tmp_path):
+    """Build-once probe-many: a cropped AND speed-changed snippet finds
+    its source clip at rank 1 with the right factor; an unrelated query
+    returns nothing; a second probe reuses the index without rebuild."""
+    from deduplidog_ray.pipelines.audiostretch import (
+        build_stretch_index,
+        search_stretch_index,
+    )
+
+    base = {f"x{i}": make_pcm_textured(500 + i, 2200, SR) for i in range(8)}
+    idx = build_stretch_index(
+        rd.from_pandas(pd.DataFrame([_clip(c, p) for c, p in base.items()])),
+        str(tmp_path / "stridx"), partitions=8,
+    )
+
+    def crop_stretch(pcm, rate):
+        n = len(pcm)
+        return _stretched(pcm[int(0.2 * n): int(0.8 * n)], rate)
+
+    qrows = [
+        _clip("q_up", crop_stretch(base["x1"], 1.05)),
+        _clip("q_dn", crop_stretch(base["x2"], 0.94)),
+        _clip("q_plain", crop_stretch(base["x3"], 1.0)),
+        _clip("q_none", make_pcm_textured(999, 1500, SR)),
+    ]
+    for _ in range(2):   # second probe: same index, no rebuild
+        out = search_stretch_index(idx, rd.from_pandas(pd.DataFrame(qrows)))
+        top = out[out["rank"] == 1].set_index("query_id")
+        assert top.loc["q_up", "clip_id"] == "x1"
+        assert abs(np.log(top.loc["q_up", "stretch"] / 1.05)) <= 0.045
+        assert top.loc["q_dn", "clip_id"] == "x2"
+        assert abs(np.log(top.loc["q_dn", "stretch"] / 0.94)) <= 0.045
+        assert top.loc["q_plain", "clip_id"] == "x3"
+        assert "q_none" not in set(out["query_id"])
