@@ -159,3 +159,35 @@ def test_stretch_index_probe(ray_session, tmp_path):
         assert abs(np.log(top.loc["q_dn", "stretch"] / 0.94)) <= 0.045
         assert top.loc["q_plain", "clip_id"] == "x3"
         assert "q_none" not in set(out["query_id"])
+
+
+def test_edge_inputs(ray_session, tmp_path):
+    """Degenerate inputs flow through, never crash: sub-n_fft clips,
+    silence (no peaks), undecodable bytes, and an empty query set
+    against a built index."""
+    from deduplidog_ray.pipelines.audiostretch import (
+        build_stretch_index,
+        search_stretch_index,
+    )
+
+    rows = [
+        _clip("tiny", make_pcm_textured(1, 40, SR)),      # < one frame
+        _clip("quiet", np.zeros(SR // 2, dtype=np.float32) + 1e-6),
+        _clip("ok", make_pcm_textured(2, 2000, SR)),
+    ]
+    rows.append({"clip_id": "bad", "bytes": b"\x00junk", "sr_hz": SR,
+                 "dur_ms": 100, "codec": "pcm_s16le"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    assert len(stretch_dup_pairs(ds)) == 0      # nothing to pair
+
+    idx = build_stretch_index(ds, str(tmp_path / "edge"), partitions=4)
+    # empty query set
+    out = search_stretch_index(idx, rd.from_pandas(pd.DataFrame(
+        [], columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    )))
+    assert len(out) == 0
+    # a query that produces zero quads (silence) answers nothing
+    out2 = search_stretch_index(idx, rd.from_pandas(pd.DataFrame(
+        [_clip("qz", np.zeros(SR // 2, dtype=np.float32))]
+    )))
+    assert "qz" not in set(out2["query_id"])
