@@ -55,6 +55,50 @@ _PARAM_KEYS = (
 )
 
 
+def _atomic_write_table(t: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
+def _reconcile_ingests(index_dir: str) -> None:
+    """Crash recovery for `extend_landmark_index`: each ingest writes a
+    journal BEFORE moving bucket files and commits by atomically
+    replacing ids.parquet LAST. A leftover journal therefore means
+    either (a) the commit happened but the journal delete didn't — all
+    its cids are in ids.parquet, just drop the journal — or (b) the
+    ingest died mid-move — its `ingest-<token>-*` bucket files are
+    partial AND its cids are absent from ids.parquet, so a rerun would
+    append their rows a second time; remove the orphans (and any meta
+    rows for uncommitted cids) so the rerun starts clean."""
+    journals = glob.glob(os.path.join(index_dir, "ingest-*.journal.json"))
+    if not journals:
+        return
+    ids_path = os.path.join(index_dir, "ids.parquet")
+    known = set(
+        pq.read_table(ids_path, columns=["cid"])["cid"].to_pylist()
+    ) if os.path.exists(ids_path) else set()
+    for jpath in journals:
+        with open(jpath) as f:
+            j = json.load(f)
+        token, cids = j["token"], set(j["cids"])
+        if not (cids and cids <= known):
+            # uncommitted: remove this ingest's bucket files + meta rows
+            for f2 in glob.glob(os.path.join(
+                    index_dir, "buckets", "part=*", f"ingest-{token}-*")):
+                os.remove(f2)
+            meta_path = os.path.join(index_dir, "meta.parquet")
+            if os.path.exists(meta_path) and cids:
+                old = pq.read_table(meta_path).to_pandas()
+                keep = old[~old["cid"].isin(cids)]
+                if len(keep) != len(old):
+                    _atomic_write_table(
+                        pa.Table.from_pandas(keep, preserve_index=False),
+                        meta_path,
+                    )
+        os.remove(jpath)
+
+
 @ray.remote
 def _meta_of_bucket(d: str) -> pa.Table:
     """Per-partition per-clip partials: (cid, n_lm, n_hash). A hash
@@ -221,6 +265,7 @@ def search_landmark_index(
     gates apply to the QUERY side (same rationale as snippet_search)."""
     with open(os.path.join(index_dir, _MANIFEST)) as f:
         man = json.load(f)
+    _reconcile_ingests(index_dir)
     params = {k: man[k] for k in _PARAM_KEYS}
     partitions = int(man["partitions"])
     hop_ms = float(man["hop_ms"])
@@ -323,6 +368,7 @@ def extend_landmark_index(
     """
     with open(os.path.join(index_dir, _MANIFEST)) as f:
         man = json.load(f)
+    _reconcile_ingests(index_dir)
     params = {k: man[k] for k in _PARAM_KEYS}
     partitions = int(man["partitions"])
 
@@ -382,12 +428,22 @@ def extend_landmark_index(
 
     # increment meta BEFORE moving (the staged files hold exactly the
     # increment's rows — meta stays increment-bounded, never a re-read
-    # of the whole index), then move bucket files into place, filtering
-    # already-ingested clips
+    # of the whole index). Crash-safety protocol (see _reconcile_ingests):
+    # journal first, then bucket moves + meta, then ids.parquet replaced
+    # atomically as the COMMIT POINT, then journal removed — a crash at
+    # any step leaves either a fully-committed ingest or one the next
+    # call rolls back, never silently duplicated landmark rows.
+    token = uuid.uuid4().hex[:8]
     stage_parts = sorted(
         d for d in glob.glob(os.path.join(stage, "part=*")) if d != id_dir
     )
     metas = ray.get([_meta_of_bucket.remote(d) for d in stage_parts])
+    journal = os.path.join(index_dir, f"ingest-{token}.journal.json")
+    jtmp = journal + ".tmp"
+    with open(jtmp, "w") as f:
+        json.dump({"token": token,
+                   "cids": [int(c) for c in fresh["cid"]]}, f)
+    os.replace(jtmp, journal)
     for d in stage_parts:
         dest = os.path.join(index_dir, "buckets", os.path.basename(d))
         os.makedirs(dest, exist_ok=True)
@@ -398,18 +454,14 @@ def extend_landmark_index(
                 t = t.filter(pa.array(keep))
             if len(t):
                 pq.write_table(
-                    t, os.path.join(dest, f"ingest-{os.path.basename(f)}")
+                    t,
+                    os.path.join(
+                        dest, f"ingest-{token}-{os.path.basename(f)}"
+                    ),
                 )
     shutil.rmtree(stage, ignore_errors=True)
 
     if len(fresh):
-        pq.write_table(
-            pa.Table.from_pandas(
-                pd.concat([known, fresh], ignore_index=True),
-                preserve_index=False,
-            ),
-            ids_path,
-        )
         fresh_set = set(fresh["cid"].astype(np.int64))
         mt = pa.concat_tables([t for t in metas if len(t)])
         mdf = mt.to_pandas().groupby("cid", sort=True, as_index=False).sum()
@@ -417,7 +469,7 @@ def extend_landmark_index(
         old = pq.read_table(
             os.path.join(index_dir, "meta.parquet")
         ).to_pandas()
-        pq.write_table(
+        _atomic_write_table(
             pa.Table.from_pandas(
                 pd.concat([old[~old["cid"].isin(fresh_set)], mdf],
                           ignore_index=True),
@@ -425,4 +477,14 @@ def extend_landmark_index(
             ),
             os.path.join(index_dir, "meta.parquet"),
         )
+        # commit point: once the new cids land in ids.parquet, the
+        # ingest is final and the journal is a no-op to reconcile
+        _atomic_write_table(
+            pa.Table.from_pandas(
+                pd.concat([known, fresh], ignore_index=True),
+                preserve_index=False,
+            ),
+            ids_path,
+        )
+    os.remove(journal)
     return index_dir

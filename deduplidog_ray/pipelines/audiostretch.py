@@ -135,12 +135,20 @@ def _quads(
             (np.log(np.maximum(dtj, 1).astype(np.float64)) + logf[i])
             / _STF
         ).astype(np.int64)
+        # q4 ≥ 0 always (dtj ≥ 1, f_i ≥ 1) but its top end is reachable
+        # (dt·f up to zone_dt · n_fft/2 ≈ 12k ⇒ q4 up to ~78 at the
+        # defaults): SATURATE into the last bin instead of silently
+        # dropping — saturation is computed from the scale-invariant
+        # quantity, so it is consistent across a true pair (no recall
+        # loss), and if the saturated bin ever runs hot it lands in the
+        # counted stop-hash cap like any other hot bucket.
+        q4 = np.minimum(q4, 63)
         # pack: q1,q2,q5 signed 7-bit | q3 5-bit | q4 6-bit → 32 bits
         # (_vote_core's (pid << 32) | h distinct-hash packing needs
         # h < 2^32; (q1+64) << 25 tops out just under it)
         inr = (
             (np.abs(q1) < 64) & (np.abs(q2) < 64) & (np.abs(q5) < 64)
-            & (q3 >= 0) & (q3 < 32) & (q4 >= 0) & (q4 < 64)
+            & (q3 >= 0) & (q3 < 32)
         )
         if not inr.any():
             continue

@@ -64,9 +64,14 @@ def transcript_conflicts(
     One decode pass (container-invariant ``pcm_hash``), one exchange
     keyed by the transcript hash; groups compare TRUE transcript
     strings in-partition (the `pipelines/exact.py` 64-bit-collision
-    rule). Undecodable rows are excluded (their payload identity is
-    unknown, not conflicting). Output: (group_id = min clip id,
-    n_clips, n_audio) for groups with ≥ 2 distinct decoded payloads.
+    rule), and payload identity is the FULL DecodeFingerprint tuple
+    (pcm_hash, n_frames, dur_ms_actual) — the same exact-identity key
+    `exact.py` / `clips_corpus_prep` use, so a 64-bit pcm_hash
+    collision inside a group cannot silently merge two distinct
+    payloads and suppress a real conflict. Undecodable rows are
+    excluded (their payload identity is unknown, not conflicting).
+    Output: (group_id = min clip id, n_clips, n_audio) for groups with
+    ≥ 2 distinct decoded payloads.
     """
     import pandas as pd
 
@@ -83,7 +88,10 @@ def transcript_conflicts(
 
     def _tag(t: pa.Table) -> pa.Table:
         ok = pc.is_null(t["decode_error"])
-        t = t.filter(ok).select([id_col, transcript_col, "pcm_hash"])
+        t = t.filter(ok).select(
+            [id_col, transcript_col, "pcm_hash", "n_frames",
+             "dur_ms_actual"]
+        )
         h = hash_arrow_u64(t[transcript_col], seed=0x7C0F)
         return t.append_column(
             "_part",
@@ -91,10 +99,14 @@ def transcript_conflicts(
         )
 
     def _groups(g: pd.DataFrame) -> pd.DataFrame:
+        payload = list(zip(
+            g["pcm_hash"], g["n_frames"], g["dur_ms_actual"]
+        ))
+        g = g.assign(_payload=pd.Series(payload, index=g.index))
         agg = g.groupby(transcript_col, sort=False).agg(
             group_id=(id_col, "min"),
             n_clips=(id_col, "size"),
-            n_audio=("pcm_hash", "nunique"),
+            n_audio=("_payload", "nunique"),
         )
         agg = agg[agg["n_audio"] > 1]
         return agg.reset_index(drop=True)[
@@ -139,11 +151,20 @@ def speech_rate_outliers(
 
     def _flag(t: pa.Table) -> pa.Table:
         sr = t["sr_hz"].to_numpy(zero_copy_only=False)
-        m = meds[np.searchsorted(srs, sr)]
+        # clip + membership-check the lookup: a sample rate absent from
+        # the median pass (e.g. nondeterministic upstream re-execution)
+        # must NOT borrow the next rate's median or index past the end —
+        # it gets NaN med_tps / null is_outlier instead
+        idx = np.clip(np.searchsorted(srs, sr), 0, len(srs) - 1)
+        seen = srs[idx] == sr
+        m = np.where(seen, meds[idx], np.nan)
         rate = t["rate_tps"].to_numpy()
         out = (rate > hi * m) | (rate < lo * m)
         t = t.append_column("med_tps", pa.array(m))
-        return t.append_column("is_outlier", pa.array(out))
+        return t.append_column(
+            "is_outlier",
+            pa.array(np.where(seen, out, False), mask=~seen),
+        )
 
     return rated.map_batches(
         _flag, batch_format="pyarrow", zero_copy_batch=True

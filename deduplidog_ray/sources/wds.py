@@ -52,9 +52,15 @@ def write_wds_shards(
     id_col: str = "clip_id",
 ) -> pd.DataFrame:
     """Write ``clips`` as ``shards`` WebDataset tars under ``out_dir``;
-    returns the manifest (shard, n_clips, n_bytes), sorted. Existing
-    shard files are kept (resume semantics) — delete the directory for
-    a clean rewrite."""
+    returns the manifest (shard, n_clips, n_bytes, sha256, status),
+    sorted. Existing shard files are kept (resume semantics) — delete
+    the directory for a clean rewrite — but a skipped shard is never
+    silently blessed: shard bytes are deterministic, so the expected
+    content hash is recomputed and compared against the on-disk file;
+    ``status`` reports ``written`` / ``skipped_verified`` /
+    ``skipped_mismatch`` (stale, truncated or foreign file found —
+    left untouched per the skip contract, but flagged), and ``sha256``
+    is always the EXPECTED content hash."""
     from deduplidog_ray.stages.hashing import hash_arrow_u64
 
     os.makedirs(out_dir, exist_ok=True)
@@ -66,41 +72,57 @@ def write_wds_shards(
         )
 
     def _write(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         part = int(g["_part"].iloc[0])
         path = os.path.join(out_dir, _shard_name(part))
         g = g.sort_values(id_col, kind="stable")
+        # shard bytes are deterministic — build them unconditionally so
+        # a resume-skipped shard can be VERIFIED, not trusted
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for _, row in g.iterrows():
+                cid = row[id_col]
+                payload = bytes(row["bytes"] or b"")
+                meta = {
+                    k: (None if pd.isna(row[k]) else
+                        int(row[k]) if isinstance(row[k], (np.integer,))
+                        else row[k])
+                    for k in _META_COLS if k in g.columns
+                }
+                for name, data in (
+                    (f"{cid}.{_EXT.get(row.get('codec'), 'bin')}",
+                     payload),
+                    (f"{cid}.json",
+                     json.dumps(meta, sort_keys=True).encode()),
+                ):
+                    ti = tarfile.TarInfo(name=name)
+                    ti.size = len(data)
+                    ti.mtime = 0          # pinned: deterministic bytes
+                    ti.uid = ti.gid = 0
+                    ti.mode = 0o644
+                    tar.addfile(ti, io.BytesIO(data))
+        expected = buf.getvalue()
+        exp_sha = hashlib.sha256(expected).hexdigest()
         if not os.path.exists(path):
-            buf = io.BytesIO()
-            with tarfile.open(fileobj=buf, mode="w") as tar:
-                for _, row in g.iterrows():
-                    cid = row[id_col]
-                    payload = bytes(row["bytes"] or b"")
-                    meta = {
-                        k: (None if pd.isna(row[k]) else
-                            int(row[k]) if isinstance(row[k], (np.integer,))
-                            else row[k])
-                        for k in _META_COLS if k in g.columns
-                    }
-                    for name, data in (
-                        (f"{cid}.{_EXT.get(row.get('codec'), 'bin')}",
-                         payload),
-                        (f"{cid}.json",
-                         json.dumps(meta, sort_keys=True).encode()),
-                    ):
-                        ti = tarfile.TarInfo(name=name)
-                        ti.size = len(data)
-                        ti.mtime = 0          # pinned: deterministic bytes
-                        ti.uid = ti.gid = 0
-                        ti.mode = 0o644
-                        tar.addfile(ti, io.BytesIO(data))
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
-                f.write(buf.getvalue())
+                f.write(expected)
             os.replace(tmp, path)     # atomic commit; rerun-safe
+            status = "written"
+        else:
+            with open(path, "rb") as f:
+                on_disk = hashlib.sha256(f.read()).hexdigest()
+            status = (
+                "skipped_verified" if on_disk == exp_sha
+                else "skipped_mismatch"
+            )
         return pd.DataFrame({
             "shard": [_shard_name(part)],
             "n_clips": [len(g)],
             "n_bytes": [os.path.getsize(path)],
+            "sha256": [exp_sha],
+            "status": [status],
         })
 
     manifest = (

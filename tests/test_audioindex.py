@@ -147,3 +147,63 @@ def test_incremental_ingest(ray_session, tmp_path):
         extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
             [_clip("x0", make_pcm_textured(777, 1500, SR))]
         )))
+
+
+def test_ingest_crash_recovery(ray_session, tmp_path):
+    """A crash between the bucket-file moves and the ids.parquet commit
+    must not leave the rerun appending the increment's landmark rows a
+    second time (duplicate rows would inflate votes): the journal +
+    commit-point protocol rolls the orphaned ingest back on the next
+    call, and the rerun reproduces the clean post-ingest state."""
+    import glob
+    import json
+
+    import pyarrow.parquet as _pq
+
+    from deduplidog_ray.pipelines.audioindex import extend_landmark_index
+
+    base_pcm = {f"c{i}": make_pcm_textured(600 + i, 2000, SR)
+                for i in range(5)}
+    new_pcm = {f"n{i}": make_pcm_textured(700 + i, 2000, SR)
+               for i in range(3)}
+    idx = build_landmark_index(
+        rd.from_pandas(pd.DataFrame(
+            [_clip(c, p) for c, p in base_pcm.items()]
+        )),
+        str(tmp_path / "lmidx_crash"), partitions=8,
+    )
+    ids_path = os.path.join(idx, "ids.parquet")
+    ids_before = _pq.read_table(ids_path).to_pandas()
+    extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
+        [_clip(c, p) for c, p in new_pcm.items()]
+    )))
+    allpcm = {**base_pcm, **new_pcm}
+    crops = {"q_new": ("n1", 600), "q_old": ("c2", 400)}
+    res_clean = search_landmark_index(idx, _mk_queries(allpcm, crops))
+
+    # rewind to the mid-crash state: bucket files moved (+ meta written)
+    # but ids.parquet NOT yet committed, journal still on disk
+    ids_after = _pq.read_table(ids_path).to_pandas()
+    new_cids = sorted(set(ids_after["cid"]) - set(ids_before["cid"]))
+    assert len(new_cids) == 3
+    ingested = glob.glob(os.path.join(idx, "buckets", "part=*",
+                                      "ingest-*-*"))
+    assert ingested, "ingest must append token-named bucket files"
+    token = os.path.basename(ingested[0]).split("-")[1]
+    with open(os.path.join(idx, f"ingest-{token}.journal.json"),
+              "w") as f:
+        json.dump({"token": token,
+                   "cids": [int(c) for c in new_cids]}, f)
+    import pyarrow as _pa
+    _pq.write_table(
+        _pa.Table.from_pandas(ids_before, preserve_index=False), ids_path
+    )
+
+    # rerun the SAME ingest: reconcile removes the orphaned rows first,
+    # so votes/offsets come out identical to the clean single ingest
+    extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
+        [_clip(c, p) for c, p in new_pcm.items()]
+    )))
+    res2 = search_landmark_index(idx, _mk_queries(allpcm, crops))
+    pd.testing.assert_frame_equal(res_clean, res2)
+    assert not glob.glob(os.path.join(idx, "ingest-*.journal.json"))

@@ -72,9 +72,20 @@ def test_resume_skips_existing_shards(ray_session, tmp_path):
     poisoned, removed = shards[0], shards[1]
     open(poisoned, "wb").write(b"DO NOT TOUCH")
     os.unlink(removed)
-    write_wds_shards(rd.from_pandas(df), d, shards=6)
+    man = write_wds_shards(rd.from_pandas(df), d, shards=6)
     assert open(poisoned, "rb").read() == b"DO NOT TOUCH"
     assert os.path.exists(removed)
+    # the manifest must not bless the poisoned shard: its row is flagged
+    # as a mismatch, the regenerated one as written, the rest verified
+    st = man.set_index("shard")["status"]
+    assert st[os.path.basename(poisoned)] == "skipped_mismatch"
+    assert st[os.path.basename(removed)] == "written"
+    assert (st.drop([os.path.basename(poisoned),
+                     os.path.basename(removed)])
+            == "skipped_verified").all()
+    # n_bytes of the poisoned row reflects the file actually on disk
+    assert (man.set_index("shard")["n_bytes"][os.path.basename(poisoned)]
+            == len(b"DO NOT TOUCH"))
     # full rewrite after clearing restores the exact original bytes
     with open(removed, "rb") as f:
         assert f.read(260)[257:260] != b""   # a real tar again
