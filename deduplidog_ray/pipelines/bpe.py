@@ -244,3 +244,90 @@ def bpe_token_counts(
         .groupby("token")
         .aggregate(Sum("cnt", alias_name="n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle for train_bpe (driver-verifiable merge loop)
+# ---------------------------------------------------------------------------
+
+
+def train_bpe_sql(
+    n_merges: int = 50,
+    table: str = "documents",
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> str:
+    """Generate the DuckDB oracle for :func:`train_bpe` — the full
+    deterministic merge loop unrolled as ``n_merges`` chained CTE
+    iterations over the |vocab|-bounded word-count table.
+
+    Encoding: each word is a separator-framed string with TWO chr(30)
+    separators between adjacent symbols (``␟␟c1␟␟c2␟␟</w>␟␟``). A merge
+    of pair (l, r) is ``replace(repr, ␟l␟␟r␟, ␟lr␟)`` — the pattern
+    consumes ONE separator on each side, leaving one outside, so the
+    two-separator invariant survives and consecutive occurrences sharing
+    a boundary are all found; this reproduces the engine's greedy
+    left-to-right scan exactly (``a a a a`` merges to ``aa aa``, unlike
+    a single-separator encoding where ``replace`` would skip the
+    boundary-sharing second match). Tie-break ``ORDER BY c DESC, l, r``
+    equals the engine's ``(-count, pair)`` tuple min under binary
+    collation. An iteration whose best pair falls below
+    ``min_pair_count`` yields an empty ``b{r}``; the coalesce fallback
+    pattern (five consecutive separators, unreachable — reprs carry at
+    most two) makes every later iteration a no-op, mirroring the
+    engine's loop break."""
+    s1 = "chr(30)"
+    s2 = "chr(30)||chr(30)"
+    parts = [f"""
+        WITH wc AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_filter(
+              string_split(coalesce({text_col}, ''), ' '),
+              x -> x <> '')) AS word
+            FROM {table}
+          ) GROUP BY word
+        ), w0 AS MATERIALIZED (
+          SELECT {s2} || array_to_string(
+                   list_append(
+                     list_transform(generate_series(1, length(word)),
+                                    i -> word[i]),
+                     '{_END}'),
+                   {s2}) || {s2} AS repr,
+                 cnt
+          FROM wc
+        )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f""", p{r} AS MATERIALIZED (
+          SELECT l, r2, sum(cnt) AS c FROM (
+            SELECT q.syms[u.i] AS l, q.syms[u.i+1] AS r2, q.cnt
+            FROM (
+              SELECT list_filter(string_split(repr, {s2}),
+                                 x -> x <> '') AS syms, cnt
+              FROM w{r - 1}
+            ) q, unnest(generate_series(1, len(q.syms) - 1)) AS u(i)
+          ) GROUP BY l, r2
+        ), b{r} AS MATERIALIZED (
+          SELECT l, r2, c FROM p{r}
+          WHERE c >= {min_pair_count}
+          ORDER BY c DESC, l, r2 LIMIT 1
+        ), w{r} AS MATERIALIZED (
+          SELECT replace(repr,
+                   coalesce((SELECT {s1}||l||{s2}||r2||{s1} FROM b{r}),
+                            repeat({s1}, 5)),
+                   coalesce((SELECT {s1}||l||r2||{s1} FROM b{r}), '')
+                 ) AS repr,
+                 cnt
+          FROM w{r - 1}
+        )""")
+    selects = "\n          UNION ALL ".join(
+        f"""SELECT CAST({r - 1} AS INTEGER) AS rank,
+                   l AS "left", r2 AS "right", l || r2 AS merged
+            FROM b{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+        SELECT * FROM (
+          {selects}
+        ) ORDER BY rank
+    """)
+    return "".join(parts)

@@ -850,3 +850,66 @@ def hash_join(
         ),
         batch_format="pyarrow",
     )
+
+
+def apply_sidecar_metadata(
+    ds: ray.data.Dataset,
+    sidecar: pd.DataFrame | pa.Table,
+    key_col: str = "clip_id",
+    sidecar_key_col: str = "key",
+    key_trunc: int = 46,
+) -> ray.data.Dataset:
+    """Apply sidecar metadata by TRUNCATED-key lookup — the named
+    operator for reference J4's Google-Photos workflow
+    (/root/reference/deduplidog/utils.py:196-205: each photo looks up
+    ``name[:46] + ".json"`` in a sidecar dir and applies its
+    timestamp), generalized to any metadata columns.
+
+    Semantics: each ``ds`` row whose ``key_col`` truncated to
+    ``key_trunc`` characters matches a ``sidecar_key_col`` value gets
+    the sidecar's non-key columns applied — a column present in BOTH
+    tables is OVERWRITTEN where the sidecar value is non-null
+    (COALESCE(sidecar, ds)), a sidecar-only column is attached (null
+    where unmatched) — plus a ``sidecar_applied`` bool. Duplicate
+    sidecar keys raise: two sidecars claiming one truncated key is
+    ambiguous metadata, not a join to silently explode.
+
+    SCALE SHAPE: the sidecar is the small side by construction (one
+    row per exported album item) — ``ray.put`` once, pandas
+    merge per batch against the plasma-cached frame; no shuffle, the
+    big side streams (the `broadcast_semi_join` pattern with payload
+    columns).
+    """
+    sc = sidecar.to_pandas() if isinstance(sidecar, pa.Table) else sidecar
+    sc = sc.reset_index(drop=True)
+    if sc[sidecar_key_col].duplicated().any():
+        dups = sc[sidecar_key_col][sc[sidecar_key_col].duplicated()]
+        raise ValueError(
+            f"ambiguous sidecar metadata: duplicate keys {list(dups[:4])}"
+        )
+    sc_ref = ray.put(sc)
+    meta_cols = [c for c in sc.columns if c != sidecar_key_col]
+    _memo: dict[str, pd.DataFrame] = {}
+
+    def _apply(t: pa.Table) -> pa.Table:
+        if "sc" not in _memo:
+            _memo["sc"] = ray.get(sc_ref)
+        s = _memo["sc"]
+        df = t.to_pandas()
+        trunc = df[key_col].astype(str).str.slice(0, key_trunc)
+        joined = pd.DataFrame({"_k": trunc}).merge(
+            s.rename(columns={sidecar_key_col: "_k"}),
+            on="_k", how="left",
+            suffixes=("", ""),
+        )
+        applied = joined["_k"].isin(set(s[sidecar_key_col]))
+        for c in meta_cols:
+            sv = joined[c]
+            if c in df.columns:
+                sv = sv.where(sv.notna(), df[c].reset_index(drop=True))
+            df[c] = sv.to_numpy()
+        df["sidecar_applied"] = applied.to_numpy()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(_apply, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -414,3 +414,190 @@ def cms_token_counts(
         for blob in b["sk"].to_pylist():
             out += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
     return out, seeds
+
+
+# ---------------------------------------------------------------------------
+# SQL-reproducible md5 variants (driver-oracle-checkable sketch states)
+# ---------------------------------------------------------------------------
+#
+# The blake2b family above is the production path (faster, seedable); the
+# md5 family below computes THE SAME sketch structures with per-cell
+# hashes DuckDB can reproduce (`md5_number_upper(s)` ==
+# `int.from_bytes(md5(s).digest()[:8], "little")` — the byte-order
+# contract established by textdedup._md5_shingles), so the driver's SQL
+# oracle can pin the exact deterministic sketch state, not just bounds.
+
+
+def _md5_u64(strings) -> np.ndarray:
+    import hashlib
+
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s.encode()).digest()[:8], "little")
+         for s in strings),
+        dtype=np.uint64, count=len(strings),
+    )
+
+
+def cms_token_counts_md5(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    width: int = 1 << 14,
+    depth: int = 4,
+) -> np.ndarray:
+    """Corpus token-frequency CMS whose cell indices are SQL-exact:
+    bucket for depth row d = md5_u64(str(d) + chr(31) + token) % width.
+    Tokenization matches `textops.token_freq` (lowercase ASCII \\w+ —
+    the RE2 semantics its oracle already pins). Linear merge of
+    constant-size per-block partials, like :func:`cms_token_counts`."""
+    import pyarrow.compute as pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sk = np.zeros((depth, width), dtype=np.int64)
+        low = pc.utf8_lower(pc.fill_null(t[text_col], ""))
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(low, pattern=r"[^\w]+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks):
+            vc = pd.Series(toks.to_pandas(), dtype="object").value_counts()
+            cnt = vc.to_numpy().astype(np.int64)
+            for d in range(depth):
+                cols = (
+                    _md5_u64([f"{d}\x1f{tok}" for tok in vc.index])
+                    % np.uint64(width)
+                ).astype(np.int64)
+                np.add.at(sk[d], cols, cnt)
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    out = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        for blob in b["sk"].to_pylist():
+            out += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return out
+
+
+def cms_estimate_md5(sketch: np.ndarray, tokens: list) -> np.ndarray:
+    """Point-query estimates for the md5-cell CMS (min over depth rows)."""
+    depth, width = sketch.shape
+    est = None
+    for d in range(depth):
+        cols = (
+            _md5_u64([f"{d}\x1f{tok}" for tok in tokens])
+            % np.uint64(width)
+        ).astype(np.int64)
+        v = sketch[d][cols]
+        est = v if est is None else np.minimum(est, v)
+    return est
+
+
+def _gram_strings(texts: list, k: int) -> tuple[list, np.ndarray]:
+    """Per-doc token-k-gram STRINGS (chr(30)-joined; docs under k tokens
+    emit one combined gram — the `textdedup._md5_shingles` construction,
+    kept as strings so per-probe-index md5 prefixing stays SQL-exact)."""
+    sep = "\x1e"
+    flat: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts):
+        toks = t.split() if t else []
+        if len(toks) >= k:
+            flat.extend(
+                sep.join(toks[j:j + k]) for j in range(len(toks) - k + 1)
+            )
+        else:
+            flat.append(sep.join(toks))
+        offsets[i + 1] = len(flat)
+    return flat, offsets
+
+
+def _md5_bloom_positions(grams: list, n_hashes: int,
+                         n_bits: int) -> np.ndarray:
+    """(n_hashes, n) bit positions, each SQL-exact:
+    pos_i = md5_u64(str(i) + chr(31) + gram) % n_bits."""
+    if not grams:
+        return np.empty((n_hashes, 0), dtype=np.int64)
+    return np.stack([
+        (_md5_u64([f"{i}\x1f{g}" for g in grams])
+         % np.uint64(n_bits)).astype(np.int64)
+        for i in range(n_hashes)
+    ])
+
+
+def build_ngram_bloom_md5(
+    holdout_ds: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    log2_bits: int = 22,
+    n_hashes: int = 7,
+) -> np.ndarray:
+    """`build_ngram_bloom` with SQL-exact md5 bit positions (per-probe
+    md5 instead of Kirsch–Mitzenmacher double hashing — k independent
+    md5 calls cost more CPU but every set bit is reproducible by the
+    DuckDB oracle). OR-merge of constant-size per-block partials."""
+    n_bits = 1 << log2_bits
+    n_words = n_bits // 64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        grams, _ = _gram_strings(t[text_col].to_pylist(), k)
+        if grams:
+            _bloom_set(words, _md5_bloom_positions(grams, n_hashes, n_bits))
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    out = np.zeros(n_words, dtype=np.uint64)
+    for b in holdout_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        for blob in b["words"].to_pylist():
+            out |= np.frombuffer(blob, dtype=np.uint64)
+    return out
+
+
+def decontaminate_bloom_md5(
+    train_ds: ray.data.Dataset,
+    holdout_ds: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    min_hits: int = 1,
+    log2_bits: int = 22,
+    n_hashes: int = 7,
+) -> ray.data.Dataset:
+    """`decontaminate_bloom` with the md5 position family: the ENTIRE
+    deterministic filter state — every set bit, every probe, every
+    per-doc hit count — is reproducible by the DuckDB oracle, so the
+    driver checks values, not just the no-false-negative bound.
+    Distinct-gram accounting is by gram STRING (exactly what the SQL
+    DISTINCT does). Columns appended: ``n_hits_est``, ``contaminated``."""
+    import ray as _ray
+
+    n_bits = 1 << log2_bits
+    words_ref = _ray.put(build_ngram_bloom_md5(
+        holdout_ds, k, text_col, log2_bits, n_hashes))
+
+    def _score(t: pa.Table) -> pa.Table:
+        words = _ray.get(words_ref)  # plasma view, cached per worker
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        grams, off = _gram_strings(texts, k)
+        n_hits = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            uniq = sorted(set(grams[off[i]: off[i + 1]]))
+            if not uniq:
+                continue
+            pos = _md5_bloom_positions(uniq, n_hashes, n_bits)
+            bits = (
+                words[pos >> 6]
+                >> (pos.astype(np.uint64) & np.uint64(63))
+            ) & np.uint64(1)
+            n_hits[i] = int(bits.all(axis=0).sum())
+        t = t.append_column("n_hits_est", pa.array(n_hits))
+        return t.append_column(
+            "contaminated", pa.array(n_hits >= min_hits)
+        )
+
+    return train_ds.map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
