@@ -245,6 +245,29 @@ def _hash_sampler(mod: int, rem: int, seed: int):
     return _s
 
 
+def _md5_sampler(mod: int, rem: int, tag: str):
+    """Deterministic 1-in-``mod`` sampler whose membership DuckDB can
+    reconstruct: keep rows where
+    ``md5_number_upper(clip_id || '|' || tag) % mod == rem`` (the
+    md5-upper-word correspondence of textdedup._md5_shingles). Used by
+    the planted-variant fixtures so the driver's reconstructive SQL
+    oracles can enumerate the planted pair set from the documents
+    table alone."""
+    import hashlib
+
+    def _s(t: pa.Table) -> pa.Table:
+        ids = t["clip_id"].to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{c}|{tag}".encode()).digest()[:8], "little")
+             for c in ids),
+            dtype=np.uint64, count=len(ids),
+        )
+        return t.filter(pa.array(h % np.uint64(mod) == rem))
+
+    return _s
+
+
 def shifted_variants_from_clips(sf_dir: str, force: bool = False) -> str:
     """Planted SHIFTED copies for the alignment bench corpus, cached: a
     deterministic 1-in-8 sample of the standard clips ships again with
@@ -286,7 +309,7 @@ def landmark_variants_from_clips(sf_dir: str, force: bool = False) -> str:
     def _build(tmp: str) -> None:
         ds = ray.data.read_parquet(base, columns=_CLIP_COLS)
         delayed = ds.map_batches(
-            _hash_sampler(8, 0, 0x1A4D), batch_format="pyarrow",
+            _md5_sampler(8, 0, "lm"), batch_format="pyarrow",
             zero_copy_batch=True,
         ).map_batches(
             Delay, fn_constructor_kwargs={"delay_ms": 480},
@@ -297,7 +320,7 @@ def landmark_variants_from_clips(sf_dir: str, force: bool = False) -> str:
             zero_copy_batch=True,
         )
         cropped = ds.map_batches(
-            _hash_sampler(16, 3, 0x1A4D), batch_format="pyarrow",
+            _md5_sampler(16, 3, "lm"), batch_format="pyarrow",
             zero_copy_batch=True,
         ).filter(lambda r: r["dur_ms"] >= 1400).map_batches(
             Crop, fn_constructor_kwargs={"start_frac": 0.25,
@@ -310,7 +333,7 @@ def landmark_variants_from_clips(sf_dir: str, force: bool = False) -> str:
         )
         delayed.union(cropped).write_parquet(tmp)
 
-    return _cached_parquet_dir("lmvar", sf_dir, _build, force)
+    return _cached_parquet_dir("lmvar-md5", sf_dir, _build, force)
 
 
 def stretched_variants_from_clips(sf_dir: str, force: bool = False) -> str:
@@ -318,19 +341,23 @@ def stretched_variants_from_clips(sf_dir: str, force: bool = False) -> str:
     stretch-fingerprint bench corpus, cached: a 1-in-16 sample ships
     again at 0.95× speed (``_strdn``) and a disjoint 1-in-16 sample at
     1.05× (``_strup``) — the resample-mislabel transformation
-    `audiostretch.stretch_dup_pairs` must see through. Same fixture
-    rationale as `shifted_variants_from_clips`."""
+    `audiostretch.stretch_dup_pairs` must see through. Clips >= 1400 ms
+    only (the crop fixture's gate, same rationale: quad voting needs
+    enough audio — a ~1 s textured clip yields ~5 matchable quads,
+    below any noise floor). Same fixture rationale as
+    `shifted_variants_from_clips`."""
     from deduplidog_ray.pipelines.audiotransform import Stretch
 
     base = textured_clips_from_documents(sf_dir, force=force)
 
     def _build(tmp: str) -> None:
         ds = ray.data.read_parquet(base, columns=_CLIP_COLS)
+        ds = ds.filter(lambda r: r["dur_ms"] >= 1400)
         arms = []
         for rem, rate, tag in ((1, 0.95, "_strdn"), (5, 1.05, "_strup")):
             arms.append(
                 ds.map_batches(
-                    _hash_sampler(16, rem, 0x57E7), batch_format="pyarrow",
+                    _md5_sampler(16, rem, "str"), batch_format="pyarrow",
                     zero_copy_batch=True,
                 ).map_batches(
                     Stretch, fn_constructor_kwargs={"rate": rate},
@@ -343,4 +370,4 @@ def stretched_variants_from_clips(sf_dir: str, force: bool = False) -> str:
             )
         arms[0].union(arms[1]).write_parquet(tmp)
 
-    return _cached_parquet_dir("strvar", sf_dir, _build, force)
+    return _cached_parquet_dir("strvar-md5-d14", sf_dir, _build, force)

@@ -245,8 +245,31 @@ def test_driver_query_recall_precision_sf0001():
     assert same.all(), out[~same]                       # precision 1.0
     sh = out[(out.clip_a + "_lmshift") == out.clip_b]
     cu = out[(out.clip_a + "_lmcut") == out.clip_b]
-    # planted counts at sf0.001 (deterministic samplers): 56 + 21
-    assert len(sh) == 56 and len(cu) == 21, (len(sh), len(cu))
-    assert (sh.offset_ms == 480).all()                  # exact: 15 hops
+    # planted counts at sf0.001 (deterministic md5 samplers — the
+    # SQL-reconstructable membership the driver oracle enumerates):
+    # 62 delayed + 23 cropped
+    assert len(sh) == 62 and len(cu) == 23, (len(sh), len(cu))
+
+    # offsets: the query projects to the id-pair set (that's what the
+    # driver oracle pins); frame accuracy is asserted on the operator's
+    # full output over the same fixture corpora
+    import ray.data as rd
+
+    from deduplidog_ray.sources.from_documents import (
+        landmark_variants_from_clips,
+        textured_clips_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    full = landmark_dup_pairs(
+        rd.read_parquet(textured_clips_from_documents(sf), columns=cols)
+        .union(rd.read_parquet(landmark_variants_from_clips(sf),
+                               columns=cols))
+    )
+    fsh = full[(full.clip_a + "_lmshift") == full.clip_b]
+    fcu = full[(full.clip_a + "_lmcut") == full.clip_b]
+    assert len(fsh) == 62 and len(fcu) == 23
+    assert (fsh.offset_ms == 480).all()                 # exact: 15 hops
     # crop starts at 25% of each clip; offsets land within one hop
-    assert ((cu.offset_ms <= -320) & (cu.offset_ms >= -672)).all()
+    assert ((fcu.offset_ms <= -320) & (fcu.offset_ms >= -672)).all()
