@@ -158,8 +158,28 @@ class VideoFrameSampleStage:
             from deduplidog_ray.images.avi import frame_count
 
             return frame_count(buf)       # REAL: compressed movi walk
-        if self.have_cv2:  # pragma: no cover
-            raise NotImplementedError("real cv2 probe wiring pending")
+        if self.have_cv2:  # pragma: no cover — no cv2 in this container
+            # real probe, the reference's frame counter
+            # (/root/reference/deduplidog/utils.py:96-102): cv2 opens
+            # files, not buffers, so spill to a temp file
+            import os
+            import tempfile
+
+            import cv2
+
+            fd, path = tempfile.mkstemp(suffix=".video")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(buf)
+                cap = cv2.VideoCapture(path)
+                try:
+                    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                finally:
+                    cap.release()
+                if n > 0:
+                    return n
+            finally:
+                os.unlink(path)
         # deterministic fake: duration ≈ bytes / (bitrate/8) seconds
         dur_s = len(buf) / max(1.0, bitrate_bps / 8)
         return int(dur_s * fps)
