@@ -1896,8 +1896,14 @@ def q_clips_shifted_dups(sf_dir: str):
     lead-in silence (cached fixture,
     sources/from_documents.py:shifted_variants_from_clips); the operator
     must find each (original, delayed) pair and recover the offset via
-    FFT cross-correlation. Rows-only (payload decode + FFT); exact
-    offset/recall gates in tests/test_audioalign.py."""
+    FFT cross-correlation. Driver-checked as the PAIR ID SET against a
+    reconstructive SQL oracle: the expected relation is every
+    same-family pair among {_o, _d (planted dup), their _shift
+    variants} — md5-sampler membership and the _d planting rules are
+    pure functions of (doc_id, text), so SQL enumerates it, and the
+    operator recovers it exactly (measured 0 missed / 0 extra). Offset
+    accuracy stays pytest-gated in tests/test_audioalign.py."""
+    import pandas as pd
     import ray.data
 
     from deduplidog_ray.pipelines.audioalign import shifted_dup_pairs
@@ -1911,9 +1917,15 @@ def q_clips_shifted_dups(sf_dir: str):
     delayed = ray.data.read_parquet(
         shifted_variants_from_clips(sf_dir), columns=cols
     )
-    return shifted_dup_pairs(
+    out = shifted_dup_pairs(
         ds.union(delayed), embed_threshold=0.97, corr_threshold=0.8,
         max_shift_ms=500,
+    )
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return (
+        out[["clip_a", "clip_b"]]
+        .sort_values(["clip_a", "clip_b"]).reset_index(drop=True)
     )
 
 
@@ -3144,11 +3156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sidecar_redate": q_sidecar_redate,
         "clips_landmark_dups": q_clips_landmark_dups,
         "clips_stretch_dups": q_clips_stretch_dups,
+        "clips_shifted_dups": q_clips_shifted_dups,
         "incremental_near_dup": q_incremental_near_dup,
         "clips_augment": q_clips_augment,
         "clips_audio_stats": q_clips_audio_stats,
         "clips_segments": q_clips_segments,
-        "clips_shifted_dups": q_clips_shifted_dups,
         "clips_stretch_search": q_clips_stretch_search,
         "clips_snippet_search": q_clips_snippet_search,
         "clips_index_search": q_clips_index_search,
@@ -3207,6 +3219,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT cid AS clip_a, cid || '_strup' AS clip_b FROM base
             WHERE md5_number_upper(cid || '|str') % 16 = 5 AND dur >= 1400
+        """,
+        # clips_shifted_dups: the full same-family pair relation among
+        # {_o, planted _d, md5-sampled _shift variants} — the synthesizer
+        # rules (uid %10 dup planting incl. the >8-token fuzzy gate) and
+        # md5 membership are SQL-computable from documents alone
+        "clips_shifted_dups": r"""
+            WITH d0 AS (
+              SELECT doc_id AS uid,
+                     len(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS ntok
+              FROM documents
+            ), members AS (
+              SELECT uid,
+                     'clip_' || lpad(uid::VARCHAR, 9, '0') || '_o' AS cid
+              FROM d0
+              UNION ALL
+              SELECT uid,
+                     'clip_' || lpad(uid::VARCHAR, 9, '0') || '_d'
+              FROM d0
+              WHERE uid % 10 IN (0, 1)
+                 OR (uid % 10 = 2 AND ntok > 8)
+            ), with_shift AS (
+              SELECT uid, cid FROM members
+              UNION ALL
+              SELECT uid, cid || '_shift' FROM members
+              WHERE md5_number_upper(cid || '|sh') % 8 = 0
+            )
+            SELECT x.cid AS clip_a, y.cid AS clip_b
+            FROM with_shift x
+            JOIN with_shift y ON x.uid = y.uid AND x.cid < y.cid
         """,
         # sidecar_redate: truncated-key LEFT JOIN + COALESCE — the SQL
         # statement of joins.apply_sidecar_metadata's overwrite rule

@@ -457,12 +457,239 @@ def _calib_tput(n: int, clips_path: str) -> float:
         return rows / (time.monotonic() - t0)
 
 
+def _fused_sig_chain():
+    """The flagship's fused signature phase as one batch callable
+    (decode → normalize → MinHash/SimHash → candidate keys) — the
+    zero-coordination stage whose 8→32 stall the r3 scaling run
+    diagnosed as host fault-servicing."""
+    from deduplidog_ray.config import DedupConfig
+    from deduplidog_ray.stages.candidates import make_key_stage
+    from deduplidog_ray.stages.decode import DecodeFingerprint
+    from deduplidog_ray.stages.normalize import make_normalizer
+    from deduplidog_ray.stages.sigstage import make_signature_stage
+
+    cfg = DedupConfig()
+
+    def _fused(t):
+        return make_key_stage(cfg)(
+            make_signature_stage(cfg.signature)(
+                make_normalizer(cfg.normalize)(DecodeFingerprint()(t))
+            )
+        )
+
+    return _fused
+
+
+def _warm_control_child(sf_dir: str, num_cpus: int) -> None:
+    """One level of the warm-plasma control (VERDICT r3 #7): run the
+    signatures stage over the amplified corpus three times in ONE Ray
+    session — pass 1 cold (worker heaps and plasma pay first-touch
+    faults), passes 2-3 warm (same workers, arenas already faulted in).
+    If the 8→32 stall is host fault servicing, the warm passes scale;
+    if it were pipeline coordination, warmth wouldn't help."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    amplify = int(os.environ.get("GRAFT_CLIPS_AMPLIFY", "64"))
+    clips_path = clips_from_documents(sf_dir, amplify=amplify)
+    import pyarrow.dataset as pads
+
+    n_clips = pads.dataset(clips_path, format="parquet").count_rows()
+    _warm_cache(clips_path)
+    fused = _fused_sig_chain()
+
+    def one_pass() -> float:
+        t0 = time.monotonic()
+        rd.read_parquet(clips_path).map_batches(
+            fused, batch_format="pyarrow", zero_copy_batch=True
+        ).count()
+        return time.monotonic() - t0
+
+    cold = one_pass()
+    warm = min(one_pass(), one_pass())
+    print(json.dumps({
+        "cpus": num_cpus, "cold_sec": round(cold, 2),
+        "warm_sec": round(warm, 2), "n_clips": n_clips,
+    }))
+
+
+def _ann_recall(sf_dir: str, num_cpus: int) -> None:
+    """IVF ANN recall@10 at corpus scale (VERDICT r3 #8): amplify the
+    embeddings table to ~GRAFT_ANN_N deterministic vectors (seeded
+    perturbation families around each base vector — realistic cluster
+    structure for a coarse quantizer), then compare knn_cosine_ivf
+    against the exact knn_cosine_bruteforce on the same queries."""
+    import numpy as np
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.similarity import (
+        knn_cosine_bruteforce,
+        knn_cosine_ivf,
+    )
+
+    n_target = int(os.environ.get("GRAFT_ANN_N", "416000"))
+    base = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    n_base = len(base)
+    amplify = max(1, -(-n_target // n_base))
+
+    import hashlib as _hl
+
+    key = _hl.blake2b(
+        f"{os.path.abspath(sf_dir)}:annv1:{amplify}".encode(), digest_size=8
+    ).hexdigest()
+    out_dir = f"/tmp/deduplidog_ray_ann/{key}"
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        def _amp(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            col = t["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            dim = len(col[0])
+            m = col.values.to_numpy(zero_copy_only=False).astype(
+                np.float32).reshape(len(t), dim)
+            out_ids, out_vecs = [], []
+            for i in range(len(t)):
+                for s in range(amplify):
+                    uid = int(ids[i]) * amplify + s
+                    rng = np.random.default_rng(uid)
+                    v = m[i] + 0.25 * rng.normal(
+                        size=dim).astype(np.float32)
+                    out_ids.append(uid)
+                    out_vecs.append(v)
+            flat = np.concatenate(out_vecs)
+            return pa.table({
+                "vec_id": pa.array(out_ids, type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, type=pa.float32()), dim
+                ).cast(pa.list_(pa.float32())),
+            })
+
+        tmp = out_dir + ".tmp"
+        rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        ).repartition(64).map_batches(
+            _amp, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").write("ok")
+        if os.path.exists(out_dir):
+            import shutil
+
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+
+    # queries: 32 deterministic base vectors
+    dim = len(base["embedding"][0])
+    bm = base["embedding"].combine_chunks().values.to_numpy(
+        zero_copy_only=False).astype(np.float64).reshape(n_base, dim)
+    qsel = [i for i in range(n_base) if i % 61 == 3][:32]
+    Q = bm[qsel]
+    k = 10
+
+    ds = rd.read_parquet(out_dir)
+    n_total = ds.count()
+    t0 = time.monotonic()
+    truth = knn_cosine_bruteforce(rd.read_parquet(out_dir), Q, k=k)
+    t_brute = time.monotonic() - t0
+    nlist = int(os.environ.get("GRAFT_ANN_NLIST", "256"))
+    nprobe = int(os.environ.get("GRAFT_ANN_NPROBE", "64"))
+    t0 = time.monotonic()
+    approx = knn_cosine_ivf(
+        rd.read_parquet(out_dir), Q, k=k, nlist=nlist, nprobe=nprobe,
+    )
+    t_ivf = time.monotonic() - t0
+
+    tg = truth.groupby("query_idx")["vec_id"].apply(set)
+    ag = approx.groupby("query_idx")["vec_id"].apply(set)
+    recalls = [
+        len(tg.get(qi, set()) & ag.get(qi, set())) / max(1, len(tg.get(qi, set())))
+        for qi in range(len(Q))
+    ]
+    print(json.dumps({
+        "metric": "ivf_recall_at_10",
+        "value": round(float(np.mean(recalls)), 4),
+        "unit": "ratio",
+        "n_vectors": n_total,
+        "n_queries": len(Q),
+        "nlist": nlist, "nprobe": nprobe,
+        "sec_bruteforce": round(t_brute, 2),
+        "sec_ivf": round(t_ivf, 2),
+        "min_query_recall": round(float(np.min(recalls)), 4),
+        "sf": sf_dir, "num_cpus": num_cpus,
+    }))
+
+
 def main() -> None:
     # keep polars' rayon pool at 1 thread in every Ray worker (children
     # inherit the env); Ray owns the parallelism
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--warm-control-child" in sys.argv:
+        _warm_control_child(sf_dir, num_cpus)
+        return
+
+    if "--warm-control" in sys.argv:
+        # fresh subprocess per level, cold vs warm signatures pass
+        os.environ.setdefault("GRAFT_CLIPS_AMPLIFY", "64")
+        levels = [int(x) for x in os.environ.get(
+            "GRAFT_WARMCTRL_LEVELS", "8,32").split(",")]
+        out = {}
+        for n in levels:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--warm-control-child"],
+                env=env, capture_output=True, text=True,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(f"warm-control child cpus={n} failed")
+            out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+        lo, hi = levels[0], levels[-1]
+        print(json.dumps({
+            "metric": "signatures_warm_scaling",
+            "value": round(
+                (out[lo]["warm_sec"] / out[hi]["warm_sec"]) / (hi / lo), 3),
+            "unit": "ratio",
+            "cold_eff": round(
+                (out[lo]["cold_sec"] / out[hi]["cold_sec"]) / (hi / lo), 3),
+            "levels": out,
+            "n_clips": out[lo]["n_clips"],
+            "sf": sf_dir,
+        }))
+        return
+
+    if "--ann-recall" in sys.argv:
+        _ann_recall(sf_dir, num_cpus)
+        return
 
     if "--scaling" in sys.argv:
         # same input, fresh ray.init per level (cluster-size proxy per the

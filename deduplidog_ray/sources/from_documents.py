@@ -235,16 +235,6 @@ def _retag_clip_ids(suffix: str):
     return _r
 
 
-def _hash_sampler(mod: int, rem: int, seed: int):
-    from deduplidog_ray.stages.hashing import hash_strings_u64
-
-    def _s(t: pa.Table) -> pa.Table:
-        h = hash_strings_u64(t["clip_id"].to_pylist(), seed=seed)
-        return t.filter(pa.array(h % np.uint64(mod) == rem))
-
-    return _s
-
-
 def _md5_sampler(mod: int, rem: int, tag: str):
     """Deterministic 1-in-``mod`` sampler whose membership DuckDB can
     reconstruct: keep rows where
@@ -282,7 +272,7 @@ def shifted_variants_from_clips(sf_dir: str, force: bool = False) -> str:
     def _build(tmp: str) -> None:
         ds = ray.data.read_parquet(base, columns=_CLIP_COLS)
         ds.map_batches(
-            _hash_sampler(8, 0, 0x5F1F), batch_format="pyarrow",
+            _md5_sampler(8, 0, "sh"), batch_format="pyarrow",
             zero_copy_batch=True,
         ).map_batches(
             Delay, fn_constructor_kwargs={"delay_ms": 240},
@@ -293,7 +283,7 @@ def shifted_variants_from_clips(sf_dir: str, force: bool = False) -> str:
             zero_copy_batch=True,
         ).write_parquet(tmp)
 
-    return _cached_parquet_dir("shiftvar", sf_dir, _build, force)
+    return _cached_parquet_dir("shiftvar-md5", sf_dir, _build, force)
 
 
 def landmark_variants_from_clips(sf_dir: str, force: bool = False) -> str:
