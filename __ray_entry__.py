@@ -1354,6 +1354,98 @@ def q_sidecar_redate(sf_dir: str):
     )
 
 
+def q_unflag_names(sf_dir: str):
+    """Flag-prefix removal (≙ reference `remove_prefix_in_workdir`,
+    utils.py:169-174 — undo a previous run's ✓ renames): every 4th doc
+    ships with the ✓ prefix planted, pipelines/marks.py:
+    strip_flag_prefix strips it vectorized and reports was_flagged.
+    Oracle: the same CASE/substr arithmetic in SQL."""
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.marks import strip_flag_prefix
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        names = [
+            ("✓" if int(d) % 4 == 0 else "") + f"doc_{int(d):07d}.txt"
+            for d in ids
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "name": pa.array(names, type=pa.string()),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _plant, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return strip_flag_prefix(ds, name_col="name")
+
+
+def q_link_marks(sf_dir: str):
+    """Link-marker maintenance (≙ reference `mark_symlink_by_target`,
+    utils.py:177-187): a results-shaped table is synthesized (action
+    'link' for doc_id%3==1 rows, canonical target sharded across three
+    stores), and pipelines/marks.py:mark_links_by_target prefixes →
+    onto link rows whose target lives under store/0. Oracle: the same
+    CASE/starts_with in SQL."""
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.marks import mark_links_by_target
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = [int(d) for d in t["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clip_id": pa.array(
+                [f"doc_{d:07d}" for d in ids], type=pa.string()),
+            "action": pa.array(
+                ["link" if d % 3 == 1 else
+                 ("keep" if d % 3 == 0 else "flag") for d in ids],
+                type=pa.string()),
+            "canonical_id": pa.array(
+                [f"store/{d % 3}/c{d // 5:05d}" for d in ids],
+                type=pa.string()),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _plant, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return mark_links_by_target(ds, target_prefix="store/1")
+
+
+def q_link_only_groups(sf_dir: str):
+    """Fully-materialized duplicate groups (≙ reference
+    `mark_symlink_only_dirs`, utils.py:190-193 — "directory full of
+    only symlinks" → the table analog: groups whose every
+    non-canonical member already carries the link action). Synthesized
+    5-member clusters with a deterministic link/flag mix; combiner
+    partials + one |clusters|-bounded aggregate
+    (pipelines/marks.py:link_only_groups). Oracle: grouped counts +
+    HAVING in SQL."""
+    import pyarrow as pa
+
+    from deduplidog_ray.pipelines.marks import link_only_groups
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = [int(d) for d in t["doc_id"].to_pylist()]
+        cluster = [d // 5 for d in ids]
+        idx = [d % 5 for d in ids]
+        action = [
+            "keep" if i == 0 else
+            ("flag" if (c + i) % 7 == 0 else "link")
+            for c, i in zip(cluster, idx)
+        ]
+        return pa.table({
+            "cluster_id": pa.array(cluster, type=pa.int64()),
+            "action": pa.array(action, type=pa.string()),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        _plant, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return link_only_groups(ds)
+
+
 def q_paths_display(sf_dir: str):
     """Display-path shortening (≙ reference G3 common-prefix trimming,
     deduplidog.py:698-705): synthesize a path per document, compute the
@@ -3154,6 +3246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_clicks": q_triangle_clicks,
         "co_clicks": q_co_clicks,
         "sidecar_redate": q_sidecar_redate,
+        "unflag_names": q_unflag_names,
+        "link_marks": q_link_marks,
+        "link_only_groups": q_link_only_groups,
         "clips_landmark_dups": q_clips_landmark_dups,
         "clips_stretch_dups": q_clips_stretch_dups,
         "clips_shifted_dups": q_clips_shifted_dups,
@@ -3250,6 +3345,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.cid AS clip_a, y.cid AS clip_b
             FROM with_shift x
             JOIN with_shift y ON x.uid = y.uid AND x.cid < y.cid
+        """,
+        # unflag_names / link_marks / link_only_groups: the reference's
+        # notebook cleanup helpers (utils.py:169-193) as table ops —
+        # same planted-synthesis arithmetic on both sides
+        "unflag_names": """
+            WITH planted AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 4 = 0 THEN chr(10003)
+                           ELSE '' END)
+                     || 'doc_' || lpad(doc_id::VARCHAR, 7, '0')
+                     || '.txt' AS name
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN substr(name, 2)
+                        ELSE name END AS name,
+                   doc_id % 4 = 0 AS was_flagged
+            FROM planted
+        """,
+        "link_marks": """
+            WITH planted AS (
+              SELECT doc_id,
+                     'doc_' || lpad(doc_id::VARCHAR, 7, '0') AS clip_id,
+                     CASE WHEN doc_id % 3 = 1 THEN 'link'
+                          WHEN doc_id % 3 = 0 THEN 'keep'
+                          ELSE 'flag' END AS action,
+                     'store/' || (doc_id % 3) || '/c'
+                     || lpad((doc_id // 5)::VARCHAR, 5, '0')
+                         AS canonical_id
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN action = 'link'
+                         AND starts_with(canonical_id, 'store/1')
+                        THEN chr(8594) || clip_id ELSE clip_id
+                   END AS clip_id,
+                   action, canonical_id,
+                   action = 'link'
+                   AND starts_with(canonical_id, 'store/1') AS marked
+            FROM planted
+        """,
+        "link_only_groups": """
+            WITH planted AS (
+              SELECT doc_id // 5 AS cluster_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'keep'
+                          WHEN (doc_id // 5 + doc_id % 5) % 7 = 0
+                          THEN 'flag' ELSE 'link' END AS action
+              FROM documents
+            )
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(*) FILTER (WHERE action = 'link')
+                        AS BIGINT) AS n_links
+            FROM planted GROUP BY cluster_id
+            HAVING count(*) >= 2
+               AND count(*) FILTER (
+                     WHERE action NOT IN ('link', 'keep')) = 0
+               AND count(*) FILTER (WHERE action = 'link')
+                   = count(*) - 1
         """,
         # sidecar_redate: truncated-key LEFT JOIN + COALESCE — the SQL
         # statement of joins.apply_sidecar_metadata's overwrite rule
