@@ -927,15 +927,26 @@ def q_text_near_dup(sf_dir: str):
     )
     from deduplidog_ray.pipelines.tiered import min_label_components
 
+    # one lazy union → both pair pipelines execute CONCURRENTLY under
+    # the streaming executor instead of back to back; 8 exchange
+    # partitions (not the generators' 32-partition default) because this
+    # composition pays TWO pair exchanges — the documents table is
+    # driver-tiny and the sort barriers dominate, not the data
+    pairs = (
+        minhash_band_pairs(_docs(sf_dir, columns=["doc_id", "text"]),
+                           partitions=8)
+        .select_columns(["doc_a", "doc_b"])
+        .union(
+            simhash_dup_pairs(_docs(sf_dir, columns=["doc_id", "text"]),
+                              partitions=8)
+            .select_columns(["doc_a", "doc_b"])
+        )
+    )
     a_parts, b_parts = [], []
-    for pairs in (
-        minhash_band_pairs(_docs(sf_dir, columns=["doc_id", "text"])),
-        simhash_dup_pairs(_docs(sf_dir, columns=["doc_id", "text"])),
-    ):
-        for b in pairs.iter_batches(batch_size=1 << 16,
-                                    batch_format="pyarrow"):
-            a_parts.append(b["doc_a"].to_numpy())
-            b_parts.append(b["doc_b"].to_numpy())
+    for b in pairs.iter_batches(batch_size=1 << 16,
+                                batch_format="pyarrow"):
+        a_parts.append(b["doc_a"].to_numpy())
+        b_parts.append(b["doc_b"].to_numpy())
     if not a_parts:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_id": pd.Series(dtype="int64")})

@@ -303,6 +303,10 @@ def run_benchmark(sf_dir: str, num_cpus: int) -> dict:
         "source_keywords",
         "semantic_decontam",
         "clips_dedup_savings",
+        "sidecar_redate",
+        "unflag_names",
+        "link_marks",
+        "link_only_groups",
     ]:
         if only and name not in only:
             continue

@@ -24,7 +24,6 @@ SCALE SHAPE: strip/mark are streaming `map_batches` (no shuffle);
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -583,16 +583,28 @@ def decontaminate_bloom_md5(
         n = len(texts)
         grams, off = _gram_strings(texts, k)
         n_hits = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            uniq = sorted(set(grams[off[i]: off[i + 1]]))
-            if not uniq:
-                continue
-            pos = _md5_bloom_positions(uniq, n_hashes, n_bits)
+        if grams:
+            # hash each DISTINCT gram once for the whole batch (the md5
+            # calls dominate), probe vectorized, then count per-doc
+            # distinct hits with one bincount over deduped (doc, gram)
+            uniq, inv = np.unique(np.asarray(grams, dtype=object),
+                                  return_inverse=True)
+            pos = _md5_bloom_positions(list(uniq), n_hashes, n_bits)
             bits = (
                 words[pos >> 6]
                 >> (pos.astype(np.uint64) & np.uint64(63))
             ) & np.uint64(1)
-            n_hits[i] = int(bits.all(axis=0).sum())
+            gram_hit = bits.all(axis=0)                   # per unique gram
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(off))
+            order = np.lexsort((inv, doc_idx))
+            d_s, g_s = doc_idx[order], inv[order]
+            keep = np.r_[True,
+                         (d_s[1:] != d_s[:-1]) | (g_s[1:] != g_s[:-1])]
+            d_u, g_u = d_s[keep], g_s[keep]
+            n_hits = np.bincount(
+                d_u[gram_hit[g_u]], minlength=n
+            ).astype(np.int64)
         t = t.append_column("n_hits_est", pa.array(n_hits))
         return t.append_column(
             "contaminated", pa.array(n_hits >= min_hits)
