@@ -109,6 +109,11 @@ def _word_counts(ds: ray.data.Dataset, text_col: str) -> pd.DataFrame:
         .aggregate(Sum("cnt", alias_name="count"))
         .take_all()
     )
+    if not rows:
+        # zero-word corpus (all docs empty/whitespace): typed empty
+        # frame so the merge loop sees zero words, not a KeyError
+        return pd.DataFrame({"word": pd.Series(dtype="object"),
+                             "count": pd.Series(dtype="int64")})
     return pd.DataFrame(rows)
 
 
