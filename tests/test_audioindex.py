@@ -207,3 +207,55 @@ def test_ingest_crash_recovery(ray_session, tmp_path):
     res2 = search_landmark_index(idx, _mk_queries(allpcm, crops))
     pd.testing.assert_frame_equal(res_clean, res2)
     assert not glob.glob(os.path.join(idx, "ingest-*.journal.json"))
+
+
+def test_probe_reconciles_orphaned_ingest(ray_session, tmp_path):
+    """A probe against an index whose last ingest crashed mid-move must
+    not see the orphaned rows either: search_landmark_index reconciles
+    on entry, so votes match a never-ingested index until the ingest is
+    properly rerun."""
+    import glob
+    import json
+
+    import pyarrow.parquet as _pq
+
+    from deduplidog_ray.pipelines.audioindex import extend_landmark_index
+
+    base_pcm = {f"c{i}": make_pcm_textured(800 + i, 2000, SR)
+                for i in range(4)}
+    new_pcm = {"n0": make_pcm_textured(900, 2000, SR)}
+    idx = build_landmark_index(
+        rd.from_pandas(pd.DataFrame(
+            [_clip(c, p) for c, p in base_pcm.items()]
+        )),
+        str(tmp_path / "lmidx_probe"), partitions=8,
+    )
+    crops = {"q_old": ("c1", 500)}
+    before = search_landmark_index(idx, _mk_queries(base_pcm, crops))
+
+    ids_path = os.path.join(idx, "ids.parquet")
+    ids_before = _pq.read_table(ids_path).to_pandas()
+    extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
+        [_clip(c, p) for c, p in new_pcm.items()]
+    )))
+    # rewind to mid-crash: buckets moved, ids NOT committed, journal left
+    ids_after = _pq.read_table(ids_path).to_pandas()
+    new_cids = sorted(set(ids_after["cid"]) - set(ids_before["cid"]))
+    token = os.path.basename(glob.glob(os.path.join(
+        idx, "buckets", "part=*", "ingest-*-*"))[0]).split("-")[1]
+    with open(os.path.join(idx, f"ingest-{token}.journal.json"),
+              "w") as f:
+        json.dump({"token": token,
+                   "cids": [int(c) for c in new_cids]}, f)
+    import pyarrow as _pa
+    _pq.write_table(
+        _pa.Table.from_pandas(ids_before, preserve_index=False), ids_path
+    )
+
+    # a PROBE (no re-ingest) rolls the orphans back and answers exactly
+    # as the pre-ingest index did
+    after = search_landmark_index(idx, _mk_queries(base_pcm, crops))
+    pd.testing.assert_frame_equal(before, after)
+    assert not glob.glob(os.path.join(idx, "ingest-*.journal.json"))
+    assert not glob.glob(os.path.join(idx, "buckets", "part=*",
+                                      f"ingest-{token}-*"))
