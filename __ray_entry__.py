@@ -1402,7 +1402,7 @@ def q_link_marks(sf_dir: str):
     utils.py:177-187): a results-shaped table is synthesized (action
     'link' for doc_id%3==1 rows, canonical target sharded across three
     stores), and pipelines/marks.py:mark_links_by_target prefixes →
-    onto link rows whose target lives under store/0. Oracle: the same
+    onto link rows whose target lives under store/1. Oracle: the same
     CASE/starts_with in SQL."""
     import pyarrow as pa
 
@@ -3394,12 +3394,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CASE WHEN action = 'link'
-                         AND starts_with(canonical_id, 'store/1')
+                         AND (canonical_id = 'store/1' OR
+                              starts_with(canonical_id, 'store/1/'))
                         THEN chr(8594) || clip_id ELSE clip_id
                    END AS clip_id,
                    action, canonical_id,
                    action = 'link'
-                   AND starts_with(canonical_id, 'store/1') AS marked
+                   AND (canonical_id = 'store/1' OR
+                        starts_with(canonical_id, 'store/1/')) AS marked
             FROM planted
         """,
         "link_only_groups": """
@@ -3417,7 +3419,8 @@ def oracle_sql() -> dict[str, str]:
             FROM planted GROUP BY cluster_id
             HAVING count(*) >= 2
                AND count(*) FILTER (
-                     WHERE action NOT IN ('link', 'keep')) = 0
+                     WHERE action IS NULL
+                        OR action NOT IN ('link', 'keep')) = 0
                AND count(*) FILTER (WHERE action = 'link')
                    = count(*) - 1
         """,
@@ -3430,7 +3433,7 @@ def oracle_sql() -> dict[str, str]:
             WITH hv AS (
               SELECT source,
                      md5_number_upper(coalesce(text, '')) AS h
-              FROM documents
+              FROM documents WHERE source IS NOT NULL
             ), rr AS (
               SELECT source,
                      CAST(h // 288230376151711744 AS BIGINT) AS reg,
@@ -3443,6 +3446,7 @@ def oracle_sql() -> dict[str, str]:
               FROM rr GROUP BY source, reg
             ), keys AS (
               SELECT DISTINCT source FROM documents
+              WHERE source IS NOT NULL
             ), full_regs AS (
               SELECT k.source, g.g AS reg, coalesce(m.r, 0) AS r
               FROM keys k
@@ -3467,10 +3471,11 @@ def oracle_sql() -> dict[str, str]:
               FROM agg a JOIN s USING (source)
             )
             SELECT source,
-                   CAST(round(
+                   CAST(floor(
                      CASE WHEN e_raw <= 2.5 * 64 AND zeros > 0
                           THEN 64.0 * ln(64.0 / zeros)
-                          ELSE e_raw END) AS BIGINT) AS approx_distinct
+                          ELSE e_raw END + 0.5) AS BIGINT)
+                       AS approx_distinct
             FROM est
         """,
         # sidecar_redate: truncated-key LEFT JOIN + COALESCE — the SQL

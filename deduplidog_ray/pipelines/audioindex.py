@@ -61,7 +61,17 @@ def _atomic_write_table(t: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-def _reconcile_ingests(index_dir: str) -> None:
+#: journals younger than this are presumed to belong to a LIVE ingest
+#: and are left alone — rolling back an in-flight writer would corrupt
+#: the index (delete bucket rows whose cids it then commits). A crashed
+#: ingest's journal ages past the grace window long before anyone
+#: needs its clips; a real multi-writer deployment coordinates ingests
+#: externally (the same single-writer contract Delta/Lance-style table
+#: formats place on commits without a lock service).
+_RECONCILE_GRACE_SEC = 15 * 60
+
+
+def _reconcile_ingests(index_dir: str, grace_sec: float | None = None) -> None:
     """Crash recovery for `extend_landmark_index`: each ingest writes a
     journal BEFORE moving bucket files and commits by atomically
     replacing ids.parquet LAST. A leftover journal therefore means
@@ -70,20 +80,37 @@ def _reconcile_ingests(index_dir: str) -> None:
     ingest died mid-move — its `ingest-<token>-*` bucket files are
     partial AND its cids are absent from ids.parquet, so a rerun would
     append their rows a second time; remove the orphans (and any meta
-    rows for uncommitted cids) so the rerun starts clean."""
+    rows for uncommitted cids) so the rerun starts clean.
+
+    Journals younger than the grace window are SKIPPED (could be a
+    live concurrent ingest, not a crash); journal removal tolerates a
+    concurrent reconciler having removed it first. Probing a read-only
+    index with no leftover journals performs no writes."""
+    if grace_sec is None:
+        grace_sec = _RECONCILE_GRACE_SEC
     journals = glob.glob(os.path.join(index_dir, "ingest-*.journal.json"))
     if not journals:
         return
+    import time as _time
+
+    now = _time.time()
     ids_path = os.path.join(index_dir, "ids.parquet")
     known = set(
         pq.read_table(ids_path, columns=["cid"])["cid"].to_pylist()
     ) if os.path.exists(ids_path) else set()
     for jpath in journals:
-        with open(jpath) as f:
-            j = json.load(f)
+        try:
+            age = now - os.path.getmtime(jpath)
+            with open(jpath) as f:
+                j = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue  # vanished or mid-write — another party owns it
         token, cids = j["token"], set(j["cids"])
-        if not (cids and cids <= known):
-            # uncommitted: remove this ingest's bucket files + meta rows
+        committed = bool(cids) and cids <= known
+        if not committed and age < grace_sec:
+            continue  # possibly a LIVE ingest — never roll it back
+        if not committed:
+            # crashed: remove this ingest's bucket files + meta rows
             for f2 in glob.glob(os.path.join(
                     index_dir, "buckets", "part=*", f"ingest-{token}-*")):
                 os.remove(f2)
@@ -96,7 +123,10 @@ def _reconcile_ingests(index_dir: str) -> None:
                         pa.Table.from_pandas(keep, preserve_index=False),
                         meta_path,
                     )
-        os.remove(jpath)
+        try:
+            os.remove(jpath)
+        except FileNotFoundError:
+            pass
 
 
 @ray.remote
@@ -486,5 +516,8 @@ def extend_landmark_index(
             ),
             ids_path,
         )
-    os.remove(journal)
+    try:
+        os.remove(journal)
+    except FileNotFoundError:
+        pass  # a reconciler saw the committed state first — same outcome
     return index_dir

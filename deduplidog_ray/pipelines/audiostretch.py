@@ -453,6 +453,12 @@ def stretch_dup_pairs(
 # their query hashes land in.
 
 _STRETCH_MANIFEST = "manifest.json"
+#: bump when the QUAD HASH FUNCTION changes (quantization steps, packing,
+#: saturation rules): a probe hashing queries with a different function
+#: than the index was built with silently deflates votes instead of
+#: erroring — the manifest pins the function version so the mismatch is
+#: loud. v2: q4 saturates into the top bin (was: silently dropped).
+_STRETCH_FP_VERSION = 2
 _STRETCH_PARAMS = (
     "work_sr", "n_fft", "hop", "peaks_per_frame", "fanout", "min_dt",
     "zone_dt", "f_min",
@@ -528,7 +534,8 @@ def build_stretch_index(
         os.path.join(index_dir, "meta.parquet"),
     )
     with open(os.path.join(index_dir, _STRETCH_MANIFEST), "w") as f:
-        json.dump({**params, "partitions": partitions}, f)
+        json.dump({**params, "partitions": partitions,
+                   "fp_version": _STRETCH_FP_VERSION}, f)
     return index_dir
 
 
@@ -606,6 +613,13 @@ def search_stretch_index(
 
     with open(os.path.join(index_dir, _STRETCH_MANIFEST)) as f:
         man = json.load(f)
+    if int(man.get("fp_version", 1)) != _STRETCH_FP_VERSION:
+        raise RuntimeError(
+            f"stretch index at {index_dir} was built with quad-hash "
+            f"version {man.get('fp_version', 1)}, this code probes with "
+            f"version {_STRETCH_FP_VERSION} — rebuild the index "
+            "(hash functions must match or votes silently deflate)"
+        )
     params = {k: man[k] for k in _STRETCH_PARAMS}
     partitions = int(man["partitions"])
 

@@ -887,6 +887,14 @@ def apply_sidecar_metadata(
         raise ValueError(
             f"ambiguous sidecar metadata: duplicate keys {list(dups[:4])}"
         )
+    # nullable dtypes on the small side so unmatched rows carry <NA>
+    # instead of forcing integer overwrite columns through float64 (an
+    # int64 ns-epoch would silently lose precision above 2^53 and the
+    # output column would change type)
+    sc = sc.copy()
+    for c in sc.columns:
+        if c != sidecar_key_col and sc[c].dtype.kind in "iu":
+            sc[c] = sc[c].astype("Int64")
     sc_ref = ray.put(sc)
     meta_cols = [c for c in sc.columns if c != sidecar_key_col]
     _memo: dict[str, pd.DataFrame] = {}
@@ -906,8 +914,15 @@ def apply_sidecar_metadata(
         for c in meta_cols:
             sv = joined[c]
             if c in df.columns:
-                sv = sv.where(sv.notna(), df[c].reset_index(drop=True))
-            df[c] = sv.to_numpy()
+                # masked positional overwrite keeps the base column's
+                # dtype exactly (no float64 round trip)
+                m = sv.notna().to_numpy()
+                out = df[c].to_numpy().copy()
+                if m.any():
+                    out[m] = sv[m].to_numpy(dtype=out.dtype)
+                df[c] = out
+            else:
+                df[c] = sv.to_numpy()
         df["sidecar_applied"] = applied.to_numpy()
         return pa.Table.from_pandas(df, preserve_index=False)
 

@@ -64,13 +64,22 @@ def mark_links_by_target(
     name_col: str = "clip_id",
 ) -> ray.data.Dataset:
     """Prefix ``name_col`` with the link marker for rows whose action is
-    'link' AND whose link target starts with ``target_prefix``; adds
-    ``marked`` bool."""
+    'link' AND whose link target sits UNDER ``target_prefix`` as a path
+    (the target equals the prefix, or continues with '/'); adds
+    ``marked`` bool.
+
+    Containment is segment-aware: 'store/1' does NOT claim
+    'store/10/...'. The reference helper uses a raw startswith
+    (utils.py:186) — we implement the documented intent (directory
+    containment), the same documented-intent-over-broken-letter call
+    as the casefold normalizer (SURVEY §1.1)."""
+    tp = target_prefix.rstrip("/")
 
     def _mark(t: pa.Table) -> pa.Table:
         is_link = pc.equal(pc.coalesce(t[action_col], ""), "link")
-        in_tree = pc.starts_with(
-            pc.coalesce(t[target_col], ""), target_prefix
+        tgt = pc.coalesce(t[target_col], "")
+        in_tree = pc.or_(
+            pc.equal(tgt, tp), pc.starts_with(tgt, tp + "/")
         )
         hit = pc.and_(is_link, in_tree)
         marked = pc.if_else(

@@ -699,6 +699,9 @@ def hll_distinct_per_key_md5(
         if est <= 2.5 * m and zeros:
             est = float(m) * math.log(float(m) / zeros)
         out_keys.append(row[key_col])
-        out_est.append(int(round(est)))
+        # half-UP rounding (floor(x+0.5)) in a fixed shape both engines
+        # share — Python round() is banker's, DuckDB round() is
+        # half-away-from-zero; floor(+0.5) is identical in both
+        out_est.append(int(math.floor(est + 0.5)))
     out = pd.DataFrame({key_col: out_keys, "approx_distinct": out_est})
     return out.sort_values(key_col).reset_index(drop=True)

@@ -190,10 +190,11 @@ def test_ingest_crash_recovery(ray_session, tmp_path):
                                       "ingest-*-*"))
     assert ingested, "ingest must append token-named bucket files"
     token = os.path.basename(ingested[0]).split("-")[1]
-    with open(os.path.join(idx, f"ingest-{token}.journal.json"),
-              "w") as f:
+    jpath = os.path.join(idx, f"ingest-{token}.journal.json")
+    with open(jpath, "w") as f:
         json.dump({"token": token,
                    "cids": [int(c) for c in new_cids]}, f)
+    os.utime(jpath, (1, 1))   # age past the live-ingest grace window
     import pyarrow as _pa
     _pq.write_table(
         _pa.Table.from_pandas(ids_before, preserve_index=False), ids_path
@@ -243,10 +244,11 @@ def test_probe_reconciles_orphaned_ingest(ray_session, tmp_path):
     new_cids = sorted(set(ids_after["cid"]) - set(ids_before["cid"]))
     token = os.path.basename(glob.glob(os.path.join(
         idx, "buckets", "part=*", "ingest-*-*"))[0]).split("-")[1]
-    with open(os.path.join(idx, f"ingest-{token}.journal.json"),
-              "w") as f:
+    jpath = os.path.join(idx, f"ingest-{token}.journal.json")
+    with open(jpath, "w") as f:
         json.dump({"token": token,
                    "cids": [int(c) for c in new_cids]}, f)
+    os.utime(jpath, (1, 1))   # age past the live-ingest grace window
     import pyarrow as _pa
     _pq.write_table(
         _pa.Table.from_pandas(ids_before, preserve_index=False), ids_path
@@ -259,3 +261,36 @@ def test_probe_reconciles_orphaned_ingest(ray_session, tmp_path):
     assert not glob.glob(os.path.join(idx, "ingest-*.journal.json"))
     assert not glob.glob(os.path.join(idx, "buckets", "part=*",
                                       f"ingest-{token}-*"))
+
+
+def test_probe_leaves_live_ingest_alone(ray_session, tmp_path):
+    """A journal younger than the grace window could belong to a LIVE
+    concurrent ingest — a probe must not roll it back (only crashed,
+    aged journals are reconciled)."""
+    import glob
+    import json
+
+    base_pcm = {f"c{i}": make_pcm_textured(950 + i, 2000, SR)
+                for i in range(3)}
+    idx = build_landmark_index(
+        rd.from_pandas(pd.DataFrame(
+            [_clip(c, p) for c, p in base_pcm.items()]
+        )),
+        str(tmp_path / "lmidx_live"), partitions=8,
+    )
+    # plant a FRESH journal + a fake in-flight bucket file
+    jpath = os.path.join(idx, "ingest-deadbeef.journal.json")
+    with open(jpath, "w") as f:
+        json.dump({"token": "deadbeef", "cids": [12345]}, f)
+    part_dir = os.path.join(idx, "buckets", "part=0")
+    fake = os.path.join(part_dir, "ingest-deadbeef-x.parquet")
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    _pq.write_table(_pa.table({
+        "hash": _pa.array([7], type=_pa.int64()),
+        "cid": _pa.array([12345], type=_pa.int64()),
+        "t": _pa.array([0], type=_pa.int64()),
+    }), fake)
+    search_landmark_index(idx, _mk_queries(base_pcm, {"q": ("c0", 400)}))
+    assert os.path.exists(jpath), "young journal must survive a probe"
+    assert os.path.exists(fake), "in-flight bucket file must survive"

@@ -21,16 +21,20 @@ def test_strip_flag_prefix(ray_session):
 
 def test_mark_links_by_target(ray_session):
     df = pd.DataFrame({
-        "clip_id": ["a", "b", "c", "d"],
-        "action": ["link", "link", "flag", None],
-        "canonical_id": ["store/1/x", "store/2/x", "store/1/y", None],
+        "clip_id": ["a", "b", "c", "d", "e", "f"],
+        "action": ["link", "link", "flag", None, "link", "link"],
+        "canonical_id": ["store/1/x", "store/2/x", "store/1/y", None,
+                         "store/10/x",   # shares the string prefix only
+                         "store/1"],     # exactly the tree root
     })
     out = mark_links_by_target(
         rd.from_pandas(df), target_prefix="store/1"
     ).to_pandas()
-    # only the link row under store/1 gets the arrow
-    assert list(out["clip_id"]) == ["→a", "b", "c", "d"]
-    assert list(out["marked"]) == [True, False, False, False]
+    # only link rows UNDER store/1 (segment boundary) get the arrow —
+    # store/10 shares the character prefix but is a different tree
+    assert list(out["clip_id"]) == ["→a", "b", "c", "d", "e", "→f"]
+    assert list(out["marked"]) == [True, False, False, False,
+                                   False, True]
 
 
 def test_link_only_groups(ray_session):

@@ -58,3 +58,21 @@ def test_duplicate_sidecar_keys_raise(ray_session):
     with pytest.raises(ValueError, match="ambiguous"):
         apply_sidecar_metadata(rd.from_pandas(_base()), sidecar,
                                key_col="clip_id")
+
+
+def test_int64_overwrite_keeps_dtype_and_precision(ray_session):
+    big = (1 << 60) + 12345   # above 2^53: float64 would corrupt it
+    df = pd.DataFrame({
+        "clip_id": ["a", "b"],
+        "ts_taken": pd.array([big, big + 7], dtype="int64"),
+    })
+    sidecar = pd.DataFrame({"key": ["a"],
+                            "ts_taken": [(1 << 60) + 999]})
+    out = (
+        apply_sidecar_metadata(rd.from_pandas(df), sidecar,
+                               key_col="clip_id", key_trunc=46)
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert str(out["ts_taken"].dtype) == "int64"
+    assert int(out["ts_taken"][0]) == (1 << 60) + 999   # exact overwrite
+    assert int(out["ts_taken"][1]) == big + 7           # exact untouched

@@ -131,9 +131,9 @@ def test_hll_md5_matches_sql(ray_session, corpus):
           FROM agg a JOIN s USING (source)
         )
         SELECT source,
-               CAST(round(CASE WHEN e_raw <= 2.5 * 16 AND zeros > 0
+               CAST(floor(CASE WHEN e_raw <= 2.5 * 16 AND zeros > 0
                                THEN 16.0 * ln(16.0 / zeros)
-                               ELSE e_raw END) AS BIGINT)
+                               ELSE e_raw END + 0.5) AS BIGINT)
                    AS approx_distinct
         FROM est ORDER BY source
     """
