@@ -2239,7 +2239,14 @@ def q_clips_stretch_search(sf_dir: str):
             ray.data.read_parquet(corpus_path, columns=cols), tmp
         )
 
-    idx = _cached_parquet_dir("stridx-v1", sf_dir, _build, force=False)
+    # cache key carries the quad-hash version: a fingerprint-function
+    # change invalidates the cached index instead of tripping the
+    # probe's manifest version guard
+    from deduplidog_ray.pipelines.audiostretch import _STRETCH_FP_VERSION
+
+    idx = _cached_parquet_dir(
+        f"stridx-fp{_STRETCH_FP_VERSION}", sf_dir, _build, force=False
+    )
     queries = ray.data.read_parquet(
         corpus_path, columns=cols
     ).map_batches(

@@ -629,12 +629,24 @@ def _ann_recall(sf_dir: str, num_cpus: int) -> None:
     )
     t_ivf = time.monotonic() - t0
 
+    from deduplidog_ray.pipelines.similarity import knn_cosine_lsh
+
+    t0 = time.monotonic()
+    lsh = knn_cosine_lsh(rd.read_parquet(out_dir), Q, k=k)
+    t_lsh = time.monotonic() - t0
+
     tg = truth.groupby("query_idx")["vec_id"].apply(set)
-    ag = approx.groupby("query_idx")["vec_id"].apply(set)
-    recalls = [
-        len(tg.get(qi, set()) & ag.get(qi, set())) / max(1, len(tg.get(qi, set())))
-        for qi in range(len(Q))
-    ]
+
+    def _recalls(df):
+        g = df.groupby("query_idx")["vec_id"].apply(set)
+        return [
+            len(tg.get(qi, set()) & g.get(qi, set()))
+            / max(1, len(tg.get(qi, set())))
+            for qi in range(len(Q))
+        ]
+
+    recalls = _recalls(approx)
+    lsh_recalls = _recalls(lsh)
     print(json.dumps({
         "metric": "ivf_recall_at_10",
         "value": round(float(np.mean(recalls)), 4),
@@ -645,6 +657,9 @@ def _ann_recall(sf_dir: str, num_cpus: int) -> None:
         "sec_bruteforce": round(t_brute, 2),
         "sec_ivf": round(t_ivf, 2),
         "min_query_recall": round(float(np.min(recalls)), 4),
+        "lsh_recall_at_10": round(float(np.mean(lsh_recalls)), 4),
+        "lsh_min_query_recall": round(float(np.min(lsh_recalls)), 4),
+        "sec_lsh": round(t_lsh, 2),
         "sf": sf_dir, "num_cpus": num_cpus,
     }))
 
