@@ -6,8 +6,13 @@ over the clips table synthesized from $GRAFT_SF_DIR's documents
 (synthesis is cached and NOT timed). Also times the operator suite.
 
     python bench.py                  # one run at $RAY_GRAFT_CPUS (def. 32)
-    python bench.py --scaling        # fresh processes at 8 and 32 CPUs →
+    python bench.py --scaling        # fresh processes at a 2/8/32 ladder →
                                      # throughputs + scaling efficiency
+    python bench.py --warm-control   # signatures stage cold vs warm at
+                                     # 8/32 CPUs (fault-servicing control)
+    python bench.py --ann-recall     # IVF + LSH recall@10 vs exact brute
+                                     # force over ~$GRAFT_ANN_N amplified
+                                     # embedding vectors (def. 416k)
 
 This script OWNS its Ray session (the only scripts allowed to, per the
 driver contract).
