@@ -4064,7 +4064,7 @@ def oracle_sql() -> dict[str, str]:
                   list_distinct(list_transform(
                     generate_series(1, len(ts) - 2),
                     i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
-                ELSE [array_to_string(ts, chr(30))] END AS sg
+                ELSE [coalesce(array_to_string(ts, chr(30)), '')] END AS sg
               FROM tok
             )
             SELECT x.doc_id AS a, y.doc_id AS b,
@@ -4197,7 +4197,7 @@ def oracle_sql() -> dict[str, str]:
                   list_distinct(list_transform(
                     generate_series(1, len(ts) - 2),
                     i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
-                ELSE [array_to_string(ts, chr(30))] END AS sg
+                ELSE [coalesce(array_to_string(ts, chr(30)), '')] END AS sg
               FROM tok
             )
             SELECT x.doc_id AS left_id, y.doc_id AS right_id,
@@ -4224,7 +4224,7 @@ def oracle_sql() -> dict[str, str]:
                   list_distinct(list_transform(
                     generate_series(1, len(ts) - 2),
                     i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
-                ELSE [array_to_string(ts, chr(30))] END AS sg
+                ELSE [coalesce(array_to_string(ts, chr(30)), '')] END AS sg
               FROM tok
             ), hold AS (
               SELECT list_distinct(flatten(list(sg))) AS hs
@@ -4255,7 +4255,7 @@ def oracle_sql() -> dict[str, str]:
                   list_transform(
                     generate_series(1, len(ts) - 2),
                     i -> array_to_string(list_slice(ts, i, i + 2), chr(30)))
-                ELSE [array_to_string(ts, chr(30))] END AS sg
+                ELSE [coalesce(array_to_string(ts, chr(30)), '')] END AS sg
               FROM tok
             ), idx(i) AS (
               VALUES (0), (1), (2), (3), (4), (5), (6)
@@ -4627,7 +4627,7 @@ def oracle_sql() -> dict[str, str]:
                   list_distinct(list_transform(
                     generate_series(1, len(ts) - 2),
                     i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
-                ELSE [array_to_string(ts, chr(30))] END AS sg
+                ELSE [coalesce(array_to_string(ts, chr(30)), '')] END AS sg
               FROM tokt
             ), tokh AS (
               SELECT list_filter(regexp_split_to_array(text, '\s+'),
@@ -4639,7 +4639,7 @@ def oracle_sql() -> dict[str, str]:
                   list_distinct(list_transform(
                     generate_series(1, len(ts) - 2),
                     i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
-                ELSE [array_to_string(ts, chr(30))] END))) AS hs
+                ELSE [coalesce(array_to_string(ts, chr(30)), '')] END))) AS hs
               FROM tokh
             ), clean AS (
               SELECT s.doc_id, s.source, s.n_chars
@@ -5189,7 +5189,7 @@ def oracle_sql() -> dict[str, str]:
                   list_distinct(list_transform(
                     generate_series(1, len(ts) - 2),
                     i -> array_to_string(list_slice(ts, i, i + 2), chr(30))))
-                ELSE [array_to_string(ts, chr(30))] END AS sg
+                ELSE [coalesce(array_to_string(ts, chr(30)), '')] END AS sg
               FROM tok
             ), jp AS MATERIALIZED (
               SELECT x.doc_id AS a, y.doc_id AS b

@@ -678,7 +678,8 @@ def minhash_band_pairs_sql(
                 generate_series(1, len(ts) - {shingle_k - 1}),
                 i -> array_to_string(
                        list_slice(ts, i, i + {shingle_k - 1}), chr(30)))
-            ELSE [array_to_string(ts, chr(30))] END) AS shingle
+            ELSE [coalesce(array_to_string(ts, chr(30)), '')]
+            END) AS shingle
           FROM tok
         ), xs AS (
           SELECT {id_col},

@@ -143,3 +143,46 @@ def test_hll_md5_matches_sql(ray_session, corpus):
     assert list(a["source"]) == list(b["source"])
     assert list(a["approx_distinct"].astype("int64")) == \
         list(b["approx_distinct"].astype("int64"))
+
+
+@settings(max_examples=8, deadline=None)
+@given(_CORPUS)
+def test_minhash_band_pairs_matches_sql(ray_session, corpus):
+    from deduplidog_ray.pipelines.textdedup import (
+        minhash_band_pairs,
+        minhash_band_pairs_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": range(len(corpus)), "text": corpus,
+    })
+    eng = minhash_band_pairs(
+        rd.from_pandas(df), partitions=4
+    ).to_pandas()
+    ora = _duck(df, minhash_band_pairs_sql())
+    # an all-empty corpus yields a zero-row Dataset whose pandas view
+    # can lose its schema — empty means empty on both sides
+    a = set() if len(eng) == 0 else set(zip(eng["doc_a"], eng["doc_b"]))
+    b = set(zip(ora["doc_a"], ora["doc_b"]))
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(_CORPUS)
+def test_simhash_dup_pairs_matches_sql(ray_session, corpus):
+    from deduplidog_ray.pipelines.textdedup import (
+        simhash_dup_pairs,
+        simhash_dup_pairs_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": range(len(corpus)), "text": corpus,
+    })
+    eng = simhash_dup_pairs(
+        rd.from_pandas(df), partitions=4
+    ).to_pandas()
+    ora = _duck(df, simhash_dup_pairs_sql())
+    a = set() if len(eng) == 0 else \
+        {(r.doc_a, r.doc_b, r.hamming) for r in eng.itertuples()}
+    b = {(r.doc_a, r.doc_b, r.hamming) for r in ora.itertuples()}
+    assert a == b
