@@ -3155,11 +3155,71 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Driver consumes this dict in ORDER with a bounded per-round
-    window: oracle-backed queries (cheap-first beyond the stable
-    first 50) precede the no-oracle tail so every driver-checked row
-    carries a value-hash verdict, not a rows-only one."""
+    """Driver consumes this dict in ORDER with a bounded window (~50).
+    Round-5 rotation (VERDICT r4 ask #1): positions 1-50 are the
+    oracle-backed queries that never received a driver row in rounds
+    1-4 (cross-round union: 66/133 checked), so CORRECTNESS_r5 greens a
+    DISJOINT set and lifts cumulative driver coverage to ~116/133.
+    Then the remaining never-checked four, then the 62 oracle-backed
+    queries already driver-green in r1-r4, then the 17-query no-oracle
+    tail (genuinely approximate / perceptual / iterative-float, each
+    with a pytest recall/parity gate instead — COVERAGE.md s2.10/2.11).
+    """
     return {
+        "span_dedup": q_span_dedup,
+        "bigram_counts": q_bigram_counts,
+        "bpe_merges": q_bpe_merges,
+        "decontam_bloom": q_decontam_bloom,
+        "token_freq_cms": q_token_freq_cms,
+        "inverted_index": q_inverted_index,
+        "sidecar_redate": q_sidecar_redate,
+        "unflag_names": q_unflag_names,
+        "link_marks": q_link_marks,
+        "link_only_groups": q_link_only_groups,
+        "source_distinct_hll": q_source_distinct_hll,
+        "tiered_dedup": q_tiered_dedup,
+        "semantic_decontam": q_semantic_decontam,
+        "clips_corpus_prep": q_clips_corpus_prep,
+        "clips_landmark_dups": q_clips_landmark_dups,
+        "clips_stretch_dups": q_clips_stretch_dups,
+        "clips_shifted_dups": q_clips_shifted_dups,
+        "balance_sources": q_balance_sources,
+        "jsonl_doc_stats": q_jsonl_doc_stats,
+        "doc_repetition": q_doc_repetition,
+        "lm_score": q_lm_score,
+        "seq_pack": q_seq_pack,
+        "clips_pack": q_clips_pack,
+        "clips_validate": q_clips_validate,
+        "pii_scrub": q_pii_scrub,
+        "clips_transform": q_clips_transform,
+        "videos_frame_stats": q_videos_frame_stats,
+        "clips_dedup_savings": q_clips_dedup_savings,
+        "embedding_clusters_dist": q_embedding_clusters_dist,
+        "clips_exact_clusters": q_clips_exact_clusters,
+        "clips_speech_rate": q_clips_speech_rate,
+        "clips_transcript_conflicts": q_clips_transcript_conflicts,
+        "order_lines": q_order_lines,
+        "top_orders_revenue": q_top_orders_revenue,
+        "docs_by_len_rank": q_docs_by_len_rank,
+        "docs_rollup": q_docs_rollup,
+        "user_running_totals": q_user_running_totals,
+        "edit_dup_pairs": q_edit_dup_pairs,
+        "repeat_users": q_repeat_users,
+        "revenue_by_region": q_revenue_by_region,
+        "docs_cube": q_docs_cube,
+        "dup_gram_ratio": q_dup_gram_ratio,
+        "last_event_per_user": q_last_event_per_user,
+        "edit_dup_clusters": q_edit_dup_clusters,
+        "search_docs": q_search_docs,
+        "props_k_stats": q_props_k_stats,
+        "click_edges": q_click_edges,
+        "pagerank_clicks": q_pagerank_clicks,
+        "triangle_clicks": q_triangle_clicks,
+        "co_clicks": q_co_clicks,
+        "clips_wds_roundtrip": q_clips_wds_roundtrip,
+        "videos_near_dup": q_videos_near_dup,
+        "knn_self": q_knn_self,
+        "epoch_shuffle": q_epoch_shuffle,
         "exact_dedup": q_exact_dedup,
         "duplicate_groups": q_duplicate_groups,
         "unique_docs": q_unique_docs,
@@ -3210,15 +3270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": q_quantile_filter,
         "longest_docs": q_longest_docs,
         "paths_display": q_paths_display,
-        "span_dedup": q_span_dedup,
-        "bigram_counts": q_bigram_counts,
-        "bpe_merges": q_bpe_merges,
-        "decontam_bloom": q_decontam_bloom,
-        "token_freq_cms": q_token_freq_cms,
-        "inverted_index": q_inverted_index,
         "source_quota": q_source_quota,
-        "balance_sources": q_balance_sources,
-        "jsonl_doc_stats": q_jsonl_doc_stats,
         "token_freq": q_token_freq,
         "corpus_prep": q_corpus_prep,
         "incremental_exact": q_incremental_exact,
@@ -3228,54 +3280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "text_quality": q_text_quality,
         "text_lang": q_text_lang,
-        "doc_repetition": q_doc_repetition,
-        "lm_score": q_lm_score,
-        "seq_pack": q_seq_pack,
-        "clips_pack": q_clips_pack,
-        "clips_wds_roundtrip": q_clips_wds_roundtrip,
-        "clips_validate": q_clips_validate,
-        "clips_corpus_prep": q_clips_corpus_prep,
-        "epoch_shuffle": q_epoch_shuffle,
-        "pii_scrub": q_pii_scrub,
-        "clips_transform": q_clips_transform,
-        "videos_frame_stats": q_videos_frame_stats,
-        "videos_near_dup": q_videos_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
-        "semantic_decontam": q_semantic_decontam,
-        "clips_dedup_savings": q_clips_dedup_savings,
         "embedding_clusters": q_embedding_clusters,
-        "embedding_clusters_dist": q_embedding_clusters_dist,
-        "tiered_dedup": q_tiered_dedup,
-        "clips_exact_clusters": q_clips_exact_clusters,
-        "clips_speech_rate": q_clips_speech_rate,
-        "clips_transcript_conflicts": q_clips_transcript_conflicts,
-        "order_lines": q_order_lines,
-        "top_orders_revenue": q_top_orders_revenue,
-        "docs_by_len_rank": q_docs_by_len_rank,
-        "knn_self": q_knn_self,
-        "docs_rollup": q_docs_rollup,
-        "user_running_totals": q_user_running_totals,
-        "edit_dup_pairs": q_edit_dup_pairs,
-        "repeat_users": q_repeat_users,
-        "revenue_by_region": q_revenue_by_region,
-        "docs_cube": q_docs_cube,
-        "dup_gram_ratio": q_dup_gram_ratio,
-        "last_event_per_user": q_last_event_per_user,
-        "edit_dup_clusters": q_edit_dup_clusters,
-        "search_docs": q_search_docs,
-        "props_k_stats": q_props_k_stats,
-        "click_edges": q_click_edges,
-        "pagerank_clicks": q_pagerank_clicks,
-        "triangle_clicks": q_triangle_clicks,
-        "co_clicks": q_co_clicks,
-        "sidecar_redate": q_sidecar_redate,
-        "unflag_names": q_unflag_names,
-        "link_marks": q_link_marks,
-        "link_only_groups": q_link_only_groups,
-        "clips_landmark_dups": q_clips_landmark_dups,
-        "clips_stretch_dups": q_clips_stretch_dups,
-        "clips_shifted_dups": q_clips_shifted_dups,
-        "source_distinct_hll": q_source_distinct_hll,
         "incremental_near_dup": q_incremental_near_dup,
         "clips_augment": q_clips_augment,
         "clips_audio_stats": q_clips_audio_stats,

@@ -110,19 +110,30 @@ def _reconcile_ingests(index_dir: str, grace_sec: float | None = None) -> None:
         if not committed and age < grace_sec:
             continue  # possibly a LIVE ingest — never roll it back
         if not committed:
-            # crashed: remove this ingest's bucket files + meta rows
+            # crashed: remove this ingest's bucket files + meta rows.
+            # Two reconcilers can race on the same aged journal (two
+            # probes, or probe + writer): file removal must tolerate
+            # the loser finding the orphan already gone, exactly like
+            # the journal removal below does.
             for f2 in glob.glob(os.path.join(
                     index_dir, "buckets", "part=*", f"ingest-{token}-*")):
-                os.remove(f2)
+                try:
+                    os.remove(f2)
+                except FileNotFoundError:
+                    pass
             meta_path = os.path.join(index_dir, "meta.parquet")
             if os.path.exists(meta_path) and cids:
-                old = pq.read_table(meta_path).to_pandas()
-                keep = old[~old["cid"].isin(cids)]
-                if len(keep) != len(old):
-                    _atomic_write_table(
-                        pa.Table.from_pandas(keep, preserve_index=False),
-                        meta_path,
-                    )
+                try:
+                    old = pq.read_table(meta_path).to_pandas()
+                except FileNotFoundError:
+                    old = None
+                if old is not None:
+                    keep = old[~old["cid"].isin(cids)]
+                    if len(keep) != len(old):
+                        _atomic_write_table(
+                            pa.Table.from_pandas(keep, preserve_index=False),
+                            meta_path,
+                        )
         try:
             os.remove(jpath)
         except FileNotFoundError:
@@ -398,7 +409,15 @@ def extend_landmark_index(
     """
     with open(os.path.join(index_dir, _MANIFEST)) as f:
         man = json.load(f)
-    _reconcile_ingests(index_dir)
+    # WRITER-PATH reconcile runs with grace_sec=0: under the
+    # single-writer contract (module docstring) no other ingest can be
+    # live when this writer starts, so any leftover journal — however
+    # young — is a crash to roll back NOW. Without this, retrying a
+    # crashed ingest inside the probe-side grace window would re-append
+    # the same cids under a new token; once ids.parquet contained them,
+    # the stale journal would read as committed and its orphan
+    # ingest-<token>-* bucket files would inflate search votes forever.
+    _reconcile_ingests(index_dir, grace_sec=0)
     params = {k: man[k] for k in _PARAM_KEYS}
     partitions = int(man["partitions"])
 
@@ -475,6 +494,15 @@ def extend_landmark_index(
                    "cids": [int(c) for c in fresh["cid"]]}, f)
     os.replace(jtmp, journal)
     for d in stage_parts:
+        # heartbeat: an ingest moving many bucket files can outlive the
+        # probe-side grace window; refreshing the journal mtime per
+        # partition keeps a LIVE ingest inside the window so a
+        # concurrent probe's reconcile never rolls back files this
+        # writer is still moving
+        try:
+            os.utime(journal)
+        except OSError:
+            pass
         dest = os.path.join(index_dir, "buckets", os.path.basename(d))
         os.makedirs(dest, exist_ok=True)
         for f in glob.glob(os.path.join(d, "*.parquet")):

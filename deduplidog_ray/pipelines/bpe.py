@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from deduplidog_ray.stages.textguards import assert_sql_exact_text
+
 _END = "</w>"  # word-final marker (Sennrich convention)
 
 
@@ -92,6 +94,11 @@ def _word_counts(ds: ray.data.Dataset, text_col: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
+        # loud precondition (ADVICE r4): train_bpe is the engine side
+        # of the chr(30)-framed SQL oracle (train_bpe_sql); reserved
+        # separators / odd whitespace in the text would break parity
+        # silently, so refuse them per batch instead
+        assert_sql_exact_text(t[text_col], "bpe.train_bpe")
         toks = pc.split_pattern(pc.fill_null(t[text_col], ""), pattern=" ")
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))

@@ -44,6 +44,7 @@ import pyarrow as pa
 import ray.data
 
 from deduplidog_ray.stages.hashing import hash_strings_u64, mix64
+from deduplidog_ray.stages.textguards import assert_sql_exact_text
 
 
 def _hash_col(col: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
@@ -496,7 +497,13 @@ def cms_estimate_md5(sketch: np.ndarray, tokens: list) -> np.ndarray:
 def _gram_strings(texts: list, k: int) -> tuple[list, np.ndarray]:
     """Per-doc token-k-gram STRINGS (chr(30)-joined; docs under k tokens
     emit one combined gram — the `textdedup._md5_shingles` construction,
-    kept as strings so per-probe-index md5 prefixing stays SQL-exact)."""
+    kept as strings so per-probe-index md5 prefixing stays SQL-exact).
+
+    Loud precondition (ADVICE r4): reserved separators / non-ASCII
+    whitespace would silently break engine/oracle tokenizer parity —
+    refused per batch by :func:`stages.textguards.assert_sql_exact_text`.
+    """
+    assert_sql_exact_text(texts, "sketches md5-gram family")
     sep = "\x1e"
     flat: list[str] = []
     offsets = np.empty(len(texts) + 1, dtype=np.int64)

@@ -18,6 +18,7 @@ import ray.data
 
 from deduplidog_ray.config import SignatureConfig
 from deduplidog_ray.stages.hashing import combine64
+from deduplidog_ray.stages.textguards import assert_sql_exact_text
 from deduplidog_ray.stages.signatures import (
     band_hashes,
     minhash_signatures,
@@ -506,8 +507,14 @@ def _md5_shingles(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     (whitespace tokens, k-grams, short docs emit one combined shingle)
     but hashed with md5's upper word so DuckDB's ``md5_number_upper``
     reproduces every value (tested byte order: digest[:8] little-endian).
+
+    Loud precondition (ADVICE r4): reserved separators / non-ASCII
+    whitespace would silently break engine/oracle tokenizer parity —
+    refused per batch by :func:`stages.textguards.assert_sql_exact_text`.
     """
     import hashlib
+
+    assert_sql_exact_text(texts, "textdedup md5-shingle family")
 
     flat: list[bytes] = []
     offsets = np.empty(len(texts) + 1, dtype=np.int64)

@@ -294,3 +294,68 @@ def test_probe_leaves_live_ingest_alone(ray_session, tmp_path):
     search_landmark_index(idx, _mk_queries(base_pcm, {"q": ("c0", 400)}))
     assert os.path.exists(jpath), "young journal must survive a probe"
     assert os.path.exists(fake), "in-flight bucket file must survive"
+
+
+def test_ingest_retry_within_grace_window(ray_session, tmp_path):
+    """ADVICE r4 (medium): retrying a crashed ingest IMMEDIATELY — the
+    journal still younger than the probe-side grace window — must not
+    duplicate landmark rows. The writer path reconciles with
+    grace_sec=0 (single-writer contract: no other ingest can be live
+    when it runs), so the crashed token's orphan bucket files are
+    rolled back BEFORE the rerun appends, and the stale journal can
+    never linger past a commit that re-adds the same cids."""
+    import glob
+    import json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from deduplidog_ray.pipelines.audioindex import extend_landmark_index
+
+    base_pcm = {f"g{i}": make_pcm_textured(1600 + i, 2000, SR)
+                for i in range(5)}
+    new_pcm = {f"m{i}": make_pcm_textured(1700 + i, 2000, SR)
+               for i in range(3)}
+    idx = build_landmark_index(
+        rd.from_pandas(pd.DataFrame(
+            [_clip(c, p) for c, p in base_pcm.items()]
+        )),
+        str(tmp_path / "lmidx_grace"), partitions=8,
+    )
+    ids_path = os.path.join(idx, "ids.parquet")
+    ids_before = _pq.read_table(ids_path).to_pandas()
+    extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
+        [_clip(c, p) for c, p in new_pcm.items()]
+    )))
+    allpcm = {**base_pcm, **new_pcm}
+    crops = {"q_new": ("m1", 600), "q_old": ("g2", 400)}
+    res_clean = search_landmark_index(idx, _mk_queries(allpcm, crops))
+
+    # rewind to the mid-crash state, but leave the journal YOUNG (fresh
+    # mtime): the scenario the probe-side grace window would skip
+    ids_after = _pq.read_table(ids_path).to_pandas()
+    new_cids = sorted(set(ids_after["cid"]) - set(ids_before["cid"]))
+    assert len(new_cids) == 3
+    ingested = glob.glob(os.path.join(idx, "buckets", "part=*",
+                                      "ingest-*-*"))
+    assert ingested
+    token = os.path.basename(ingested[0]).split("-")[1]
+    jpath = os.path.join(idx, f"ingest-{token}.journal.json")
+    with open(jpath, "w") as f:
+        json.dump({"token": token,
+                   "cids": [int(c) for c in new_cids]}, f)
+    _pq.write_table(
+        _pa.Table.from_pandas(ids_before, preserve_index=False), ids_path
+    )
+
+    # immediate retry: writer-side grace_sec=0 rolls the crashed token
+    # back first; no orphan files from it may survive, votes identical
+    extend_landmark_index(idx, rd.from_pandas(pd.DataFrame(
+        [_clip(c, p) for c, p in new_pcm.items()]
+    )))
+    assert not glob.glob(os.path.join(
+        idx, "buckets", "part=*", f"ingest-{token}-*"
+    )), "crashed token's orphan bucket files must be rolled back"
+    assert not glob.glob(os.path.join(idx, "ingest-*.journal.json"))
+    res2 = search_landmark_index(idx, _mk_queries(allpcm, crops))
+    pd.testing.assert_frame_equal(res_clean, res2)
