@@ -14,7 +14,11 @@ loves. This module is the engine's shard sink/source:
   A written shard is committed atomically (``.tmp`` + rename), and a
   shard whose file already exists is SKIPPED — a killed job resumes by
   rerunning the same write (the per-partition resume rule of
-  SURVEY §4).
+  SURVEY §4). SCALE SHAPE (r5): payloads reach their shard via a
+  map-side hive-partitioned parquet stage (each input batch splits and
+  writes its slice per shard; no object-store sort of payload bytes —
+  the r4 ``groupby(_part)`` exchange was 8 of the 10 s at sf0.1), then
+  one task per shard streams its staged partition into the tar.
 - :func:`read_wds_shards` — ``read_binary_files`` over the tars (one
   block per shard, streaming) + a flat untar ``map_batches``; yields
   the clips schema back. Round trip is exact (pytest byte-equality).
@@ -35,6 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
 _EXT = {"pcm_s16le": "wav", "ulaw": "ulaw"}
@@ -76,23 +81,30 @@ def write_wds_shards(
 
         part = int(g["_part"].iloc[0])
         path = os.path.join(out_dir, _shard_name(part))
-        g = g.sort_values(id_col, kind="stable")
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        # column-wise extraction once per shard — the member loop below
+        # touches plain Python/numpy scalars, never a pandas row Series
+        # (iterrows() was ~3x the whole shard-build cost)
+        cids = g[id_col].to_numpy()
+        payloads = g["bytes"].to_numpy()
+        codecs = (g["codec"].to_numpy() if "codec" in g.columns
+                  else np.array([None] * len(g)))
+        meta_arrs = {k: g[k].to_numpy() for k in _META_COLS
+                     if k in g.columns}
         # shard bytes are deterministic — build them unconditionally so
         # a resume-skipped shard can be VERIFIED, not trusted
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w") as tar:
-            for _, row in g.iterrows():
-                cid = row[id_col]
-                payload = bytes(row["bytes"] or b"")
+            for i in range(len(cids)):
+                cid = cids[i]
+                payload = bytes(payloads[i] or b"")
                 meta = {
-                    k: (None if pd.isna(row[k]) else
-                        int(row[k]) if isinstance(row[k], (np.integer,))
-                        else row[k])
-                    for k in _META_COLS if k in g.columns
+                    k: (None if pd.isna(v) else
+                        int(v) if isinstance(v, (np.integer,)) else v)
+                    for k, v in ((k2, a[i]) for k2, a in meta_arrs.items())
                 }
                 for name, data in (
-                    (f"{cid}.{_EXT.get(row.get('codec'), 'bin')}",
-                     payload),
+                    (f"{cid}.{_EXT.get(codecs[i], 'bin')}", payload),
                     (f"{cid}.json",
                      json.dumps(meta, sort_keys=True).encode()),
                 ):
@@ -125,11 +137,41 @@ def write_wds_shards(
             "status": [status],
         })
 
+    # map-side exchange: each input batch splits per shard and lands in
+    # a hive partition on disk — payload bytes never enter a sort
+    # shuffle (the old groupby(_part) exchange dominated the write).
+    # One builder task per shard then streams its partition into the
+    # tar; determinism is unaffected (the builder re-sorts by id, so
+    # staged file order is irrelevant).
+    import glob as _glob
+    import shutil
+    import uuid
+
+    stage = os.path.join(out_dir, f"_stage-{uuid.uuid4().hex[:8]}")
+    clips.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(stage, partition_cols=["_part"])
+
+    @ray.remote
+    def _build_shard(part_dir: str) -> pd.DataFrame:
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+        t = pa.concat_tables([_pq.read_table(f) for f in files])
+        part = int(os.path.basename(part_dir).split("=")[1])
+        g = t.to_pandas()
+        g["_part"] = part
+        return _write(g)
+
+    part_dirs = sorted(_glob.glob(os.path.join(stage, "_part=*")))
+    try:
+        parts = ray.get([_build_shard.remote(d) for d in part_dirs])
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     manifest = (
-        clips.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_part")
-        .map_groups(_write, batch_format="pandas")
-        .to_pandas()
+        pd.concat(parts, ignore_index=True) if parts
+        else pd.DataFrame({"shard": [], "n_clips": [], "n_bytes": [],
+                           "sha256": [], "status": []})
     )
     return manifest.sort_values("shard").reset_index(drop=True)
 
