@@ -2873,6 +2873,28 @@ def q_search_docs(sf_dir: str):
     )
 
 
+def q_search_media(sf_dir: str):
+    """Named media search op (pipelines/display.py:search_media) — the
+    query side of the reference's search_for_media_wizzard
+    (utils.py:105-116) run over the clips table: case-insensitive id
+    substring, SQL-computable projection. The oracle reconstructs the
+    full member relation (original + planted work variants incl. the
+    >8-token fuzzy gate) and its dur/codec/role arithmetic from
+    documents alone, so a synth drift OR a filter bug breaks parity."""
+    from deduplidog_ray.pipelines.display import search_media
+    from deduplidog_ray.sources.from_documents import clips_from_documents
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        clips_from_documents(sf_dir),
+        columns=["clip_id", "dur_ms", "codec", "role"],
+    )
+    return search_media(
+        ds, "0042", columns=["clip_id", "dur_ms", "codec", "role"]
+    )
+
+
 def q_edit_dup_clusters(sf_dir: str):
     """Typo-level near-dup CLUSTERS: the FastSS pair stream closed into
     connected components by the distributed large-star/small-star rounds
@@ -3288,6 +3310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,
         "images_near_dup": q_images_near_dup,
+        "search_media": q_search_media,
         "incremental_near_dup": q_incremental_near_dup,
         "clips_augment": q_clips_augment,
         "clips_audio_stats": q_clips_audio_stats,
@@ -3365,6 +3388,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT iid AS a, iid || '_b' AS b FROM base WHERE m = 1
             UNION ALL
             SELECT iid AS a, iid || '_j' AS b FROM base WHERE m = 2
+        """,
+        # search_media: id-substring search over the clips table; the
+        # oracle regenerates clip membership + dur/codec/role arithmetic
+        # from documents (same relation family as clips_shifted_dups)
+        "search_media": r"""
+            WITH d0 AS (
+              SELECT doc_id AS uid,
+                     len(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS ntok
+              FROM documents
+            ), members AS (
+              SELECT uid,
+                     'clip_' || lpad(uid::VARCHAR, 9, '0') || '_o' AS cid,
+                     'original' AS role, 'pcm_s16le' AS codec
+              FROM d0
+              UNION ALL
+              SELECT uid,
+                     'clip_' || lpad(uid::VARCHAR, 9, '0') || '_d',
+                     'work',
+                     CASE WHEN uid % 10 = 1 THEN 'ulaw'
+                          ELSE 'pcm_s16le' END
+              FROM d0
+              WHERE uid % 10 IN (0, 1) OR (uid % 10 = 2 AND ntok > 8)
+            )
+            SELECT cid AS clip_id,
+                   CAST(600 + (uid * 37) % 1800 AS INTEGER) AS dur_ms,
+                   codec, role
+            FROM members
+            WHERE contains(lower(cid), '0042')
         """,
         # clips_shifted_dups: the full same-family pair relation among
         # {_o, planted _d, md5-sampled _shift variants} — the synthesizer

@@ -95,3 +95,45 @@ def shorten_paths(
         ds.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True),
         prefix,
     )
+
+
+def search_media(
+    ds: ray.data.Dataset,
+    query: str,
+    id_col: str = "clip_id",
+    text_cols: list[str] | None = None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Case-insensitive substring search over media rows — the query
+    side of the reference's ``search_for_media_wizzard``
+    (/root/reference/deduplidog/utils.py:105-116: repeatedly ``find
+    -iname *query*`` under a directory and preview every hit), closing
+    SURVEY's last unmapped notebook helper. The wizard's filename match
+    becomes an ``id_col`` match; ``text_cols`` (e.g. the transcript)
+    extends it to content the filesystem version never had; the
+    "preview" is the returned projection (``columns``; payload bytes
+    excluded by default — select them explicitly to fetch media).
+
+    Scale shape: ONE vectorized Arrow ``match_substring`` streaming
+    filter per batch — no shuffle, no state, no driver concentration;
+    the interactive loop is the caller's (notebook) concern.
+    """
+    if not query:
+        raise ValueError("empty search query")
+    hay = [id_col] + list(text_cols or [])
+
+    def _filter(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in hay:
+            m = pc.match_substring(
+                pc.fill_null(t[c], ""), query, ignore_case=True
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        out = t.filter(mask)
+        if columns is not None:
+            out = out.select(columns)
+        return out
+
+    return ds.map_batches(
+        _filter, batch_format="pyarrow", zero_copy_batch=True
+    )

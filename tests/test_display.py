@@ -73,3 +73,42 @@ def test_nulls_and_no_shared_prefix(ray_session):
     assert prefix == ""
     got = out.to_pandas()["path_disp"]
     assert set(got.dropna()) == {"x/1", "y/2"}
+
+
+def test_search_media_id_and_transcript(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplidog_ray.pipelines.display import search_media
+
+    t = pa.table({
+        "clip_id": ["clip_000000042_o", "clip_000000042_d",
+                    "clip_000000777_o", "other_099"],
+        "transcript": ["alpha beta", "alpha beta", "needle in haystack",
+                       None],
+        "dur_ms": [600, 600, 900, 100],
+        "bytes": [b"x", b"y", b"z", b"w"],
+    })
+    ds = rd.from_arrow(t)
+    # id substring, case-insensitive, payload excluded via projection
+    got = search_media(
+        ds, "00042", columns=["clip_id", "dur_ms"]
+    ).to_pandas()
+    assert sorted(got["clip_id"]) == ["clip_000000042_d",
+                                      "clip_000000042_o"]
+    assert list(got.columns) == ["clip_id", "dur_ms"]
+    # transcript search finds content the id never carries
+    got2 = search_media(
+        rd.from_arrow(t), "NEEDLE", text_cols=["transcript"],
+        columns=["clip_id"],
+    ).to_pandas()
+    assert list(got2["clip_id"]) == ["clip_000000777_o"]
+    # null text columns never match / never crash
+    got3 = search_media(
+        rd.from_arrow(t), "zzz-no-hit", text_cols=["transcript"]
+    ).to_pandas()
+    assert len(got3) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        search_media(rd.from_arrow(t), "")
