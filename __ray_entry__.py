@@ -3247,6 +3247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "videos_near_dup": q_videos_near_dup,
         "knn_self": q_knn_self,
         "epoch_shuffle": q_epoch_shuffle,
+        "images_near_dup": q_images_near_dup,
+        "search_media": q_search_media,
         "exact_dedup": q_exact_dedup,
         "duplicate_groups": q_duplicate_groups,
         "unique_docs": q_unique_docs,
@@ -3309,8 +3311,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang": q_text_lang,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,
-        "images_near_dup": q_images_near_dup,
-        "search_media": q_search_media,
         "incremental_near_dup": q_incremental_near_dup,
         "clips_augment": q_clips_augment,
         "clips_audio_stats": q_clips_audio_stats,

@@ -186,3 +186,50 @@ def test_simhash_dup_pairs_matches_sql(ray_session, corpus):
         {(r.doc_a, r.doc_b, r.hamming) for r in eng.itertuples()}
     b = {(r.doc_a, r.doc_b, r.hamming) for r in ora.itertuples()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# textguards boundary (r5): the guard must accept EXACTLY the strings on
+# which the engine tokenizer (Python str.split) and the oracle tokenizer
+# (RE2-ASCII \s+, DuckDB regexp_split_to_array) agree — loud-refusal on
+# anything that would silently diverge, no false alarms on anything safe.
+# ---------------------------------------------------------------------------
+
+_MIXED = st.text(
+    alphabet=(
+        "ab XY1√é✓\t\n\r"              # safe: letters + ASCII whitespace
+        "\x1c\x1d\x1e\x1f\x85\xa0 　"   # divergent codepoints
+    ),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_MIXED)
+def test_textguard_boundary_is_tokenizer_agreement(s):
+    import pyarrow as pa
+
+    from deduplidog_ray.stages.textguards import assert_sql_exact_text
+
+    try:
+        assert_sql_exact_text([s], "prop")
+        guarded = False
+    except ValueError:
+        guarded = True
+
+    con = duckdb.connect()
+    sql_toks = con.execute(
+        r"SELECT list_filter(regexp_split_to_array(?, '\s+'),"
+        r" x -> x <> '')",
+        [s],
+    ).fetchone()[0]
+    py_toks = s.split()
+    if not guarded:
+        # accepted → the two tokenizers MUST agree on this string
+        assert list(sql_toks) == py_toks, (s, sql_toks, py_toks)
+    else:
+        # refused → some divergent codepoint is present (the guard may
+        # be conservative about \x1e/\x1f even when tokenizations
+        # match, because they collide with the frame separators)
+        assert any(c in s for c in
+                   "\x1c\x1d\x1e\x1f\x85\xa0 　"), repr(s)
