@@ -3183,14 +3183,16 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Driver consumes this dict in ORDER with a bounded window (~50).
-    Round-5 rotation (VERDICT r4 ask #1): positions 1-50 are the
+    Round-5 rotation (VERDICT r4 ask #1): positions 1-56 are ALL the
     oracle-backed queries that never received a driver row in rounds
-    1-4 (cross-round union: 66/133 checked), so CORRECTNESS_r5 greens a
-    DISJOINT set and lifts cumulative driver coverage to ~116/133.
-    Then the remaining never-checked four, then the 62 oracle-backed
-    queries already driver-green in r1-r4, then the 17-query no-oracle
-    tail (genuinely approximate / perceptual / iterative-float, each
-    with a pytest recall/parity gate instead — COVERAGE.md s2.10/2.11).
+    1-4 (cross-round union: 66/133 checked; 56 = the 54 unseen r4
+    queries + the two oracle-backed in r5, images_near_dup and
+    search_media), cheap-first, so CORRECTNESS_r5 greens a DISJOINT
+    set and lifts cumulative driver coverage to ~116/134 at a
+    50-query window. Then the 62 oracle-backed queries already
+    driver-green in r1-r4, then the 16-query no-oracle tail (genuinely
+    approximate / perceptual / iterative-float, each with a pytest
+    recall/parity gate instead — COVERAGE.md s2.10/2.11).
     """
     return {
         "span_dedup": q_span_dedup,

@@ -738,6 +738,10 @@ def main() -> None:
             )
             if store:
                 env["GRAFT_OBJECT_STORE_BYTES"] = str(store)
+            else:
+                # the uncapped control must not inherit a cap the user
+                # exported for the capped arm (r5 review)
+                env.pop("GRAFT_OBJECT_STORE_BYTES", None)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
@@ -771,8 +775,11 @@ def main() -> None:
                 capped.get("phases", {}).get("verified_pairs"),
             "verified_pairs_uncapped":
                 free.get("phases", {}).get("verified_pairs"),
+            # None == None must NOT read as a passing result-equality
+            # check (r5 review): require both sides measured
             "identical":
-                capped.get("phases", {}).get("verified_pairs")
+                capped.get("phases", {}).get("verified_pairs") is not None
+                and capped.get("phases", {}).get("verified_pairs")
                 == free.get("phases", {}).get("verified_pairs"),
             "spilled_mib_max": max((int(x) for x in spilled), default=0),
             "sf": sf_dir, "num_cpus": num_cpus,

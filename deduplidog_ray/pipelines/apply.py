@@ -54,22 +54,11 @@ def _canonical_ids(results: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def _collect_up_to(
-    ds: ray.data.Dataset, max_rows: int, empty_schema: pa.Schema
-) -> pa.Table | None:
-    """ONE streaming pass that stops as soon as ``max_rows`` is exceeded:
-    returns the concatenated table when the dataset fits (no second
-    execution to re-collect it), else ``None`` (at most ``max_rows``
-    rows of work discarded before the distributed path takes over).
-    ``empty_schema`` types the zero-row result (an empty dataset's own
-    schema may be unavailable)."""
-    buf: list[pa.Table] = []
-    total = 0
-    for b in ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        buf.append(b)
-        total += len(b)
-        if total > max_rows:
-            return None
+def _collect_all(ds: ray.data.Dataset, empty_schema: pa.Schema) -> pa.Table:
+    """Concatenate a (small, already-materialized) dataset on the
+    driver; ``empty_schema`` types the zero-row result (an empty
+    dataset's own schema may be unavailable)."""
+    buf = list(ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
     if not buf:
         return empty_schema.empty_table()
     return pa.concat_tables(buf)
@@ -88,16 +77,16 @@ def keep_canonical(
     broadcast (ray.put once, no shuffle) while the surviving-id set fits
     ``broadcast_max``, co-partitioned ``hash_join(how='semi')`` beyond.
     """
-    id_table = _collect_up_to(
-        _canonical_ids(results), broadcast_max,
-        pa.schema([("clip_id", pa.string())]),
-    )
-    if id_table is None:
+    # the skinny id projection is materialized ONCE: the size probe and
+    # whichever path wins both reuse it, so the (possibly expensive)
+    # results pipeline never executes twice (r5 review)
+    ids_ds = _canonical_ids(results).materialize()
+    if ids_ds.count() > broadcast_max:
         from deduplidog_ray.pipelines.joins import hash_join
 
         left_cols = [c for c in clips.schema().names if c != "clip_id"]
         joined = hash_join(
-            clips, _canonical_ids(results), key="clip_id",
+            clips, ids_ds, key="clip_id",
             left_cols=left_cols, right_cols=[], how="semi",
             partitions=partitions,
         )
@@ -107,6 +96,7 @@ def keep_canonical(
             batch_format="pyarrow", zero_copy_batch=True,
         )
 
+    id_table = _collect_all(ids_ds, pa.schema([("clip_id", pa.string())]))
     ref = ray.put(id_table["clip_id"].combine_chunks())
     _memo: dict[str, pa.Array] = {}
 
@@ -156,19 +146,15 @@ def annotate_actions(
             t = t.append_column(name, arr)
         return t.select(out_cols)
 
-    res_table = _collect_up_to(
-        results.select_columns(["clip_id"] + _ANNOT_COLS), broadcast_max,
-        pa.schema([("clip_id", pa.string()), ("cluster_id", pa.string()),
-                   ("is_canonical", pa.bool_()), ("action", pa.string())]),
-    )
-    if res_table is None:
+    res_ds = results.select_columns(["clip_id"] + _ANNOT_COLS).materialize()
+    if res_ds.count() > broadcast_max:
         from deduplidog_ray.pipelines.joins import hash_join
 
         left = clips
         if base_cols != list(clips.schema().names):
             left = clips.select_columns(base_cols)
         joined = hash_join(
-            left, results.select_columns(["clip_id"] + _ANNOT_COLS),
+            left, res_ds,
             key="clip_id",
             left_cols=[c for c in base_cols if c != "clip_id"],
             right_cols=_ANNOT_COLS, how="left", partitions=partitions,
@@ -177,7 +163,11 @@ def annotate_actions(
             _fill_defaults, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    rdf = res_table.to_pandas()
+    rdf = _collect_all(
+        res_ds,
+        pa.schema([("clip_id", pa.string()), ("cluster_id", pa.string()),
+                   ("is_canonical", pa.bool_()), ("action", pa.string())]),
+    ).to_pandas()
     # broadcast ONCE; per batch a vectorized pandas hash-merge, no
     # per-row Python (VERDICT r1 #9)
     ref = ray.put(rdf)
@@ -189,10 +179,18 @@ def annotate_actions(
         m = _memo["m"]
         left = pd.DataFrame({"clip_id": t["clip_id"].to_pandas()})
         j = left.merge(m, on="clip_id", how="left")
-        hit = j["cluster_id"].notna().to_numpy()
-        cluster = np.where(hit, j["cluster_id"].to_numpy(), left["clip_id"].to_numpy())
-        canon = np.where(hit, j["is_canonical"].to_numpy(), True).astype(bool)
-        action = np.where(hit, j["action"].to_numpy(), "keep")
+        # PER-COLUMN coalesce, matching _fill_defaults exactly: a
+        # matched results row with a null in one column keeps its other
+        # columns (a single notna(cluster_id) match flag silently
+        # replaced a matched row's action/is_canonical with the
+        # singleton defaults — dual-path identity violation, r5 review)
+        cluster = np.where(j["cluster_id"].notna().to_numpy(),
+                           j["cluster_id"].to_numpy(),
+                           left["clip_id"].to_numpy())
+        canon = np.where(j["is_canonical"].notna().to_numpy(),
+                         j["is_canonical"].to_numpy(), True).astype(bool)
+        action = np.where(j["action"].notna().to_numpy(),
+                          j["action"].to_numpy(), "keep")
         for name, arr in [
             ("cluster_id", pa.array(cluster, type=pa.string())),
             ("is_canonical", pa.array(canon, type=pa.bool_())),

@@ -506,6 +506,12 @@ def extend_landmark_index(
         dest = os.path.join(index_dir, "buckets", os.path.basename(d))
         os.makedirs(dest, exist_ok=True)
         for f in glob.glob(os.path.join(d, "*.parquet")):
+            # per-file heartbeat too: one partition with many fragments
+            # can alone outlive the grace window (r5 review)
+            try:
+                os.utime(journal)
+            except OSError:
+                pass
             t = pq.read_table(f, columns=["hash", "cid", "t", "clip_id"])
             if skip_cids:
                 keep = ~np.isin(t["cid"].to_numpy(), list(skip_cids))

@@ -147,10 +147,14 @@ def write_wds_shards(
     import shutil
     import uuid
 
+    # sweep leftover staging dirs from crashed prior runs (unique names
+    # mean a kill mid-write_parquet would otherwise leak a staged copy
+    # of the corpus next to the tars forever; writes to one out_dir are
+    # single-writer, same contract as the index ingest)
+    for leftover in _glob.glob(os.path.join(out_dir, "_stage-*")):
+        shutil.rmtree(leftover, ignore_errors=True)
+
     stage = os.path.join(out_dir, f"_stage-{uuid.uuid4().hex[:8]}")
-    clips.map_batches(
-        _tag, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(stage, partition_cols=["_part"])
 
     @ray.remote
     def _build_shard(part_dir: str) -> pd.DataFrame:
@@ -163,8 +167,11 @@ def write_wds_shards(
         g["_part"] = part
         return _write(g)
 
-    part_dirs = sorted(_glob.glob(os.path.join(stage, "_part=*")))
     try:
+        clips.map_batches(
+            _tag, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(stage, partition_cols=["_part"])
+        part_dirs = sorted(_glob.glob(os.path.join(stage, "_part=*")))
         parts = ray.get([_build_shard.remote(d) for d in part_dirs])
     finally:
         shutil.rmtree(stage, ignore_errors=True)

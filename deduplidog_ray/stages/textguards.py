@@ -7,7 +7,9 @@ hashes, ``textdedup._md5_shingles``) tokenize with Python
 separators on the DuckDB side. Those two tokenizers agree on every
 corpus the synthesizer emits, but diverge SILENTLY on text containing
 
-- ASCII control separators ``\\x1c``–``\\x1f`` (Python treats them as
+- ASCII control separators ``\\x0b`` and ``\\x1c``–``\\x1f``
+  (``\\x0c`` form feed is in BOTH whitespace classes and stays
+  allowed; Python treats the others as
   whitespace, RE2 ``\\s`` does not — and chr(30)/chr(31) additionally
   collide with the frame/join separators themselves), or
 - non-ASCII Unicode whitespace (``\\x85``, ``\\xa0``, U+1680,
@@ -30,7 +32,7 @@ import pyarrow.compute as pc
 #: every codepoint on which Python ``str.split()`` and RE2-ASCII
 #: ``\s+`` disagree, plus the reserved frame separators themselves
 _RESERVED_PATTERN = (
-    "[\x1c-\x1f\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+    "[\x0b\x1c-\x1f\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
 )
 
 

@@ -103,3 +103,39 @@ def test_annotate_actions_empty_results(ray_session):
     # with no results table rows, nothing is marked canonical → the
     # broadcast semi-join keeps nothing (results ARE the keep plan)
     assert len(kept) == 0
+
+
+def test_annotate_actions_null_columns_coalesce_per_column(ray_session):
+    """r5 review: a MATCHED results row with a null in one annotation
+    column must keep its non-null columns on BOTH paths (per-column
+    coalesce, not a single notna(cluster_id) match flag)."""
+    clips = pd.DataFrame({
+        "clip_id": ["c1", "c2", "c3"],
+        "n_bytes": [1, 2, 3],
+    })
+    results = pd.DataFrame({
+        "clip_id": ["c1", "c2"],
+        "cluster_id": [None, "g2"],
+        "is_canonical": pd.array([False, None], dtype="boolean"),
+        "action": ["delete", None],
+    })
+    outs = {}
+    for label, bmax in (("broadcast", 10_000), ("distributed", 0)):
+        outs[label] = annotate_actions(
+            rd.from_arrow(pa.Table.from_pandas(clips, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(results, preserve_index=False)),
+            broadcast_max=bmax, partitions=4,
+        ).to_pandas().set_index("clip_id").sort_index()
+    for label, df in outs.items():
+        # c1: null cluster_id falls back to the clip id, but the row's
+        # own action/is_canonical survive
+        assert df.loc["c1", "cluster_id"] == "c1", label
+        assert not df.loc["c1", "is_canonical"], label
+        assert df.loc["c1", "action"] == "delete", label
+        # c2: null is_canonical/action default, cluster kept
+        assert df.loc["c2", "cluster_id"] == "g2", label
+        assert df.loc["c2", "is_canonical"], label
+        assert df.loc["c2", "action"] == "keep", label
+        # c3: unmatched singleton
+        assert df.loc["c3", "cluster_id"] == "c3", label
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["distributed"])

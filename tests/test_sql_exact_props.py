@@ -197,8 +197,8 @@ def test_simhash_dup_pairs_matches_sql(ray_session, corpus):
 
 _MIXED = st.text(
     alphabet=(
-        "ab XY1√é✓\t\n\r"              # safe: letters + ASCII whitespace
-        "\x1c\x1d\x1e\x1f\x85\xa0 　"   # divergent codepoints
+        "ab XY1√é✓\t\n\r\x0c"              # safe: letters + ASCII whitespace
+        "\x0b\x1c\x1d\x1e\x1f\x85\xa0 　"   # divergent codepoints
     ),
     min_size=0, max_size=40,
 )
@@ -232,4 +232,4 @@ def test_textguard_boundary_is_tokenizer_agreement(s):
         # be conservative about \x1e/\x1f even when tokenizations
         # match, because they collide with the frame separators)
         assert any(c in s for c in
-                   "\x1c\x1d\x1e\x1f\x85\xa0 　"), repr(s)
+                   "\x0b\x1c\x1d\x1e\x1f\x85\xa0 　"), repr(s)

@@ -16,6 +16,7 @@ from deduplidog_ray.stages.textguards import assert_sql_exact_text
     "a\x1eb",      # record separator = the gram join char itself
     "a\x1fb",      # unit separator = the md5 prefix join char
     "a\x1cb",      # Python-whitespace, not RE2 \s
+    "a\x0bb",      # vertical tab: Python-whitespace, not RE2 \s
     "a\xa0b",      # NBSP: Python splits, RE2-ASCII \s does not
     "a\x85b",      # NEL
     "a b",    # em space
@@ -28,7 +29,8 @@ def test_guard_rejects_reserved(bad):
 
 def test_guard_accepts_normal_text():
     assert_sql_exact_text(
-        ["hello world", "", None, "tab\tand\nnewline", "ünïcode läuft"],
+        ["hello world", "", None, "tab\tand\nnewline", "ünïcode läuft",
+         "form\x0cfeed is in both whitespace classes"],
         "unit",
     )
     assert_sql_exact_text(pa.chunked_array([pa.array(["a", "b c"])]), "u2")
