@@ -728,6 +728,10 @@ def main() -> None:
         # backpressure + disk spilling absorb the cap, not the result.
         os.environ.setdefault("GRAFT_CLIPS_AMPLIFY", "64")
         cap = int(os.environ.get("GRAFT_MEMCAP_BYTES", str(4 << 30)))
+        if cap <= 0:
+            # a falsy cap would silently run BOTH arms uncapped and
+            # report a vacuous green proof (r5 review)
+            raise ValueError(f"GRAFT_MEMCAP_BYTES must be positive, got {cap}")
 
         def _memcap_child(store: int | None) -> tuple[dict, str]:
             env = dict(

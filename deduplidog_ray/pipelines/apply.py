@@ -40,13 +40,18 @@ def _canonical_ids(results: ray.data.Dataset) -> ray.data.Dataset:
     quarantined) — the skinny side of both keep paths."""
 
     def _sel(t: pa.Table) -> pa.Table:
-        canon = t["is_canonical"]
-        if isinstance(canon, pa.ChunkedArray):
-            canon = canon.combine_chunks()
+        # null-tolerant, with the SAME defaults annotate_actions applies
+        # (null is_canonical → True, null action → "keep") — a null mask
+        # row would otherwise be silently DROPPED by Table.filter,
+        # making the two operators disagree on one results table
+        # (r5 review #2)
+        pc_ = pa.compute
+        canon = pc_.fill_null(
+            pc_.cast(t["is_canonical"], pa.bool_()), True
+        )
+        action = pc_.fill_null(pc_.cast(t["action"], pa.string()), "keep")
         return t.select(["clip_id"]).filter(
-            pa.compute.and_(
-                canon, pa.compute.not_equal(t["action"], "quarantine")
-            )
+            pc_.and_(canon, pc_.not_equal(action, "quarantine"))
         )
 
     return results.map_batches(
@@ -78,8 +83,14 @@ def keep_canonical(
     ``broadcast_max``, co-partitioned ``hash_join(how='semi')`` beyond.
     """
     # the skinny id projection is materialized ONCE: the size probe and
-    # whichever path wins both reuse it, so the (possibly expensive)
-    # results pipeline never executes twice (r5 review)
+    # whichever path wins both reuse it, so the (possibly expensive,
+    # typically shuffle-derived) results pipeline executes exactly once
+    # on EVERY path. The price is one plasma round trip of a <=
+    # broadcast_max-row skinny table in the common case (~100 MB at the
+    # 2M default — negligible vs either path's join work); the
+    # alternative, a streaming probe, re-executes the whole upstream on
+    # the overflow path because a shuffled dataset cannot be partially
+    # consumed (r5 review)
     ids_ds = _canonical_ids(results).materialize()
     if ids_ds.count() > broadcast_max:
         from deduplidog_ray.pipelines.joins import hash_join
@@ -179,27 +190,20 @@ def annotate_actions(
         m = _memo["m"]
         left = pd.DataFrame({"clip_id": t["clip_id"].to_pandas()})
         j = left.merge(m, on="clip_id", how="left")
-        # PER-COLUMN coalesce, matching _fill_defaults exactly: a
-        # matched results row with a null in one column keeps its other
-        # columns (a single notna(cluster_id) match flag silently
-        # replaced a matched row's action/is_canonical with the
-        # singleton defaults — dual-path identity violation, r5 review)
-        cluster = np.where(j["cluster_id"].notna().to_numpy(),
-                           j["cluster_id"].to_numpy(),
-                           left["clip_id"].to_numpy())
-        canon = np.where(j["is_canonical"].notna().to_numpy(),
-                         j["is_canonical"].to_numpy(), True).astype(bool)
-        action = np.where(j["action"].notna().to_numpy(),
-                          j["action"].to_numpy(), "keep")
-        for name, arr in [
-            ("cluster_id", pa.array(cluster, type=pa.string())),
-            ("is_canonical", pa.array(canon, type=pa.bool_())),
-            ("action", pa.array(action, type=pa.string())),
-        ]:
+        # attach the merged columns NULL-PRESERVING, then defer every
+        # default to the same _fill_defaults the hash_join path runs —
+        # ONE implementation of the singleton/coalesce semantics, so
+        # dual-path identity holds by construction (r5 review: the
+        # hand-mirrored numpy copy of this logic drifted once already)
+        for name, typ in [("cluster_id", pa.string()),
+                          ("is_canonical", pa.bool_()),
+                          ("action", pa.string())]:
             if name in t.column_names:
                 t = t.drop_columns([name])
-            t = t.append_column(name, arr)
-        return t.select(out_cols)
+            vals = j[name].to_numpy(dtype=object)
+            vals = [None if pd.isna(v) else v for v in vals]
+            t = t.append_column(name, pa.array(vals, type=typ))
+        return _fill_defaults(t)
 
     return clips.map_batches(_annotate, batch_format="pyarrow", zero_copy_batch=True)
 

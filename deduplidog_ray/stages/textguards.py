@@ -57,8 +57,8 @@ def assert_sql_exact_text(texts, where: str) -> None:
     if hit:
         raise ValueError(
             f"{where}: input text contains a reserved separator or "
-            "non-ASCII whitespace codepoint (one of \\x1c-\\x1f, \\x85, "
-            "\\xa0, or a Unicode space) — Python str.split() and the "
+            "non-ASCII whitespace codepoint (one of \\x0b, \\x1c-\\x1f, "
+            "\\x85, \\xa0, or a Unicode space) — Python str.split() and the "
             "RE2-ASCII SQL oracle tokenize these differently, so the "
             "SQL-exact family would silently diverge. Normalize the "
             "text first (stages.normalize collapses whitespace) or use "

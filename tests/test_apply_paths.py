@@ -139,3 +139,30 @@ def test_annotate_actions_null_columns_coalesce_per_column(ray_session):
         # c3: unmatched singleton
         assert df.loc["c3", "cluster_id"] == "c3", label
     pd.testing.assert_frame_equal(outs["broadcast"], outs["distributed"])
+
+
+def test_keep_canonical_null_columns_agree_with_annotate(ray_session):
+    """r5 review #2: a canonical row with a NULL action (or null
+    is_canonical) must survive keep_canonical with the same defaults
+    annotate_actions applies — null rows must not be silently dropped
+    by the filter, on either path."""
+    clips = pd.DataFrame({
+        "clip_id": ["c1", "c2", "c3"],
+        "n_bytes": [1, 2, 3],
+    })
+    results = pd.DataFrame({
+        "clip_id": ["c1", "c2", "c3"],
+        "cluster_id": ["g1", "g2", "g3"],
+        "is_canonical": pd.array([True, None, True], dtype="boolean"),
+        "action": [None, "keep", "quarantine"],
+    })
+    for label, bmax in (("broadcast", 10_000), ("distributed", 0)):
+        kept = keep_canonical(
+            rd.from_arrow(pa.Table.from_pandas(clips, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(results, preserve_index=False)),
+            broadcast_max=bmax, partitions=4,
+        ).to_pandas()
+        # c1: canonical + null action (defaults to keep) -> kept
+        # c2: null is_canonical (defaults to True) + keep -> kept
+        # c3: quarantined -> dropped
+        assert sorted(kept["clip_id"]) == ["c1", "c2"], label
