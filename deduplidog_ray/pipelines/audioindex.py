@@ -24,10 +24,11 @@ aggregate. A probe touches ONLY the bucket partitions its query hashes
 land in, emits pair rows bounded by |query landmarks| × ``index_cap``
 (stop hashes skipped, like the dedup op's bucket_cap), votes once, and
 resolves ids/meta for the CANDIDATE clips only via a streaming filtered
-read — the id map is never loaded wholesale. Queries are assumed to be
-a serving-sized batch (they concentrate on the driver for the vote);
-a million-query batch would move the vote into a second keyed exchange,
-the `audiofp._landmark_pairs_hive` shape.
+read — the id map is never loaded wholesale. `search_landmark_index`
+assumes a serving-sized query batch (the vote concentrates on the
+driver); `search_landmark_index_bulk` (r5) is the million-query path —
+the vote moves into keyed exchanges and nothing touches the driver
+(shared match kernel, per-pair-identical results, parity-tested).
 """
 
 from __future__ import annotations
@@ -53,6 +54,19 @@ _MANIFEST = "manifest.json"
 _PARAM_KEYS = (
     "work_sr", "n_fft", "hop", "peaks_per_frame", "fanout", "zone_dt",
 )
+
+
+def _bucket_part(h: np.ndarray, partitions: int,
+                 sentinel: bool = False) -> np.ndarray:
+    """The index's on-disk partition contract: bucket = hash (viewed
+    uint64) mod ``partitions``; with ``sentinel=True`` negative hashes
+    (the id-map rows the build emits) route to partition ``partitions``.
+    ONE definition — build, ingest and both probe paths must hash
+    identically or probes read the wrong buckets (manifest comment)."""
+    part = (h.view(np.uint64) % np.uint64(partitions)).astype(np.int64)
+    if sentinel:
+        part = np.where(h < 0, np.int64(partitions), part)
+    return part
 
 
 def _atomic_write_table(t: pa.Table, path: str) -> None:
@@ -195,12 +209,7 @@ def build_landmark_index(
     )
 
     def _part(t: pa.Table) -> pa.Table:
-        h = t["hash"].to_numpy()
-        part = np.where(
-            h < 0,
-            np.int64(partitions),
-            (h.view(np.uint64) % np.uint64(partitions)).astype(np.int64),
-        )
+        part = _bucket_part(t["hash"].to_numpy(), partitions, sentinel=True)
         return t.append_column("part", pa.array(part))
 
     buckets = os.path.join(index_dir, "buckets")
@@ -246,14 +255,15 @@ def build_landmark_index(
     return index_dir
 
 
-@ray.remote
-def _probe_bucket(
+def _match_bucket(
     d: str, qh: np.ndarray, qt: np.ndarray, qi: np.ndarray, index_cap: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Match one query sub-batch against one bucket partition: returns
     (query row idx, cid, dt, hash) cross rows. Per-hash index segments
     larger than ``index_cap`` are stop hashes — skipped, like the dedup
-    op's bucket_cap."""
+    op's bucket_cap. Pure function — shared by the driver-vote probe
+    (`search_landmark_index`, via the remote wrapper) and the bulk
+    keyed-exchange probe (`search_landmark_index_bulk`)."""
     files = glob.glob(os.path.join(d, "*.parquet"))
     if not files:
         e = np.empty(0, np.int64)
@@ -288,6 +298,9 @@ def _probe_bucket(
     return (
         qi[q_rep], cid[idx], tt[idx] - qt[q_rep], h[idx],
     )
+
+
+_probe_bucket = ray.remote(_match_bucket)
 
 
 def search_landmark_index(
@@ -330,7 +343,7 @@ def search_landmark_index(
         .set_index("clip_id")[["n_lm", "n_hash"]]
     )
 
-    part = (qh.view(np.uint64) % np.uint64(partitions)).astype(np.int64)
+    part = _bucket_part(qh, partitions)
     futs = []
     for p in np.unique(part):
         sel = part == p
@@ -435,12 +448,7 @@ def extend_landmark_index(
     )
 
     def _part(t: pa.Table) -> pa.Table:
-        h = t["hash"].to_numpy()
-        part = np.where(
-            h < 0,
-            np.int64(partitions),
-            (h.view(np.uint64) % np.uint64(partitions)).astype(np.int64),
-        )
+        part = _bucket_part(t["hash"].to_numpy(), partitions, sentinel=True)
         return t.append_column("part", pa.array(part))
 
     import uuid
@@ -555,3 +563,197 @@ def extend_landmark_index(
     except FileNotFoundError:
         pass  # a reconciler saw the committed state first — same outcome
     return index_dir
+
+
+def search_landmark_index_bulk(
+    index_dir: str,
+    queries: ray.data.Dataset,
+    top_k: int = 3,
+    min_votes: int = 12,
+    min_coverage: float = 0.02,
+    min_hash_coverage: float = 0.065,
+    index_cap: int = 64,
+    id_col: str = "clip_id",
+    join_partitions: int = 32,
+    query_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Bulk probe — same semantics as :func:`search_landmark_index`
+    but NOTHING concentrates on the driver: the keyed-exchange variant
+    the module docstring deferred ("a million-query batch would move
+    the vote into a second keyed exchange").
+
+    Per-pair identical to the driver-vote path by construction: the
+    match kernel is the shared :func:`_match_bucket`, `_vote_core` is
+    per-(query, clip) independent, and the id join is LEFT with
+    unresolved cids emitted as ``clip_id=""`` — exactly the driver
+    path's ``idmap.get(cid, "")`` — so ranks agree even when probing
+    mid-ingest (parity test: tests/test_audioindex.py).
+
+    SCALE SHAPE — candidate-bounded keyed exchanges, none corpus-sized,
+    and NO per-query dispatch: (1) query landmarks hash-partition to
+    the bucket layout (`_bucket_part`, the shared on-disk contract) and
+    each partition task matches against ONLY its bucket files (index
+    rows stream from disk, never shuffle); (2) match rows — bounded by
+    |query landmarks| × index_cap — exchange once on hash(query_id) %
+    ``query_partitions``; each partition task runs ONE vectorized
+    `_vote_core` over its factorized (query, clip) codes (the
+    audiofp exchange-2 shape — not one UDF call per query); (3) gated
+    candidates hash-join cid→clip_id (both sides stream,
+    joins.py:hash_join); (4) one more query-hash exchange ranks with a
+    vectorized groupby-cumcount and cuts top_k. Per-query gate meta
+    (n_lm, n_hash) rides on the match rows — no second lookup. The
+    candidate table is materialized once between vote and join (it
+    must be computed anyway; this also keeps `hash_join`'s schema
+    probe from re-executing the match/vote pipeline) and an empty
+    candidate set short-circuits to a typed empty dataset.
+    """
+    from deduplidog_ray.stages.hashing import hash_strings_u64
+
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        man = json.load(f)
+    _reconcile_ingests(index_dir)
+    params = {k: man[k] for k in _PARAM_KEYS}
+    partitions = int(man["partitions"])
+    hop_ms = float(man["hop_ms"])
+    buckets = os.path.join(index_dir, "buckets")
+
+    out_schema = pa.schema([
+        ("query_id", pa.string()), ("clip_id", pa.string()),
+        ("offset_ms", pa.int64()), ("votes", pa.int64()),
+        ("rank", pa.int64()),
+    ])
+
+    qlm = queries.map_batches(
+        _LandmarkStage,
+        fn_constructor_kwargs=dict(**params, id_col=id_col, skinny=False),
+        concurrency=(1, 16),
+        batch_size=32,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        part = _bucket_part(t["hash"].to_numpy(), partitions)
+        return t.append_column("part", pa.array(part))
+
+    _match_schema = pa.schema([
+        ("query_id", pa.string()), ("cid", pa.int64()),
+        ("dt", pa.int64()), ("h", pa.int64()),
+        ("q_nlm", pa.int64()), ("q_nhash", pa.int64()),
+    ])
+
+    def _match(g: pa.Table) -> pa.Table:
+        if not len(g):
+            return _match_schema.empty_table()
+        p = int(g["part"][0].as_py())
+        qh = g["hash"].to_numpy()
+        qt = g["t"].to_numpy()
+        qi = np.arange(len(g), dtype=np.int64)
+        ri, cid, dt, hh = _match_bucket(
+            os.path.join(buckets, f"part={p}"), qh, qt, qi, index_cap
+        )
+        if not len(ri):
+            return _match_schema.empty_table()
+        take = pa.array(ri)
+        return pa.table({
+            "query_id": g["clip_id"].take(take),
+            "cid": pa.array(cid),
+            "dt": pa.array(dt),
+            "h": pa.array(hh),
+            "q_nlm": g["n_lm"].take(take),
+            "q_nhash": g["n_hash"].take(take),
+        })
+
+    matches = qlm.map_batches(
+        _part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("part").map_groups(_match, batch_format="pyarrow")
+
+    def _qpart(t: pa.Table) -> pa.Table:
+        qp = (
+            hash_strings_u64(t["query_id"].to_pylist(), seed=0x9B1C)
+            % np.uint64(query_partitions)
+        ).astype(np.int64)
+        return t.append_column("qpart", pa.array(qp))
+
+    _cand_schema = pa.schema([
+        ("query_id", pa.string()), ("cid", pa.int64()),
+        ("offset_ms", pa.int64()), ("votes", pa.int64()),
+    ])
+
+    def _vote(g: pa.Table) -> pa.Table:
+        if not len(g):
+            return _cand_schema.empty_table()
+        qarr = g["query_id"].to_numpy(zero_copy_only=False)
+        uq, qcodes = np.unique(qarr, return_inverse=True)
+        cid = g["cid"].to_numpy()
+        dt = g["dt"].to_numpy()
+        hh = g["h"].to_numpy()
+        ucid, ccodes = np.unique(cid, return_inverse=True)
+        order, first_idx, win_dt, win_votes, hmatch, _amb = _vote_core(
+            qcodes.astype(np.int64), ccodes.astype(np.int64), dt, hh
+        )
+        sel = order[first_idx]
+        n_lm = g["q_nlm"].to_numpy()[sel]
+        n_hash = g["q_nhash"].to_numpy()[sel]
+        qcov = win_votes / np.maximum(n_lm, 1)
+        qhcov = hmatch / np.maximum(n_hash, 1)
+        ok = (win_votes >= min_votes) & (
+            (qcov >= min_coverage) | (qhcov >= min_hash_coverage)
+        )
+        if not ok.any():
+            return _cand_schema.empty_table()
+        return pa.table({
+            "query_id": pa.array(uq[qcodes[sel][ok]], type=pa.string()),
+            "cid": pa.array(ucid[ccodes[sel][ok]]),
+            "offset_ms": pa.array(
+                np.round(win_dt[ok] * hop_ms).astype(np.int64)
+            ),
+            "votes": pa.array(win_votes[ok].astype(np.int64)),
+        })
+
+    cands = matches.map_batches(
+        _qpart, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("qpart").map_groups(
+        _vote, batch_format="pyarrow"
+    ).materialize()
+    if cands.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    from deduplidog_ray.pipelines.joins import hash_join
+
+    ids = ray.data.read_parquet(os.path.join(index_dir, "ids.parquet"))
+    resolved = hash_join(
+        cands, ids, key="cid",
+        left_cols=["query_id", "offset_ms", "votes"],
+        right_cols=["clip_id"], how="left",
+        partitions=join_partitions,
+    )
+
+    def _fill_unresolved(t: pa.Table) -> pa.Table:
+        # driver-path parity: a cid not (yet) in ids.parquet — e.g. a
+        # probe racing a live ingest between the bucket moves and the
+        # id-map commit — still occupies its rank slot, as clip_id ""
+        c = pa.compute.fill_null(
+            pa.compute.cast(t["clip_id"], pa.string()), ""
+        )
+        return t.drop_columns(["clip_id"]).append_column("clip_id", c)
+
+    def _rank(g: pa.Table) -> pa.Table:
+        if not len(g):
+            return out_schema.empty_table()
+        df = g.to_pandas().sort_values(
+            ["query_id", "votes", "clip_id"],
+            ascending=[True, False, True], kind="stable",
+        )
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        df = df[df["rank"] <= top_k]
+        return pa.Table.from_pandas(
+            df[["query_id", "clip_id", "offset_ms", "votes", "rank"]],
+            preserve_index=False,
+        ).cast(out_schema)
+
+    return resolved.map_batches(
+        _fill_unresolved, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _qpart, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("qpart").map_groups(_rank, batch_format="pyarrow")

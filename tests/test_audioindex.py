@@ -359,3 +359,67 @@ def test_ingest_retry_within_grace_window(ray_session, tmp_path):
     assert not glob.glob(os.path.join(idx, "ingest-*.journal.json"))
     res2 = search_landmark_index(idx, _mk_queries(allpcm, crops))
     pd.testing.assert_frame_equal(res_clean, res2)
+
+
+def test_bulk_probe_matches_driver_probe(ray_session, tmp_path):
+    """search_landmark_index_bulk (the keyed-exchange serving path) must
+    reproduce the driver-vote probe exactly: same (query, clip, offset,
+    votes, rank) rows — the match kernel is shared and _vote_core is
+    per-pair independent, so the only way they differ is a bug."""
+    from deduplidog_ray.pipelines.audioindex import (
+        search_landmark_index_bulk,
+    )
+
+    corpus_pcm = {f"b{i}": make_pcm_textured(2500 + i, 2200, SR)
+                  for i in range(10)}
+    idx = build_landmark_index(
+        rd.from_pandas(pd.DataFrame(
+            [_clip(c, p) for c, p in corpus_pcm.items()]
+        )),
+        str(tmp_path / "lmidx_bulk"), partitions=8,
+    )
+    crops = {f"q{i}": (f"b{i % 10}", 150 + 70 * i) for i in range(12)}
+    queries = _mk_queries(corpus_pcm, crops)
+
+    drv = search_landmark_index(idx, queries)
+    blk = search_landmark_index_bulk(idx, queries).to_pandas()
+
+    key = ["query_id", "rank"]
+    drv_s = drv.sort_values(key).reset_index(drop=True)
+    blk_s = blk.astype(drv.dtypes.to_dict()).sort_values(
+        key).reset_index(drop=True)[drv.columns.tolist()]
+    pd.testing.assert_frame_equal(drv_s, blk_s)
+    assert len(drv_s) > 0, "non-vacuous: the planted crops must hit"
+    # the planted crop for each query must be its rank-1 clip
+    top = drv_s[drv_s["rank"] == 1].set_index("query_id")["clip_id"]
+    for qid, (src, _off) in crops.items():
+        assert top.get(qid) == src, qid
+
+
+def test_bulk_probe_empty_and_poison_queries(ray_session, tmp_path):
+    """r5 review: zero landmark rows (empty query set, or every clip
+    undecodable) must yield a typed empty dataset, not an
+    AttributeError from schema inference on an empty chain."""
+    from deduplidog_ray.pipelines.audioindex import (
+        search_landmark_index_bulk,
+    )
+
+    corpus_pcm = {f"e{i}": make_pcm_textured(3000 + i, 2000, SR)
+                  for i in range(3)}
+    idx = build_landmark_index(
+        rd.from_pandas(pd.DataFrame(
+            [_clip(c, p) for c, p in corpus_pcm.items()]
+        )),
+        str(tmp_path / "lmidx_empty"), partitions=4,
+    )
+    poison = rd.from_pandas(pd.DataFrame([{
+        "clip_id": "p0", "bytes": b"not audio", "sr_hz": SR,
+        "dur_ms": 100, "codec": "pcm_s16le",
+    }]))
+    out = search_landmark_index_bulk(idx, poison)
+    assert out.count() == 0
+    # Ray's to_pandas drops columns at zero rows; the DATASET schema is
+    # the contract
+    assert sorted(out.schema().names) == sorted(
+        ["query_id", "clip_id", "offset_ms", "votes", "rank"]
+    )
