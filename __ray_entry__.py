@@ -2215,6 +2215,40 @@ def q_clips_index_search(sf_dir: str):
     return search_landmark_index(idx, queries, top_k=3)
 
 
+def q_clips_index_search_bulk(sf_dir: str):
+    """The SAME retrieval as clips_index_search through the bulk
+    keyed-exchange probe (audioindex.py:search_landmark_index_bulk —
+    the million-query path, r5): results are pytest-proven identical
+    to the driver-vote probe, so this entry exists to keep the bulk
+    path continuously timed and rows-checked alongside it."""
+    import ray.data
+
+    from deduplidog_ray.pipelines.audioindex import (
+        build_landmark_index,
+        search_landmark_index_bulk,
+    )
+    from deduplidog_ray.sources.from_documents import (
+        _cached_parquet_dir,
+        textured_clips_from_documents,
+    )
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
+    corpus_path = textured_clips_from_documents(sf_dir)
+
+    def _build(tmp: str) -> None:
+        build_landmark_index(
+            ray.data.read_parquet(corpus_path, columns=cols), tmp
+        )
+
+    idx = _cached_parquet_dir("lmindex-v1", sf_dir, _build, force=False)
+    queries = ray.data.read_parquet(
+        corpus_path, columns=cols
+    ).map_batches(
+        _snippet_crops, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return search_landmark_index_bulk(idx, queries, top_k=3)
+
+
 def q_clips_stretch_search(sf_dir: str):
     """Speed-robust serving retrieval (pipelines/audiostretch.py): the
     corpus quad index is built ONCE into a cached directory, then the
@@ -3190,9 +3224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     search_media), cheap-first, so CORRECTNESS_r5 greens a DISJOINT
     set and lifts cumulative driver coverage to ~116/134 at a
     50-query window. Then the 62 oracle-backed queries already
-    driver-green in r1-r4, then the 16-query no-oracle tail (genuinely
+    driver-green in r1-r4, then the 17-query no-oracle tail (genuinely
     approximate / perceptual / iterative-float, each with a pytest
-    recall/parity gate instead — COVERAGE.md s2.10/2.11).
+    recall/parity gate instead — COVERAGE.md s2.10/2.11; the tail ends
+    with the bulk index-probe twin, pytest-identical to its
+    driver-vote sibling).
     """
     return {
         "span_dedup": q_span_dedup,
@@ -3329,6 +3365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": q_embedding_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "clips_near_dedup": q_clips_near_dedup,
+        "clips_index_search_bulk": q_clips_index_search_bulk,
     }
 
 
