@@ -3222,7 +3222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     1-4 (cross-round union: 66/133 checked; 56 = the 54 unseen r4
     queries + the two oracle-backed in r5, images_near_dup and
     search_media), cheap-first, so CORRECTNESS_r5 greens a DISJOINT
-    set and lifts cumulative driver coverage to ~116/134 at a
+    set and lifts cumulative driver coverage to ~116/135 at a
     50-query window. Then the 62 oracle-backed queries already
     driver-green in r1-r4, then the 17-query no-oracle tail (genuinely
     approximate / perceptual / iterative-float, each with a pytest

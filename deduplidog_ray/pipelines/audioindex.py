@@ -576,6 +576,7 @@ def search_landmark_index_bulk(
     id_col: str = "clip_id",
     join_partitions: int = 32,
     query_partitions: int = 32,
+    match_subsplit: int = 1,
 ) -> ray.data.Dataset:
     """Bulk probe — same semantics as :func:`search_landmark_index`
     but NOTHING concentrates on the driver: the keyed-exchange variant
@@ -607,7 +608,7 @@ def search_landmark_index_bulk(
     probe from re-executing the match/vote pipeline) and an empty
     candidate set short-circuits to a typed empty dataset.
     """
-    from deduplidog_ray.stages.hashing import hash_strings_u64
+    from deduplidog_ray.stages.hashing import hash_arrow_u64
 
     with open(os.path.join(index_dir, _MANIFEST)) as f:
         man = json.load(f)
@@ -634,7 +635,23 @@ def search_landmark_index_bulk(
 
     def _part(t: pa.Table) -> pa.Table:
         part = _bucket_part(t["hash"].to_numpy(), partitions)
-        return t.append_column("part", pa.array(part))
+        t = t.append_column("part", pa.array(part))
+        if match_subsplit > 1:
+            # sub-split the query side of each bucket: parallelism and
+            # per-task memory of the match stage are otherwise capped
+            # by the INDEX's on-disk partition count (probe-time width
+            # would need a rebuild). Cost: each bucket's files are read
+            # match_subsplit times — raise it only when the query batch
+            # is the bigger side (the million-query case; r5 review)
+            qs = (
+                hash_arrow_u64(t["clip_id"], seed=0x517B)
+                % np.uint64(match_subsplit)
+            ).astype(np.int64)
+            part2 = t["part"].to_numpy() * np.int64(match_subsplit) + qs
+            t = t.drop_columns(["part"]).append_column(
+                "part", pa.array(part2)
+            )
+        return t
 
     _match_schema = pa.schema([
         ("query_id", pa.string()), ("cid", pa.int64()),
@@ -645,7 +662,7 @@ def search_landmark_index_bulk(
     def _match(g: pa.Table) -> pa.Table:
         if not len(g):
             return _match_schema.empty_table()
-        p = int(g["part"][0].as_py())
+        p = int(g["part"][0].as_py()) // match_subsplit
         qh = g["hash"].to_numpy()
         qt = g["t"].to_numpy()
         qi = np.arange(len(g), dtype=np.int64)
@@ -669,8 +686,10 @@ def search_landmark_index_bulk(
     ).groupby("part").map_groups(_match, batch_format="pyarrow")
 
     def _qpart(t: pa.Table) -> pa.Table:
+        # hash_arrow_u64: no to_pylist round trip on the pipeline's
+        # largest intermediate (VERDICT r2 #8's measured fix, r5 review)
         qp = (
-            hash_strings_u64(t["query_id"].to_pylist(), seed=0x9B1C)
+            hash_arrow_u64(t["query_id"], seed=0x9B1C)
             % np.uint64(query_partitions)
         ).astype(np.int64)
         return t.append_column("qpart", pa.array(qp))
@@ -684,7 +703,10 @@ def search_landmark_index_bulk(
         if not len(g):
             return _cand_schema.empty_table()
         qarr = g["query_id"].to_numpy(zero_copy_only=False)
-        uq, qcodes = np.unique(qarr, return_inverse=True)
+        # pd.factorize: hash-based codes, no O(n log n) Python string
+        # compares (same fix audiofp._vote_partition documents)
+        qcodes, uq = pd.factorize(qarr)
+        uq = np.asarray(uq)
         cid = g["cid"].to_numpy()
         dt = g["dt"].to_numpy()
         hh = g["h"].to_numpy()
@@ -722,11 +744,16 @@ def search_landmark_index_bulk(
     from deduplidog_ray.pipelines.joins import hash_join
 
     ids = ray.data.read_parquet(os.path.join(index_dir, "ids.parquet"))
+    # runtime_filter: one keys-only pass over the (candidate-bounded)
+    # left side prunes the corpus-sized id map BEFORE the shuffle —
+    # the module contract says the id map is never moved wholesale,
+    # and joins.py guarantees the filtered result is identical
     resolved = hash_join(
         cands, ids, key="cid",
         left_cols=["query_id", "offset_ms", "votes"],
         right_cols=["clip_id"], how="left",
         partitions=join_partitions,
+        runtime_filter=True,
     )
 
     def _fill_unresolved(t: pa.Table) -> pa.Table:
@@ -741,9 +768,13 @@ def search_landmark_index_bulk(
     def _rank(g: pa.Table) -> pa.Table:
         if not len(g):
             return out_schema.empty_table()
+        # final cid tie-break reproduces the driver path exactly even
+        # for two unresolved (clip_id="") candidates that tie on votes:
+        # the driver frame's input order is cid-ascending, and its
+        # stable sort preserves that (r5 review)
         df = g.to_pandas().sort_values(
-            ["query_id", "votes", "clip_id"],
-            ascending=[True, False, True], kind="stable",
+            ["query_id", "votes", "clip_id", "cid"],
+            ascending=[True, False, True, True], kind="stable",
         )
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
         df = df[df["rank"] <= top_k]

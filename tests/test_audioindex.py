@@ -383,6 +383,14 @@ def test_bulk_probe_matches_driver_probe(ray_session, tmp_path):
 
     drv = search_landmark_index(idx, queries)
     blk = search_landmark_index_bulk(idx, queries).to_pandas()
+    # the match-stage sub-split must not change a single row
+    blk2 = search_landmark_index_bulk(
+        idx, queries, match_subsplit=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        blk.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        blk2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
 
     key = ["query_id", "rank"]
     drv_s = drv.sort_values(key).reset_index(drop=True)
@@ -423,3 +431,13 @@ def test_bulk_probe_empty_and_poison_queries(ray_session, tmp_path):
     assert sorted(out.schema().names) == sorted(
         ["query_id", "clip_id", "offset_ms", "votes", "rank"]
     )
+    # truly EMPTY query dataset (zero rows before the landmark stage)
+    empty_q = rd.from_pandas(pd.DataFrame({
+        "clip_id": pd.Series(dtype="object"),
+        "bytes": pd.Series(dtype="object"),
+        "sr_hz": pd.Series(dtype="int32"),
+        "dur_ms": pd.Series(dtype="int32"),
+        "codec": pd.Series(dtype="object"),
+    }))
+    out2 = search_landmark_index_bulk(idx, empty_q)
+    assert out2.count() == 0
